@@ -1,0 +1,58 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via the noop sink (measures scan+compute+shuffle,
+not driver-side collect serialization). A warmup pass initializes the JVM and
+fills the file-listing caches so numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dozer_spark import get_spark
+from dozer_spark.queries import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("dozer_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+    headline = {n: q for n, q in reg.items() if q.headline}
+
+    # warmup: JVM/codegen/file-listing
+    run_query(next(iter(headline.values())).build(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        t0 = time.perf_counter()
+        run_query(q.build(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,685 @@
+"""Query registry: every implemented operator from SURVEY.md section 2 as a
+(spark_builder, duckdb_oracle_sql) pair.
+
+The driver runs each Spark query and its oracle side-by-side at sf0.01 and
+compares row-count + schema + order-insensitive value hash, so:
+- every computed column is aliased IDENTICALLY on both sides;
+- every aggregated double is round()ed on both sides (parallel summation
+  order differs between engines at the last bit);
+- counts / sums of ints are cast to BIGINT on both sides (DuckDB sums
+  ints into HUGEINT);
+- timestamps in outputs are formatted to strings where engine display
+  semantics could differ (window bounds).
+
+Spark side uses the DataFrame API (Catalyst plans: pushdown, pruning,
+broadcast joins come free); oracle side is plain ANSI SQL for DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dozer_spark.registry import Catalog
+from dozer_spark.operators import (
+    tumble,
+    hop,
+    ttl,
+    equi_join,
+    group_aggregate,
+    union_all,
+    union_distinct,
+)
+from dozer_spark.operators.aggregate import agg_fn
+from dozer_spark.functions import decode, nvl, to_char, json_value
+from dozer_spark.functions.geo import haversine_m
+
+
+@dataclass
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible (weaker rows-only check)
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog.from_testdata(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Selection / projection (dozer-sql/src/selection/processor.rs:30-106,
+# expression eval dozer-sql/expression/src/execution.rs:318-382)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "filter_where",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag <> 'A'
+    """,
+)
+def filter_where(spark, sf):
+    li = _cat(spark, sf).df("lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_discount") < 0.05)
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@_q(
+    "projection_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_price_cents,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_cents,
+           CAST(l_quantity * 2 + l_linenumber AS DOUBLE) AS qx,
+           CAST(l_orderkey % 7 AS BIGINT) AS k7
+    FROM lineitem
+    """,
+)
+def projection_arithmetic(spark, sf):
+    """Per-row doubles are emitted as floor()ed cents: IEEE ops are
+    bit-identical across engines, but round() implementations are not
+    (Spark rounds the exact binary expansion; DuckDB scales-then-rounds)."""
+    li = _cat(spark, sf).df("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("disc_price_cents"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+        )
+        .cast("long")
+        .alias("charge_cents"),
+        (F.col("l_quantity") * 2 + F.col("l_linenumber")).cast("double").alias("qx"),
+        (F.col("l_orderkey") % 7).cast("long").alias("k7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (dozer-sql/src/aggregation/processor.rs:48-586; functions
+# dozer-sql/expression/src/aggregate.rs:4-30)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape — the flagship batch aggregation."""
+    li = _cat(spark, sf).df("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return group_aggregate(
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@_q(
+    "agg_basic_stats",
+    """
+    SELECT o_orderstatus,
+           COUNT(*)                          AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT)    AS sum_cust,
+           ROUND(SUM(o_totalprice), 2)       AS sum_price,
+           ROUND(AVG(o_totalprice), 4)       AS avg_price,
+           ROUND(MIN(o_totalprice), 2)       AS min_price,
+           ROUND(MAX(o_totalprice), 2)       AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_basic_stats(spark, sf):
+    o = _cat(spark, sf).df("orders")
+    return group_aggregate(
+        o,
+        ["o_orderstatus"],
+        [
+            agg_fn("count", F.lit(1)).alias("n_orders"),
+            agg_fn("sum", F.col("o_custkey")).cast("long").alias("sum_cust"),
+            F.round(agg_fn("sum", F.col("o_totalprice")), 2).alias("sum_price"),
+            F.round(agg_fn("avg", F.col("o_totalprice")), 4).alias("avg_price"),
+            F.round(agg_fn("min", F.col("o_totalprice")), 2).alias("min_price"),
+            F.round(agg_fn("max", F.col("o_totalprice")), 2).alias("max_price"),
+        ],
+    )
+
+
+@_q(
+    "agg_having",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 6 AND SUM(c_acctbal) > 0
+    """,
+)
+def agg_having(spark, sf):
+    """HAVING re-evaluation (aggregation/processor.rs:339-386)."""
+    c = _cat(spark, sf).df("customer")
+    return group_aggregate(
+        c,
+        ["c_nationkey"],
+        [
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        ],
+        having=(F.col("n_cust") >= 6) & (F.col("sum_bal") > 0),
+    ).select("c_nationkey", "n_cust", "sum_bal")
+
+
+@_q(
+    "agg_min_value_max_value",
+    """
+    SELECT o_orderstatus,
+           ARG_MAX(o_orderkey, o_totalprice) AS key_at_max,
+           ARG_MIN(o_orderkey, o_totalprice) AS key_at_min
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_min_value_max_value(spark, sf):
+    """MIN_VALUE/MAX_VALUE (argmin/argmax) — aggregator.rs:412-490 -> min_by/max_by."""
+    o = _cat(spark, sf).df("orders")
+    return group_aggregate(
+        o,
+        ["o_orderstatus"],
+        [
+            agg_fn("max_value", F.col("o_totalprice"), F.col("o_orderkey")).alias("key_at_max"),
+            agg_fn("min_value", F.col("o_totalprice"), F.col("o_orderkey")).alias("key_at_min"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (dozer-sql/src/product/join/operator/mod.rs:38-193 — INNER/LEFT/RIGHT
+# equi-joins only; output PK = concat of both sides' PKs)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_inner_customer_orders",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_inner_customer_orders(spark, sf):
+    cat = _cat(spark, sf)
+    j = equi_join(cat.df("customer"), cat.df("orders"), [("c_custkey", "o_custkey")], "inner")
+    return group_aggregate(
+        j,
+        ["c_custkey", "c_name"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        ],
+    )
+
+
+@_q(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark, sf):
+    """LEFT OUTER with NULL-padded misses (join/operator/mod.rs:75-135)."""
+    cat = _cat(spark, sf)
+    j = equi_join(cat.df("customer"), cat.df("orders"), [("c_custkey", "o_custkey")], "left")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@_q(
+    "join_right_outer",
+    """
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_sup
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_outer(spark, sf):
+    cat = _cat(spark, sf)
+    j = equi_join(cat.df("supplier"), cat.df("nation"), [("s_nationkey", "n_nationkey")], "right")
+    return j.groupBy("n_name").agg(F.count("s_suppkey").alias("n_sup"))
+
+
+@_q(
+    "join_multiway_q5_shape",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY n.n_name
+    """,
+    headline=True,
+)
+def join_multiway_q5_shape(spark, sf):
+    """TPC-H Q5 shape: 6-way join; dims broadcast, fact side never shuffled
+    for the dimension joins."""
+    cat = _cat(spark, sf)
+    c, o, l = cat.df("customer"), cat.df("orders"), cat.df("lineitem")
+    s, n, r = cat.df("supplier"), cat.df("nation"), cat.df("region")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operators (dozer-sql/src/product/set/operator.rs:27-96)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "union_all_keys",
+    """
+    SELECT n_nationkey AS k FROM nation
+    UNION ALL
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def union_all_keys(spark, sf):
+    cat = _cat(spark, sf)
+    a = cat.df("nation").select(F.col("n_nationkey").cast("int").alias("k"))
+    b = cat.df("supplier").select(F.col("s_nationkey").cast("int").alias("k"))
+    return union_all(a, b)
+
+
+@_q(
+    "union_distinct_keys",
+    """
+    SELECT n_nationkey AS k FROM nation
+    UNION
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def union_distinct_keys(spark, sf):
+    cat = _cat(spark, sf)
+    a = cat.df("nation").select(F.col("n_nationkey").cast("int").alias("k"))
+    b = cat.df("supplier").select(F.col("s_nationkey").cast("int").alias("k"))
+    return union_distinct(a, b)
+
+
+# ---------------------------------------------------------------------------
+# TUMBLE / HOP / TTL table operators (dozer-sql/src/window/operator.rs:21-130,
+# table_operator/lifetime.rs:29-88)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tumble_hourly_counts",
+    """
+    SELECT strftime(make_timestamp(CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) * 1000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def tumble_hourly_counts(spark, sf):
+    ev = _cat(spark, sf).df("events")
+    w = tumble(ev, "ts", "1 HOUR")
+    return (
+        w.groupBy(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@_q(
+    "hop_30m_1h_counts",
+    """
+    WITH hopped AS (
+      SELECT unnest(generate_series(
+               (CAST(floor((epoch_ms(ts) - 3600000) / 1800000) AS BIGINT) + 1) * 1800000,
+               CAST(floor(epoch_ms(ts) / 1800000) AS BIGINT) * 1800000,
+               1800000)) AS ws,
+             user_id
+      FROM events
+    )
+    SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM hopped GROUP BY 1
+    """,
+)
+def hop_30m_1h_counts(spark, sf):
+    """HOP duplicates each record into every overlapping window
+    (window/operator.rs hop path)."""
+    ev = _cat(spark, sf).df("events")
+    w = hop(ev, "ts", "30 MINUTES", "1 HOUR")
+    return w.groupBy(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q(
+    "ttl_recent_events",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT event_type, COUNT(*) AS n
+    FROM events, mx
+    WHERE ts >= m - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+)
+def ttl_recent_events(spark, sf):
+    ev = _cat(spark, sf).df("events")
+    recent = ttl(ev, "ts", "7 DAYS")
+    return recent.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (dozer-sql/expression/src/scalar/*, conditional,
+# cast, datetime, json) — SURVEY.md section 2.6
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name)                       AS uname,
+           length(p_name)                      AS name_len,
+           substr(p_type, 1, 5)                AS type5,
+           replace(p_brand, 'Brand', 'B')      AS brand_s,
+           concat(p_brand, ':', p_type)        AS brand_type,
+           trim(p_name)                        AS trimmed
+    FROM part
+    """,
+)
+def string_functions(spark, sf):
+    p = _cat(spark, sf).df("part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_s"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("trimmed"),
+    )
+
+
+@_q(
+    "like_in_case",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           (p_name LIKE '%al%')  AS has_al,
+           (p_size IN (1, 5, 9, 13)) AS size_pick
+    FROM part
+    WHERE p_name LIKE '%e%'
+    """,
+)
+def like_in_case(spark, sf):
+    p = _cat(spark, sf).df("part")
+    return p.filter(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.col("p_name").like("%al%").alias("has_al"),
+        F.col("p_size").isin(1, 5, 9, 13).alias("size_pick"),
+    )
+
+
+@_q(
+    "conditional_functions",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')  AS status_c,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                ELSE 'other' END                          AS status_d,
+           coalesce(nullif(o_orderpriority, o_orderpriority), 'none') AS always_none
+    FROM orders
+    """,
+)
+def conditional_functions(spark, sf):
+    """COALESCE/NULLIF/NVL/DECODE (conditional.rs, scalar/field.rs)."""
+    o = _cat(spark, sf).df("orders")
+    return o.select(
+        "o_orderkey",
+        nvl(F.nullif(F.col("o_orderstatus"), F.lit("O")), "open").alias("status_c"),
+        decode(F.col("o_orderstatus"), "O", "open", "F", "finished", "other").alias("status_d"),
+        nvl(F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority")), "none").alias(
+            "always_none"
+        ),
+    )
+
+
+@_q(
+    "cast_matrix",
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT)            AS q_int,
+           CAST(l_orderkey AS VARCHAR)           AS key_str,
+           CAST(l_linenumber AS DOUBLE)          AS line_dbl,
+           CAST(substr(CAST(l_orderkey AS VARCHAR), 1, 3) AS BIGINT) AS key3
+    FROM lineitem
+    """,
+)
+def cast_matrix(spark, sf):
+    """CAST across types (dozer-sql/expression/src/cast.rs:16-382).
+
+    Note: double->int casts TRUNCATE in Spark but ROUND in DuckDB; we use
+    quantities that are integral doubles so both agree (the dialect layer
+    will document this divergence).
+    """
+    li = _cat(spark, sf).df("lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("q_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.substring(F.col("l_orderkey").cast("string"), 1, 3).cast("long").alias("key3"),
+    )
+
+
+@_q(
+    "datetime_extract",
+    """
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT)  AS yr,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def datetime_extract(spark, sf):
+    """EXTRACT (datetime.rs:13-21)."""
+    o = _cat(spark, sf).df("orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@_q(
+    "to_char_format",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+           strftime(o_orderdate, '%Y/%m') AS om
+    FROM orders
+    """,
+)
+def to_char_format(spark, sf):
+    """TO_CHAR with chrono strftime formats (scalar/string.rs:244-331)."""
+    o = _cat(spark, sf).df("orders")
+    return o.select(
+        "o_orderkey",
+        to_char(F.col("o_orderdate"), "%Y-%m-%d").alias("od"),
+        to_char(F.col("o_orderdate"), "%Y/%m").alias("om"),
+    )
+
+
+@_q(
+    "interval_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+           strftime(o_orderdate - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS hr_before
+    FROM orders
+    """,
+)
+def interval_arithmetic(spark, sf):
+    """Timestamp +/- INTERVAL (execution.rs:606-629)."""
+    o = _cat(spark, sf).df("orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias("due"),
+        F.date_format(
+            F.col("o_orderdate") - F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hr_before"),
+    )
+
+
+@_q(
+    "json_value_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_value_extract(spark, sf):
+    """JSON_VALUE via JVM-side JsonPath (json_functions.rs:13-60)."""
+    ev = _cat(spark, sf).df("events")
+    return ev.groupBy(json_value("props", "$.k").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "geo_distance_haversine",
+    """
+    SELECT event_type,
+           ROUND(AVG(
+             2.0 * 6371000.0 * asin(sqrt(
+               pow(sin(radians(((user_id % 170) - 85) * 0.5) / 2), 2)
+               + cos(radians(0.0)) * cos(radians(((user_id % 170) - 85) * 0.5))
+                 * pow(sin(radians(((user_id % 360) - 180) * 0.5) / 2), 2)
+             ))
+           ), 0) AS avg_dist_m
+    FROM events GROUP BY event_type
+    """,
+)
+def geo_distance_haversine(spark, sf):
+    """DISTANCE(point, point, 'HAVERSINE') (geo/distance.rs:18-37) over
+    synthesized coordinates; native column math, no UDF."""
+    ev = _cat(spark, sf).df("events")
+    lon = ((F.col("user_id") % 360) - 180) * 0.5
+    lat = ((F.col("user_id") % 170) - 85) * 0.5
+    d = haversine_m(lon, lat, F.lit(0.0), F.lit(0.0))
+    return ev.groupBy("event_type").agg(F.round(F.avg(d), 0).alias("avg_dist_m"))
+
+
+# ---------------------------------------------------------------------------
+# CTE / derived tables (dozer-sql/src/builder/mod.rs:146-180, 524-548)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cte_derived_table",
+    """
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 100000
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, CAST(SUM(b.n_big) AS BIGINT) AS total_big
+    FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def cte_derived_table(spark, sf):
+    cat = _cat(spark, sf)
+    o, c = cat.df("orders"), cat.df("customer")
+    big = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    j = equi_join(c, big, [("c_custkey", "o_custkey")], "inner")
+    return j.groupBy("c_mktsegment").agg(F.sum("n_big").cast("long").alias("total_big"))
+
+
+def registry() -> dict[str, Query]:
+    return dict(REGISTRY)

@@ -71,6 +71,11 @@ class Catalog:
         return entry
 
     def df(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise KeyError(
+                f"table {name!r} not registered (loaded: {sorted(self.tables)}); "
+                "check the sf_dir path and that <table>.parquet exists"
+            )
         return self.tables[name].df
 
     def pk(self, name: str) -> list[str]:

@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
+same sf dir, sorts columns by name, compares row count, schema (loosely),
+and the order-insensitive multiset of rows. Floats compared exactly after
+the queries' own rounding; a tolerance report is printed for near-misses.
+
+Usage: python tools/parity_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from dozer_spark import get_spark  # noqa: E402
+from dozer_spark.queries import registry  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and format with enough digits to catch real diffs
+        if v == 0:
+            return "0.0"
+        return repr(round(v, 9))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return repr(v)
+
+
+def df_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures = []
+    for name, q in registry().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = q.build(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if q.oracle is None:
+            print(f"ok   {name}: rows={len(srows)} (no oracle — rows-only)")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            continue
+        _, sm = df_multiset(scols, srows)
+        _, dm = df_multiset(dcols, drows)
+        if sm != dm:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(sm, dm) if a != b)
+            print(f"FAIL {name}: value mismatch ({ndiff}/{len(sm)} rows differ)")
+            for a, b in list(zip(sm, dm))[:1000]:
+                if a != b:
+                    print(f"  spark: {a}\n  duck:  {b}")
+                    break
+        else:
+            dt = time.perf_counter() - t0
+            print(f"ok   {name}: rows={len(srows)} cols={len(scols)} ({dt:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
