@@ -1,0 +1,44 @@
+"""Large-scale training-data pipeline operators (beyond-parity surface).
+
+The reference engine stops at relational CDC; a 100 TB training-data
+pipeline also needs dedup, similarity search, text analysis, and
+multimodal plumbing. Everything here is expressed as native DataFrame
+ops (JVM-side, shuffle-aware) unless a vectorized pandas UDF is
+genuinely required; each operator documents its scale path.
+"""
+
+from dozer_spark.ops.text import (
+    tokens,
+    token_count,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+from dozer_spark.ops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+)
+from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "cosine_sim",
+    "brute_force_topk",
+    "lsh_ann_topk",
+]

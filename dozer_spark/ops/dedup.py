@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point at 100 TB):
+- exact:   one hash-groupBy — map-side partial agg, one shuffle on digest.
+- minhash: signatures are a single scan (no shuffle); LSH banding turns
+  O(n^2) pair search into a shuffle on band keys + per-bucket self-join.
+  Candidate verification (true Jaccard) only touches candidate pairs.
+- simhash: single scan to a 32-bit signature; near-dup = same-bucket
+  (prefix) join + hamming<=k filter.
+- All hashing is md5-based so results are engine-deterministic and
+  oracle-checkable in DuckDB (same md5, same lexicographic min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dozer_spark.ops.text import tokens
+
+# default MinHash geometry: 16 hashes = 4 bands x 4 rows. The 4-row bands
+# keep the candidate set selective even on corpora with high baseline
+# similarity (P[band collision] = j^4: j=0.9 -> 0.66/band, j=0.5 -> 0.06).
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: groups by content digest, keeps the smallest id as
+    canonical. One shuffle on the digest (map-side combine applies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _token_set(text_col: str) -> Column:
+    return F.array_distinct(tokens(F.col(text_col)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = MINHASH_HASHES
+) -> DataFrame:
+    """MinHash signature per document.
+
+    hash_i(doc) = min over tokens of md5('h{i}:' || token) — a keyed md5
+    acts as the i-th random permutation; the lexicographic min of hex
+    digests is a valid minhash. Pure column ops, single scan.
+    """
+    toks = _token_set(text_col)
+
+    def keyed_md5(i: int):
+        # NOTE: F.transform treats a 2-arg lambda as (element, index) —
+        # a `lambda t, i=i:` closure would silently receive the array
+        # index. Bind the hash seed via a factory instead.
+        return lambda t: F.md5(F.concat(F.lit(f"h{i}:"), t))
+
+    sig_cols = [
+        F.array_min(F.transform(toks, keyed_md5(i))).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), toks.alias("toks"), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = MINHASH_HASHES,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
+
+    shingle -> minhash -> band -> bucket-join -> verify. Output:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    The band join shuffles on (band, band_key) — only colliding docs meet.
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(":", *cols)).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    toks = sigs.select(F.col(id_col), F.col("toks"))
+    j = (
+        cand.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return j
+
+
+def _md5_bits(c: Column, n_bits: int) -> Column:
+    """First n_bits (<=60) of md5 as a BIGINT — engine-portable."""
+    n_hex = (n_bits + 3) // 4
+    return F.conv(F.substring(F.md5(c), 1, n_hex), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> DataFrame:
+    """SimHash signature: per-token md5 bit votes, sign -> bit.
+
+    Implemented as explode + one groupBy(id) with n_bits conditional sums
+    (single shuffle on id; at scale this is a map-side-combinable agg).
+    """
+    tok = df.select(F.col(id_col), F.explode(_token_set(text_col)).alias("tok"))
+    h = _md5_bits(F.col("tok"), n_bits).alias("h")
+    tok = tok.select(F.col(id_col), h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n_bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Blocking: two docs within hamming<=k share at least one of k+1 equal
+    signature chunks (pigeonhole) — join per chunk, then verify hamming.
+    """
+    sigs = simhash(df, text_col, id_col, n_bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    chunks = None
+    for ci in range(n_chunks):
+        c = sigs.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(ci).alias("chunk"),
+            F.shiftright(F.col("simhash"), ci * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("chunk_val"),
+        )
+        chunks = c if chunks is None else chunks.unionByName(c)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def char_ngrams(c: Column, n: int = 4) -> Column:
+    """Distinct character n-gram shingles (native sequence+transform)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.6,
+    n: int = 4,
+    prefix_chars: int = 200,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup within a blocking key.
+
+    Blocking bounds the O(n^2): pairs are only compared inside the same
+    block (e.g. language or length bucket). Shingling is capped at
+    prefix_chars to bound per-row cost.
+    """
+    g = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        char_ngrams(F.substring(F.col(text_col), 1, prefix_chars), n).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
+            / F.size(F.array_union("a.grams", "b.grams")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force all-pairs).
+
+    Correctness baseline: O(n^2) crossJoin with the smaller side
+    broadcast when possible. The scale path is lsh_ann_topk in
+    similarity.py (bucketed); this exact variant is the oracle-checkable
+    reference.
+    """
+    from dozer_spark.ops.similarity import cosine_sim
+
+    v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", cosine_sim(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

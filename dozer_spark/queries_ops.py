@@ -1,0 +1,314 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis) with
+DuckDB oracles.
+
+Hash parity trick: every probabilistic structure here (MinHash, SimHash,
+LSH bands) is built from md5 — identical in Spark and DuckDB — so even the
+"approximate" algorithms are EXACTLY oracle-checkable: the oracle replays
+the same bands/signatures in SQL, not just the end condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dozer_spark.queries import _q, _cat
+from dozer_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+    MINHASH_HASHES,
+    MINHASH_BANDS,
+)
+from dozer_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+from dozer_spark.ops.text import (
+    token_count,
+    bpe_ish_token_count,
+    fingerprint,
+    quality_score,
+    lang_id,
+    STOPWORDS,
+)
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf):
+    d = _cat(spark, sf).df("documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINHASH_BANDS) -> str:
+    r = h // bands
+    sig_cols = ",\n      ".join(
+        f"list_aggregate(list_transform(toks, t -> md5('h{i}:' || t)), 'min') AS mh{i}"
+        for i in range(h)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b, key=" || ':' || ".join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, toks,
+      {sig_cols}
+      FROM toks
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / len(list_distinct(ta.toks || tb.toks)) AS j
+      FROM cand
+      JOIN toks ta ON ta.doc_id = cand.id_a
+      JOIN toks tb ON tb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM verified WHERE j >= {threshold}
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle(0.9), headline=True)
+def dedup_minhash_lsh(spark, sf):
+    """shingle -> minhash -> band -> bucket-join -> verify; the oracle
+    replays the identical md5-keyed bands in SQL. Threshold 0.9 because
+    the synthetic corpus has very high baseline similarity."""
+    d = _cat(spark, sf).df("documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+
+
+def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(n_bits))
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {ci} AS chunk, (simhash >> {ci * chunk_bits}) & {mask} AS chunk_val FROM sigs"
+        for ci in range(n_chunks)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ), votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig} AS simhash FROM votes
+    ), chunks AS (
+      {chunk_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf):
+    """SimHash near-dup with pigeonhole chunk blocking; oracle replays the
+    same 32-bit md5 vote signature in SQL."""
+    d = _cat(spark, sf).df("documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3, n_bits=32)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT doc_id, lang AS blk,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(substr(text, 1, 200)) - 3, 0)),
+               i -> substr(substr(text, 1, 200), i, 4))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
+    FROM grams a JOIN grams b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(a.grams || b.grams)) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Char-4-gram Jaccard within a language block (blocking bounds the
+    O(n^2) to same-block pairs)."""
+    d = _cat(spark, sf).df("documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.35, n=4, prefix_chars=200)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           , 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup (exact all-pairs baseline)."""
+    e = _cat(spark, sf).df("embeddings")
+    return embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ann_brute_force_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_raw
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= 5
+    """,
+    headline=True,
+)
+def ann_brute_force_topk(spark, sf):
+    """Exact cosine top-k (k=5) for the vec_id%100==0 query set."""
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(e, q, "embedding", "vec_id", k=5)
+
+
+@_q("ann_lsh_topk", None)  # approximate — rows-only check; recall tested in pytest
+def ann_lsh_topk(spark, sf):
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(
+             list_filter(string_split(text, ' '), x -> x <> ''),
+             w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf):
+    d = _cat(spark, sf).df("documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           ROUND(
+             0.4 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(len(text), 1) AS DOUBLE))
+             + 0.3 * least((CAST(len(text) AS DOUBLE)
+                            / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE)) / 8.0, 1.0)
+           , 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf):
+    d = _cat(spark, sf).df("documents")
+    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+def _langid_oracle() -> str:
+    hit_cols = []
+    for code in STOPWORDS:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[code])
+        hit_cols.append(
+            f"CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''), "
+            f"x -> x IN ({lst}))) AS BIGINT) AS h_{code}"
+        )
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, {', '.join(hit_cols)} FROM documents
+    ), pred AS (
+      SELECT doc_id,
+        CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+             WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+             WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+             WHEN h_de > 0 THEN 'de'
+             ELSE 'und' END AS pred_lang
+      FROM hits
+    )
+    SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang
+    """
+
+
+@_q("text_lang_id", _langid_oracle())
+def text_lang_id(spark, sf):
+    """Stopword-voting language ID; first-max-wins fold is replayed in the
+    oracle as an ordered CASE chain."""
+    d = _cat(spark, sf).df("documents")
+    return d.groupBy(lang_id("text").alias("pred_lang")).agg(F.count(F.lit(1)).alias("n"))

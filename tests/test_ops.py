@@ -1,0 +1,156 @@
+"""Tests for the training-data pipeline ops: dedup, similarity, text,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dozer_spark.ops import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    ngram_jaccard_pairs,
+    brute_force_topk,
+    lsh_ann_topk,
+    token_count,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+
+
+def test_exact_dedup_finds_planted_dupes(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")], ["id", "text"]
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, "text", "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_catches_identical_token_sets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "theta eta zeta epsilon delta gamma beta alpha"),  # same set, reordered
+            (3, "totally different words here nothing shared at all"),
+        ],
+        ["id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, "text", "id", threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated content entirely elsewhere")],
+        ["id", "text"],
+    )
+    pairs = simhash_pairs(df, "text", "id", max_hamming=6).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_blocking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the cat sat on the hat", "en"),
+            (3, "the cat sat on the mat", "fr"),  # identical but different block
+        ],
+        ["id", "text", "lang"],
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "id", "lang", threshold=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_brute_force_topk_properties(catalog):
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(e, q, "embedding", "vec_id", k=4)
+    rows = out.collect()
+    assert len(rows) == 3 * 4
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.cosine <= 1.0
+    # rank 1 has the max cosine per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
+
+
+def test_lsh_ann_recall_vs_brute_force(catalog):
+    """LSH ANN must find a decent fraction of true top-5 neighbors when
+    they share a bucket; every returned neighbor must be a real corpus id."""
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    approx = lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=4, dim=64).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert approx_set, "LSH returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.1  # 4 planes / 16 buckets over random vectors: weak but nonzero
+
+
+def test_text_ops_basics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog, in a house!"), (2, "x")], ["id", "text"]
+    )
+    out = df.select(
+        token_count("text").alias("n"),
+        F.round(quality_score("text"), 3).alias("q"),
+        lang_id("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    assert out[0].n == 8
+    assert 0.0 <= out[0].q <= 1.0
+    assert out[0].lang == "en"
+    assert out[1].lang == "und"
+    assert len(out[0].fp) == 32
+    # fingerprint is whitespace/case invariant
+    df2 = spark.createDataFrame([(1, "THE cat AND   the dog, in a HOUSE!")], ["id", "text"])
+    fp2 = df2.select(fingerprint("text").alias("fp")).first().fp
+    assert fp2 == out[0].fp
+
+
+def test_multimodal_plumbing(spark):
+    """mapInPandas plumbing with a deterministic fake decoder (the real
+    codec is stubbed per environment constraints)."""
+    from dozer_spark.ops import multimodal as mm
+
+    mm.register_decoder("image", lambda payload: {"feature": [float(len(payload)), 1.0]})
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", 4, 4, None, b"\x89PNG0000"),
+         (2, "image", "image/png", 2, 2, None, b"\x89P")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.extract_features(df).collect()}
+    assert rows[1].n_bytes == 8 and rows[1].feature == [8.0, 1.0]
+    assert rows[2].feature == [2.0, 1.0]
+
+
+def test_multimodal_unregistered_kind_raises(spark):
+    from dozer_spark.ops import multimodal as mm
+
+    mm._DECODERS.pop("audio", None)
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/wav", None, None, 1000, b"RIFF")], schema=mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="no decoder registered|NotImplementedError"):
+        mm.extract_features(df).collect()
+
+
+def test_frame_sample(spark):
+    from dozer_spark.ops import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "video", "video/mp4", None, None, 3500, b"\x00\x00")], schema=mm.MEDIA_SCHEMA
+    )
+    frames = mm.frame_sample(df, every_ms=1000).collect()
+    assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
