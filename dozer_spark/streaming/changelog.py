@@ -1,0 +1,117 @@
+"""Changelog primitives.
+
+Reference semantics being reproduced:
+- Operation::{Insert, Update, Delete} (dozer-types/src/types/mod.rs:293-298)
+- OpIdentifier {txid, seq_in_tx} ordering (dozer-types/src/node.rs:81-86)
+- PrimaryKeyLookupRecordWriter: latest-row-per-PK materialization
+  (dozer-core/src/record_store.rs:29-87)
+- Selection processor's Update splitting: when a WHERE predicate flips
+  between a row's old and new image, the Update becomes an Insert or a
+  Delete downstream (dozer-sql/src/selection/processor.rs:30-106).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CHANGELOG_COLS = ["__op", "__txid", "__seq"]
+
+
+def with_op(df: DataFrame, op: str = "I", txid: int = 0, seq_col: Column | None = None) -> DataFrame:
+    """Stamp plain rows as changelog operations (batch-insert ingest)."""
+    seq = seq_col if seq_col is not None else F.monotonically_increasing_id()
+    return df.select(
+        F.lit(op).alias("__op"),
+        F.lit(txid).cast("long").alias("__txid"),
+        seq.cast("long").alias("__seq"),
+        "*",
+    )
+
+
+def _latest_per_pk(changelog: DataFrame, pk: list[str]) -> DataFrame:
+    w = Window.partitionBy(*pk).orderBy(F.desc("__txid"), F.desc("__seq"))
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changelog(changelog: DataFrame, pk: list[str]) -> DataFrame:
+    """Materialize the table snapshot a changelog describes: last op per PK
+    in (txid, seq) order wins; a final Delete removes the row.
+
+    This is the batch replay of PrimaryKeyLookupRecordWriter. One shuffle
+    on PK; at scale this is the standard CDC-compaction pattern (and maps
+     1:1 onto a MERGE INTO against a materialized table)."""
+    latest = _latest_per_pk(changelog, pk)
+    return latest.filter(F.col("__op") != "D").drop(*CHANGELOG_COLS)
+
+
+def old_images(changelog: DataFrame, pk: list[str]) -> DataFrame:
+    """For each op, attach the previous image of the same PK (NULL columns
+    when none) as `__old_<col>` columns — the PK-lookup the reference does
+    in record_store.rs:49-75, expressed as a lag() window."""
+    data_cols = [c for c in changelog.columns if c not in CHANGELOG_COLS]
+    w = Window.partitionBy(*pk).orderBy("__txid", "__seq")
+    out = changelog
+    for c in data_cols:
+        if c in pk:
+            continue
+        out = out.withColumn(f"__old_{c}", F.lag(c).over(w))
+    return out
+
+
+def changelog_filter(changelog: DataFrame, pk: list[str], predicate: Column) -> DataFrame:
+    """Changelog-aware WHERE (selection/processor.rs:30-106).
+
+    Truth table (old image = previous row of this PK via lag(); D rows
+    carry the deleted image themselves, matching Operation::Delete{old}):
+      I, pred(row)               -> I
+      D, pred(row)               -> D
+      U, pred(old) & pred(new)   -> U
+      U, !pred(old) & pred(new)  -> I   (row enters the view)
+      U, pred(old) & !pred(new)  -> D   (row leaves the view)
+      otherwise                  -> dropped
+    """
+    data_cols = [c for c in changelog.columns if c not in CHANGELOG_COLS]
+    w = Window.partitionBy(*pk).orderBy("__txid", "__seq")
+    olds = {c: F.lag(c).over(w) for c in data_cols}
+
+    pred_new = predicate
+    # predicate over the old image: substitute lagged columns
+    pred_old_df = changelog
+    for c in data_cols:
+        pred_old_df = pred_old_df.withColumn(f"__old_{c}", olds[c])
+    # Build pred over renamed old cols by re-expressing predicate on a
+    # selection where data col names point at the old image.
+    old_view = pred_old_df.select(
+        *CHANGELOG_COLS,
+        *[F.col(f"__old_{c}").alias(c) for c in data_cols],
+        *[F.col(c).alias(f"__new_{c}") for c in data_cols],
+    )
+    old_flag = old_view.select(
+        *CHANGELOG_COLS,
+        predicate.alias("__pred_old"),
+        *[F.col(f"__new_{c}").alias(c) for c in data_cols],
+    )
+    out = old_flag.withColumn("__pred_new", pred_new)
+    keep_i = (F.col("__op") == "I") & F.col("__pred_new")
+    keep_d = (F.col("__op") == "D") & F.col("__pred_new")
+    u = F.col("__op") == "U"
+    po = F.coalesce(F.col("__pred_old"), F.lit(False))
+    pn = F.coalesce(F.col("__pred_new"), F.lit(False))
+    new_op = (
+        F.when(keep_i, F.lit("I"))
+        .when(keep_d, F.lit("D"))
+        .when(u & po & pn, F.lit("U"))
+        .when(u & ~po & pn, F.lit("I"))
+        .when(u & po & ~pn, F.lit("D"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        out.withColumn("__op", new_op)
+        .filter(F.col("__op").isNotNull())
+        .drop("__pred_old", "__pred_new")
+    )

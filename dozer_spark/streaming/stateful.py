@@ -1,0 +1,149 @@
+"""Retraction-capable incremental GROUP BY over changelogs.
+
+Mirrors the reference's Projection+Aggregation processor
+(dozer-sql/src/aggregation/processor.rs:48-586):
+- per-group aggregate state updated by Insert/Delete/Update
+  (agg_delete :183, agg_insert :263, agg_update :414)
+- emits the correct downstream changelog: Insert when a group appears,
+  Update when its aggregate changes, Delete when its count drops to 0
+  (processor.rs:286-338)
+- HAVING transitions re-evaluated on old+new aggregate rows
+  (processor.rs:339-386): enters-filter -> Insert, leaves-filter ->
+  Delete, stays -> Update
+- a group-key change inside an Update becomes Delete(old group) +
+  Insert(new group) (processor.rs:538-546)
+
+Spark-first design — "dirty-group recompute" instead of per-record
+state mutation: each micro-batch
+  1. updates the materialized input snapshot (MERGE by PK),
+  2. collects the DISTINCT group keys touched by the batch (old + new
+     images both — that's how key changes retract correctly),
+  3. recomputes aggregates ONLY for those dirty groups from the snapshot,
+  4. diffs against the previous aggregate state for those groups,
+     emitting I/U/D.
+This scales: work per batch is O(batch + dirty_groups), recompute is a
+partition-pruned scan, and every aggregate (incl. MIN/MAX, which need a
+value multiset for true retraction — aggregator.rs:64-239) is correct
+without bespoke state structures. All state lives in DataFrames
+(parquet/memory), so executors do the heavy lifting, not the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog
+
+
+@dataclass
+class RetractingAggregation:
+    """Incremental GROUP BY with retraction changelog output.
+
+    group_by: group key columns; aggs: aggregate Columns (aliased);
+    having: optional Column over the aggregate row.
+    """
+
+    spark: SparkSession
+    pk: list[str]
+    group_by: list[str]
+    aggs: list[Column]
+    having: Column | None = None
+
+    _snapshot: DataFrame | None = field(default=None, init=False)
+    _state: DataFrame | None = field(default=None, init=False)  # aggregate rows
+
+    # -- helpers ------------------------------------------------------------
+
+    def _agg_for(self, snapshot: DataFrame, keys: DataFrame | None) -> DataFrame:
+        src = snapshot if keys is None else snapshot.join(F.broadcast(keys), self.group_by)
+        out = src.groupBy(*self.group_by).agg(*self.aggs)
+        if self.having is not None:
+            out = out.filter(self.having)
+        return out
+
+    # -- per-batch processing ------------------------------------------------
+
+    def process_batch(self, changelog: DataFrame) -> DataFrame:
+        """Consume one changelog micro-batch; return the output changelog of
+        the aggregation (rows = aggregate records with __op I/U/D)."""
+        changelog = changelog.cache()
+
+        # 1. dirty group keys = keys of new images + keys of old images
+        new_keys = changelog.select(*self.group_by)
+        if self._snapshot is not None:
+            old_keys = self._snapshot.join(
+                changelog.select(*self.pk).distinct(), self.pk
+            ).select(*self.group_by)
+            dirty = new_keys.unionByName(old_keys).distinct()
+        else:
+            dirty = new_keys.distinct()
+        dirty = dirty.cache()
+
+        # 2. update the input snapshot (replay semantics of record_store.rs)
+        batch_snapshot = apply_changelog(changelog, self.pk)
+        if self._snapshot is None:
+            merged = batch_snapshot
+        else:
+            touched = changelog.select(*self.pk).distinct()
+            kept = self._snapshot.join(F.broadcast(touched), self.pk, "left_anti")
+            merged = kept.unionByName(batch_snapshot)
+        # materialize to break lineage growth across batches
+        merged = merged.localCheckpoint(eager=True)
+        self._snapshot = merged
+
+        # 3. recompute aggregates for dirty groups only
+        new_agg = self._agg_for(merged, dirty).localCheckpoint(eager=True)
+
+        # 4. diff vs previous state for those groups -> I/U/D changelog
+        agg_cols = [c for c in new_agg.columns if c not in self.group_by]
+        if self._state is None:
+            old_agg = new_agg.limit(0)
+        else:
+            old_agg = self._state.join(F.broadcast(dirty), self.group_by)
+
+        n = new_agg.select(
+            *[F.col(c).alias(c) for c in self.group_by],
+            F.struct(*[F.col(c) for c in agg_cols]).alias("__new"),
+        )
+        o = old_agg.select(
+            *[F.col(c).alias(c) for c in self.group_by],
+            F.struct(*[F.col(c) for c in agg_cols]).alias("__old"),
+        )
+        joined = n.join(o, self.group_by, "full_outer")
+        op = (
+            F.when(F.col("__old").isNull() & F.col("__new").isNotNull(), F.lit("I"))
+            .when(F.col("__new").isNull() & F.col("__old").isNotNull(), F.lit("D"))
+            .when(F.col("__new") != F.col("__old"), F.lit("U"))
+            .otherwise(F.lit(None))
+        )
+        image = F.when(F.col("__op") == "D", F.col("__old")).otherwise(F.col("__new"))
+        out = (
+            joined.withColumn("__op", op)
+            .filter(F.col("__op").isNotNull())
+            .withColumn("__img", image)
+            .select(
+                "__op",
+                *self.group_by,
+                *[F.col(f"__img.{c}").alias(c) for c in agg_cols],
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+
+        # 5. advance aggregate state
+        if self._state is None:
+            self._state = new_agg
+        else:
+            kept = self._state.join(F.broadcast(dirty), self.group_by, "left_anti")
+            self._state = kept.unionByName(new_agg).localCheckpoint(eager=True)
+        changelog.unpersist()
+        dirty.unpersist()
+        return out
+
+    def current(self) -> DataFrame:
+        """Current materialized aggregate table."""
+        if self._state is None:
+            raise ValueError("no batches processed yet")
+        return self._state
