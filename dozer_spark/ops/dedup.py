@@ -81,7 +81,10 @@ def minhash_lsh_pairs(
     The band join shuffles on (band, band_key) — only colliding docs meet.
     """
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+    # persist: the signature scan (16 md5 transforms per token) feeds both
+    # the band branch and the verification branch — without this Catalyst
+    # recomputes it twice
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes).persist()
 
     bands = None
     for b in range(n_bands):

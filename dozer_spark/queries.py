@@ -682,9 +682,10 @@ def cte_derived_table(spark, sf):
 
 
 def registry() -> dict[str, Query]:
-    # late import: queries_ops registers the dedup/similarity/text queries
-    # via the same decorator (it imports from this module, so import here
-    # to avoid a cycle at module load)
+    # late imports: these modules register additional queries via the same
+    # decorator (they import from this module, so import here to avoid a
+    # cycle at module load)
     import dozer_spark.queries_ops  # noqa: F401
+    import dozer_spark.queries_extra  # noqa: F401
 
     return dict(REGISTRY)

@@ -57,8 +57,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    reg = registry()
+    unknown = only - set(reg)
+    if unknown:
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
-    for name, q in registry().items():
+    for name, q in reg.items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()
