@@ -109,10 +109,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # verification: re-attach token sets to the (much larger) candidate
+    # pair table. The doc->tokens side is one row per document — broadcast
+    # it so the 10^6-10^7-row candidate table never shuffles (measured 1.6x
+    # on sf0.1; at corpus sizes where tokens exceed broadcast limits, drop
+    # the hint and AQE picks a shuffled join keyed on doc id).
     toks = sigs.select(F.col(id_col), F.col("toks"))
     j = (
-        cand.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-        .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        cand.join(
+            F.broadcast(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
@@ -225,22 +236,35 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.col(block_col).alias("blk"),
         char_ngrams(F.substring(F.col(text_col), 1, prefix_chars), n).alias("grams"),
+    ).persist()
+    # pair formation on slim (id, blk) rows; gram arrays are broadcast-
+    # attached afterwards so they never ride the skewed per-block shuffle
+    ids = g.select(F.col(id_col), F.col("blk"))
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("__ia"), F.col(f"b.{id_col}").alias("__ib"))
+    ga = F.broadcast(
+        g.select(F.col(id_col).alias("__ia"), F.col("grams").alias("a_grams"))
     )
-    a, b = g.alias("a"), g.alias("b")
+    gb = F.broadcast(
+        g.select(F.col(id_col).alias("__ib"), F.col("grams").alias("b_grams"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        pairs.join(ga, "__ia")
+        .join(gb, "__ib")
+        .withColumnRenamed("__ia", "a_id")
+        .withColumnRenamed("__ib", "b_id")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-            / F.size(F.array_union("a.grams", "b.grams")).cast("double"),
+            F.size(F.array_intersect("a_grams", "b_grams")).cast("double")
+            / F.size(F.array_union("a_grams", "b_grams")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
