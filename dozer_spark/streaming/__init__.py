@@ -29,8 +29,12 @@ from dozer_spark.streaming.changelog import (
 from dozer_spark.streaming.merge import upsert_parquet, foreach_batch_upsert
 from dozer_spark.streaming.windows import streaming_tumble_agg, streaming_hop_agg
 from dozer_spark.streaming.stateful import RetractingAggregation
+from dozer_spark.streaming.join import RetractingJoin
+from dozer_spark.streaming.setops import RetractingUnion
 
 __all__ = [
+    "RetractingJoin",
+    "RetractingUnion",
     "CHANGELOG_COLS",
     "with_op",
     "apply_changelog",

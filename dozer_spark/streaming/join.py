@@ -1,0 +1,213 @@
+"""Retraction-capable incremental equi-join over changelogs.
+
+Mirrors the reference's symmetric hash join
+(dozer-sql/src/product/join/operator/mod.rs:38-193):
+- both sides' state fully maintained (there: in-memory hashmaps keyed by
+  join key -> PK hash, operator/table.rs:24-145; here: PK-keyed snapshot
+  DataFrames)
+- INNER/LEFT/RIGHT equi-joins (factory.rs:116-130)
+- outer joins emit a NULL-padded default row while a key has no match and
+  RETRACT it when the first match appears (operator/mod.rs:75-135) — and
+  the reverse when the last match disappears.
+
+Spark-first "dirty-key recompute": each micro-batch updates the two
+snapshots, recomputes the join restricted to the join-key values touched
+by the batch, and diffs against the previously-emitted output for those
+keys. Emitted changelog rows are keyed by the concatenation of both
+sides' PKs (join/factory.rs:169-191), NULL right-PK for the padded rows.
+
+Work per batch is O(batch + rows-sharing-touched-keys): the recompute
+joins are partition-pruned to dirty keys, and state lives in DataFrames
+(executors), not the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog
+
+_NULL_MARK = "\x00NULL\x00"
+
+
+def _keys_join(df: DataFrame, keys: DataFrame, how: str) -> DataFrame:
+    """Null-safe semi/anti join of df against a small key table (columns of
+    `keys` must exist in df under the same names). Key columns are renamed
+    first — `keys` often derives from the same lineage as `df`, and
+    same-name column references would resolve as trivially-true self
+    comparisons."""
+    renamed = keys.select(
+        *[F.col(c).alias(f"__k_{c}") for c in keys.columns]
+    ).distinct()
+    kdf = F.broadcast(renamed)
+    c = None
+    for kc in keys.columns:
+        e = df[kc].eqNullSafe(kdf[f"__k_{kc}"])
+        c = e if c is None else c & e
+    return df.join(kdf, c, how)
+
+
+def _row_key(cols: list[str], prefix: str = "") -> Column:
+    """Null-distinguishing digest over columns (diff-join key)."""
+    parts = [
+        F.coalesce(F.col(prefix + c).cast("string"), F.lit(_NULL_MARK)) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+@dataclass
+class RetractingJoin:
+    """Incremental JOIN: feed left/right changelogs, get the join's output
+    changelog. `on` is [(left_col, right_col), ...] (conjunction of
+    equalities — the only constraint the reference accepts,
+    factory.rs:193-235)."""
+
+    spark: SparkSession
+    left_pk: list[str]
+    right_pk: list[str]
+    on: list[tuple[str, str]]
+    how: str = "inner"  # inner | left | right
+
+    _left: DataFrame | None = field(default=None, init=False)
+    _right: DataFrame | None = field(default=None, init=False)
+    _prev: DataFrame | None = field(default=None, init=False)  # emitted output rows
+
+    def __post_init__(self):
+        if self.how not in ("inner", "left", "right"):
+            raise ValueError(f"unsupported join type {self.how!r} (factory.rs:120)")
+
+    # -- snapshot maintenance ------------------------------------------------
+
+    @staticmethod
+    def _merge(prev: DataFrame | None, changelog: DataFrame, pk: list[str]) -> DataFrame:
+        batch_snap = apply_changelog(changelog, pk)
+        if prev is None:
+            return batch_snap.localCheckpoint(eager=True)
+        touched = changelog.select(*pk).distinct()
+        kept = prev.join(F.broadcast(touched), pk, "left_anti")
+        return kept.unionByName(batch_snap).localCheckpoint(eager=True)
+
+    def _dirty_keys(self, changelog: DataFrame | None, snap_before: DataFrame | None,
+                    pk: list[str], key_cols: list[str]) -> DataFrame | None:
+        """Join-key values touched by this batch on one side: keys of the
+        new images plus keys of the displaced old images."""
+        if changelog is None:
+            return None
+        new_keys = changelog.select(*key_cols)
+        if snap_before is not None:
+            old_keys = snap_before.join(
+                changelog.select(*pk).distinct(), pk
+            ).select(*key_cols)
+            new_keys = new_keys.unionByName(old_keys)
+        return new_keys.distinct()
+
+    # -- per-batch -----------------------------------------------------------
+
+    def process_batch(
+        self,
+        left_changelog: DataFrame | None = None,
+        right_changelog: DataFrame | None = None,
+    ) -> DataFrame:
+        lk = [l for l, _ in self.on]
+        rk = [r for _, r in self.on]
+
+        dl = self._dirty_keys(left_changelog, self._left, self.left_pk, lk)
+        dr_raw = self._dirty_keys(right_changelog, self._right, self.right_pk, rk)
+        dr = None
+        if dr_raw is not None:  # normalize right-side key names to left's
+            dr = dr_raw.select(*[F.col(r).alias(l) for (l, r) in self.on])
+        dirty = dl if dr is None else (dr if dl is None else dl.unionByName(dr).distinct())
+        if dirty is None:
+            raise ValueError("process_batch needs at least one side's changelog")
+        dirty = dirty.distinct().localCheckpoint(eager=True)
+
+        if left_changelog is not None:
+            self._left = self._merge(self._left, left_changelog, self.left_pk)
+        if right_changelog is not None:
+            self._right = self._merge(self._right, right_changelog, self.right_pk)
+
+        if self._left is None or self._right is None:
+            # schemas come from the changelogs themselves; an outer join can
+            # emit padded rows from batch one, so both schemas are needed —
+            # send a (possibly empty) changelog for the quiet side.
+            raise ValueError(
+                "join needs both sides' schemas; send an (empty) changelog "
+                "for the missing side in the first batch"
+            )
+
+        # restrict both sides to the dirty join keys — only rows sharing a
+        # touched key can appear in, or vanish from, the output. Null-safe
+        # semi-join: a left row with a NULL join key still owes its padded
+        # row, and NULL keys do appear in the dirty set.
+        dirty_r = dirty.select(*[F.col(l).alias(r) for (l, r) in self.on])
+        lsub = _keys_join(self._left, dirty, "semi")
+        rsub = _keys_join(self._right, dirty_r, "semi")
+
+        cond = None
+        for l, r in self.on:
+            c = lsub[l] == rsub[r]
+            cond = c if cond is None else cond & c
+
+        new_out = lsub.join(rsub, cond, self.how).localCheckpoint(eager=True)
+
+        # diff against previously-emitted rows for the dirty keys.
+        # output identity = concatenated PKs (factory.rs:169-191), NULLs
+        # preserved for padded rows.
+        id_cols = [*self.left_pk, *[c for c in self.right_pk if c not in self.left_pk]]
+        data_cols = new_out.columns
+        n = new_out.select(
+            _row_key(id_cols).alias("__ok"),
+            F.struct(*[F.col(c) for c in data_cols]).alias("__new"),
+        )
+        if self._prev is None:
+            o = n.limit(0).select("__ok", F.col("__new").alias("__old"))
+        else:
+            prev_sub = self._prev_for_keys(dirty, "semi")
+            o = prev_sub.select(
+                _row_key(id_cols).alias("__ok"),
+                F.struct(*[F.col(c) for c in data_cols]).alias("__old"),
+            )
+        joined = n.join(o, "__ok", "full_outer")
+        op = (
+            F.when(F.col("__old").isNull() & F.col("__new").isNotNull(), F.lit("I"))
+            .when(F.col("__new").isNull() & F.col("__old").isNotNull(), F.lit("D"))
+            .when(F.col("__new") != F.col("__old"), F.lit("U"))
+            .otherwise(F.lit(None))
+        )
+        img = F.when(F.col("__op") == "D", F.col("__old")).otherwise(F.col("__new"))
+        out = (
+            joined.withColumn("__op", op)
+            .filter(F.col("__op").isNotNull())
+            .withColumn("__img", img)
+            .select("__op", *[F.col(f"__img.{c}").alias(c) for c in data_cols])
+            .localCheckpoint(eager=True)
+        )
+
+        # advance emitted-output state
+        if self._prev is None:
+            self._prev = new_out
+        else:
+            kept = self._prev_for_keys(dirty, "anti")
+            self._prev = kept.unionByName(new_out).localCheckpoint(eager=True)
+        return out
+
+    def _prev_for_keys(self, dirty: DataFrame, how: str) -> DataFrame:
+        """Filter previously-emitted rows by join-key membership. An output
+        row's join key lives on whichever side is non-NULL (outer-padded
+        rows have one side all-NULL), so match on coalesce(left, right)."""
+        prev = self._prev
+        key_exprs = [
+            F.coalesce(F.col(l), F.col(r)).alias(l) for (l, r) in self.on
+        ]
+        keyed = prev.select(F.struct(*[F.col(c) for c in prev.columns]).alias("__row"),
+                            *key_exprs)
+        filtered = _keys_join(keyed, dirty, how)
+        return filtered.select("__row.*")
+
+    def current(self) -> DataFrame:
+        if self._prev is None:
+            raise ValueError("no batches processed yet")
+        return self._prev

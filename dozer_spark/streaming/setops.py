@@ -1,0 +1,111 @@
+"""Retraction-capable UNION (distinct) over changelogs.
+
+Mirrors the reference's set processor (dozer-sql/src/product/set/
+operator.rs:27-96): a counting record map emits Insert only when a
+value's total count across all inputs goes 0 -> 1 and Delete only on
+1 -> 0; intermediate count changes emit nothing. (The reference offers an
+exact HashMap or a counting-Bloom variant, record_map/mod.rs:16-106 — the
+probabilistic variant is a single-process memory optimization we don't
+need: our "map" is a distributed DataFrame.)
+
+Implementation: per-side PK-keyed snapshots (updates/deletes need the PK
+to find the displaced row, like every operator here); the union's state
+is the set of VALUE rows present (count > 0). Each batch recomputes
+presence only for the dirty values and diffs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog
+
+
+@dataclass
+class RetractingUnion:
+    """UNION (distinct) over n changelog inputs with identical value
+    schemas. `pks` gives each input's PK columns; `value_cols` the
+    compared columns (defaults to all non-PK, non-changelog columns)."""
+
+    spark: SparkSession
+    pks: list[list[str]]
+    value_cols: list[str]
+
+    _snaps: list[DataFrame | None] = field(default=None, init=False)
+    _present: DataFrame | None = field(default=None, init=False)
+
+    def __post_init__(self):
+        self._snaps = [None] * len(self.pks)
+
+    def process_batch(self, changelogs: list[DataFrame | None]) -> DataFrame:
+        if len(changelogs) != len(self.pks):
+            raise ValueError(f"expected {len(self.pks)} changelogs")
+
+        # dirty values: new images + displaced old images, across inputs
+        dirty = None
+        for i, cl in enumerate(changelogs):
+            if cl is None:
+                continue
+            vals = cl.select(*self.value_cols)
+            if self._snaps[i] is not None:
+                old = self._snaps[i].join(
+                    cl.select(*self.pks[i]).distinct(), self.pks[i]
+                ).select(*self.value_cols)
+                vals = vals.unionByName(old)
+            dirty = vals if dirty is None else dirty.unionByName(vals)
+        if dirty is None:
+            raise ValueError("process_batch needs at least one changelog")
+        dirty = dirty.distinct().localCheckpoint(eager=True)
+
+        # advance per-input snapshots
+        for i, cl in enumerate(changelogs):
+            if cl is None:
+                continue
+            batch_snap = apply_changelog(cl, self.pks[i])
+            if self._snaps[i] is None:
+                self._snaps[i] = batch_snap.localCheckpoint(eager=True)
+            else:
+                touched = cl.select(*self.pks[i]).distinct()
+                kept = self._snaps[i].join(F.broadcast(touched), self.pks[i], "left_anti")
+                self._snaps[i] = kept.unionByName(batch_snap).localCheckpoint(eager=True)
+
+        # presence for dirty values = exists in ANY input snapshot
+        new_present = None
+        for i, snap in enumerate(self._snaps):
+            if snap is None:
+                continue
+            sub = snap.select(*self.value_cols).join(F.broadcast(dirty), self.value_cols, "semi")
+            new_present = sub if new_present is None else new_present.unionByName(sub)
+        new_present = (new_present.distinct() if new_present is not None
+                       else dirty.limit(0)).localCheckpoint(eager=True)
+
+        old_present = (
+            self._present.join(F.broadcast(dirty), self.value_cols, "semi")
+            if self._present is not None
+            else new_present.limit(0)
+        )
+
+        # 0->1 -> Insert; 1->0 -> Delete (operator.rs:54-80)
+        inserts = new_present.join(old_present, self.value_cols, "left_anti").select(
+            F.lit("I").alias("__op"), *self.value_cols
+        )
+        deletes = old_present.join(new_present, self.value_cols, "left_anti").select(
+            F.lit("D").alias("__op"), *self.value_cols
+        )
+        out = inserts.unionByName(deletes).localCheckpoint(eager=True)
+
+        # advance union state
+        if self._present is None:
+            self._present = new_present
+        else:
+            kept = self._present.join(F.broadcast(dirty), self.value_cols, "left_anti")
+            self._present = kept.unionByName(new_present).localCheckpoint(eager=True)
+        return out
+
+    def current(self) -> DataFrame:
+        if self._present is None:
+            raise ValueError("no batches processed yet")
+        return self._present
