@@ -687,5 +687,6 @@ def registry() -> dict[str, Query]:
     # cycle at module load)
     import dozer_spark.queries_ops  # noqa: F401
     import dozer_spark.queries_extra  # noqa: F401
+    import dozer_spark.queries_wave3  # noqa: F401
 
     return dict(REGISTRY)
