@@ -1,0 +1,122 @@
+"""Application runner — the `dozer run` equivalent (reference entry point A).
+
+Reference flow (SURVEY.md section 3.1): YAML config declares connections/
+sources/sql/sinks (dozer-types/src/models/config.rs:51);
+SimpleOrchestrator::run_apps builds connectors, compiles the SQL to a
+pipeline, attaches sinks to the INTO-named outputs
+(dozer-cli/src/simple/orchestrator.rs:77-118).
+
+Our config schema (YAML or dict):
+
+    sources:
+      orders:                 # registered table name
+        path: /data/orders.parquet
+        format: parquet        # parquet|csv|json
+        pk: [o_orderkey]       # optional primary key
+    sql: |
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey INTO per_cust;
+      SELECT * FROM per_cust WHERE n > 5 INTO frequent;
+    sinks:
+      per_cust: {path: /out/per_cust, format: parquet}
+      frequent: {path: /out/frequent, format: parquet, partition_by: [n]}
+
+Each statement's INTO output is registered as a table for later
+statements (mirroring the reference, where INTO names an endpoint other
+pipelines and sinks can reference) and written by its sink if one is
+declared. Statements without INTO must be last and are returned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dozer_spark.plans import statement_to_dataframe
+from dozer_spark.registry import Catalog, load_parquet
+from dozer_spark.sinks import write_table
+from dozer_spark.sources.files import read_table
+
+
+@dataclass
+class AppResult:
+    outputs: dict[str, DataFrame] = field(default_factory=dict)
+    written: dict[str, str] = field(default_factory=dict)  # name -> path
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split on ';' outside string literals."""
+    out, buf, in_str = [], [], None
+    for ch in sql:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+def run_app(spark: SparkSession, config: dict | str) -> AppResult:
+    """Execute an app config (dict, YAML string, or path to a YAML file)."""
+    if isinstance(config, str):
+        import yaml
+
+        if "\n" not in config and config.endswith((".yml", ".yaml")):
+            with open(config) as f:
+                config = yaml.safe_load(f)
+        else:
+            config = yaml.safe_load(config)
+
+    cat = Catalog(spark)
+    for name, src in (config.get("sources") or {}).items():
+        fmt = src.get("format", "parquet")
+        if fmt == "parquet":
+            # ns-timestamp-safe path (see registry._nanos_ts_cols)
+            df = load_parquet(spark, src["path"], name)
+        else:
+            df = read_table(spark, src["path"], fmt)
+        cat.register(name, df, pk=src.get("pk"))
+
+    sinks = config.get("sinks") or {}
+    result = AppResult()
+    statements = _split_statements(config.get("sql", ""))
+    for i, stmt in enumerate(statements):
+        df, into = statement_to_dataframe(spark, stmt, cat)
+        if into is None:
+            if i != len(statements) - 1:
+                raise ValueError(
+                    "only the final statement may omit INTO (intermediate "
+                    "outputs must be named so later statements/sinks can "
+                    "reference them — builder/mod.rs:336-358)"
+                )
+            result.outputs["__result__"] = df
+            continue
+        cat.register(into, df)
+        result.outputs[into] = df
+        if into in sinks:
+            sink = sinks[into]
+            write_table(
+                df,
+                sink["path"],
+                fmt=sink.get("format", "parquet"),
+                mode=sink.get("mode", "overwrite"),
+                partition_by=sink.get("partition_by"),
+            )
+            result.written[into] = sink["path"]
+    unknown_sinks = set(sinks) - set(result.outputs)
+    if unknown_sinks:
+        raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")
+    return result

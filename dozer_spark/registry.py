@@ -34,11 +34,26 @@ TESTDATA_PKS: dict[str, list[str]] = {
 }
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
-# natively (PARQUET_TYPE_ILLEGAL). We read them as long via the legacy
-# conf and convert ns -> microsecond timestamp_ntz (integer division —
-# double math would lose precision on ~1.7e18 ns epochs).
-NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Columns stored as parquet TIMESTAMP(NANOS) cannot be read natively by
+# Spark (PARQUET_TYPE_ILLEGAL). We read them as long via the legacy conf
+# and convert ns -> microsecond timestamp_ntz (integer division — double
+# math would lose precision on ~1.7e18 ns epochs).
+
+
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Detect TIMESTAMP(NANOS) columns from the parquet footer."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
 
 
 @dataclass
@@ -96,9 +111,9 @@ class Catalog:
         return cat
 
 
-def load_parquet(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """Read one corpus table, normalizing ns timestamps to timestamp_ntz."""
-    ns_cols = NANOS_TS_COLS.get(name, [])
+def load_parquet(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
+    """Read a parquet table, normalizing ns timestamps to timestamp_ntz."""
+    ns_cols = _nanos_ts_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
@@ -107,7 +122,7 @@ def load_parquet(spark: SparkSession, path: str, name: str) -> DataFrame:
     for c in ns_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"{c} div 1000")).cast("timestamp_ntz")
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
     return df
 
