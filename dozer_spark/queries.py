@@ -411,6 +411,7 @@ def tumble_hourly_counts(spark, sf):
            COUNT(DISTINCT user_id) AS n_users
     FROM hopped GROUP BY 1
     """,
+    headline=True,
 )
 def hop_30m_1h_counts(spark, sf):
     """HOP duplicates each record into every overlapping window
@@ -688,5 +689,6 @@ def registry() -> dict[str, Query]:
     import dozer_spark.queries_ops  # noqa: F401
     import dozer_spark.queries_extra  # noqa: F401
     import dozer_spark.queries_wave3  # noqa: F401
+    import dozer_spark.queries_cdc  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,0 +1,107 @@
+"""CDC pipeline queries — the changelog-aware operators under the driver's
+oracle gate.
+
+Each query deterministically synthesizes a changelog from the corpus
+(insert everything; update every 10th key; delete every 7th), replays it
+through the incremental operator in multiple batches, and returns the
+final materialized state. The oracle computes the same final state
+directly in SQL — if the incremental path drops/double-counts a single
+retraction, the hash mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dozer_spark.queries import _q, _cat
+from dozer_spark.streaming import RetractingAggregation
+from dozer_spark.streaming.join import RetractingJoin
+
+
+def _stamp(df, op: str, txid: int):
+    return df.select(
+        F.lit(op).alias("__op"),
+        F.lit(txid).cast("long").alias("__txid"),
+        F.monotonically_increasing_id().alias("__seq"),
+        "*",
+    )
+
+
+@_q(
+    "cdc_retraction_aggregation",
+    """
+    WITH survivors AS (
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ), adjusted AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM survivors
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM adjusted GROUP BY o_orderstatus
+    """,
+)
+def cdc_retraction_aggregation(spark, sf):
+    """Insert all orders; batch 2 raises every 10th order's price 10%;
+    batch 3 deletes every 7th. Final incremental aggregate state must
+    equal the from-scratch SQL over the surviving, adjusted rows."""
+    o = _cat(spark, sf).df("orders")
+    b1 = _stamp(o, "I", 1)
+    b2 = _stamp(
+        o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.1
+        ),
+        "U",
+        2,
+    )
+    b3 = _stamp(o.filter(F.col("o_orderkey") % 7 == 0), "D", 3)
+    ragg = RetractingAggregation(
+        spark,
+        pk=["o_orderkey"],
+        group_by=["o_orderstatus"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+        ],
+    )
+    for b in (b1, b2, b3):
+        ragg.process_batch(b)
+    return ragg.current().select("o_orderstatus", "n", "cents")
+
+
+@_q(
+    "cdc_incremental_join",
+    """
+    WITH surviving_orders AS (
+      SELECT * FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM surviving_orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 150000
+    """,
+)
+def cdc_incremental_join(spark, sf):
+    """Incremental inner join: insert customers and big orders, then
+    delete every 5th order; the join's materialized output must equal the
+    plain SQL join of the final snapshots."""
+    cat = _cat(spark, sf)
+    o = cat.df("orders").filter(F.col("o_totalprice") > 150000)
+    c = cat.df("customer").select("c_custkey", "c_name", "c_mktsegment")
+    j = RetractingJoin(
+        spark,
+        left_pk=["o_orderkey"],
+        right_pk=["c_custkey"],
+        on=[("o_custkey", "c_custkey")],
+        how="inner",
+    )
+    j.process_batch(
+        _stamp(o.select("o_orderkey", "o_custkey"), "I", 1),
+        _stamp(c, "I", 1),
+    )
+    j.process_batch(
+        _stamp(o.select("o_orderkey", "o_custkey").filter(F.col("o_orderkey") % 5 == 0), "D", 2),
+        None,
+    )
+    return j.current().select("o_orderkey", "c_name", "c_mktsegment")

@@ -133,7 +133,7 @@ def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3) -> str:
     """
 
 
-@_q("dedup_simhash", _simhash_oracle())
+@_q("dedup_simhash", _simhash_oracle(), headline=True)
 def dedup_simhash(spark, sf):
     """SimHash near-dup with pigeonhole chunk blocking; oracle replays the
     same 32-bit md5 vote signature in SQL."""
@@ -252,6 +252,7 @@ def ann_lsh_topk(spark, sf):
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
+    headline=True,
 )
 def text_token_stats(spark, sf):
     d = _cat(spark, sf).df("documents")

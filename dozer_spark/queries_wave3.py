@@ -77,6 +77,7 @@ def conditional_aggregation(spark, sf):
       FROM customer
     ) WHERE rnk <= 3
     """,
+    headline=True,
 )
 def window_row_number_topn(spark, sf):
     """Top-N per group via OVER() — the reference has no OVER at all
