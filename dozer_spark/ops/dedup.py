@@ -172,7 +172,10 @@ def simhash_pairs(
     Blocking: two docs within hamming<=k share at least one of k+1 equal
     signature chunks (pigeonhole) — join per chunk, then verify hamming.
     """
-    sigs = simhash(df, text_col, id_col, n_bits)
+    # persist: the signature table feeds n_chunks union branches AND both
+    # sides of the self-join — without it the explode+groupBy recomputes
+    # per branch
+    sigs = simhash(df, text_col, id_col, n_bits).persist()
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
     chunks = None
