@@ -16,6 +16,7 @@ from dozer_spark.ops.text import (
 )
 from dozer_spark.ops.dedup import (
     exact_dedup,
+    dedup_clusters,
     minhash_signatures,
     minhash_lsh_pairs,
     simhash,
@@ -23,7 +24,7 @@ from dozer_spark.ops.dedup import (
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
 )
-from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk
+from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
 
 __all__ = [
     "tokens",
@@ -32,6 +33,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "exact_dedup",
+    "dedup_clusters",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -41,4 +43,5 @@ __all__ = [
     "cosine_sim",
     "brute_force_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
 ]

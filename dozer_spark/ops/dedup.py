@@ -273,6 +273,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id) with
+    cluster_id = min id in the component; the canonical "keep one per
+    cluster" step after any pairwise dedup.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (~log n for dedup graphs, which are mostly tiny
+    cliques). Each round is two shuffles — the standard large-graph CC
+    pattern without requiring GraphFrames.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nmin"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
 ) -> DataFrame:

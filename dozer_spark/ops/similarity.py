@@ -102,6 +102,73 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer, query probes its
+    n_probe nearest centroids, exact cosine within those cells only.
+
+    The scale shape: centroids are tiny (broadcast); the corpus is
+    partitioned by cell ONCE (reused across query batches); each query
+    touches ~n_probe/n_centroids of the corpus. Deterministic via fixed
+    seed. Approximate -> no SQL oracle; recall tested vs brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    qid = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ml = c.select("neighbor_id", array_to_vector(F.col("cv").cast("array<double>")).alias("feat"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="feat", predictionCol="cell")
+    model = km.fit(ml)
+    assigned = model.transform(ml).select("neighbor_id", "cell")
+    c_cells = c.join(assigned, "neighbor_id")
+
+    # query -> its n_probe nearest centroids (centroids are tiny: driver math)
+    centroids = [list(map(float, v)) for v in model.clusterCenters()]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    # distance query->each centroid, take n_probe smallest (native exprs)
+    dists = F.transform(
+        cent_arr,
+        lambda cent: F.aggregate(
+            F.zip_with(F.col("qv"), cent, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    q = q.withColumn("__d", dists)
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.arrays_zip(q["__d"].alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, n_probe)
+    q = q.withColumn("cell", F.explode(F.transform(probed, lambda s: s["i"]))).drop("__d")
+
+    scored = (
+        c_cells.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

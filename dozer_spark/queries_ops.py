@@ -236,6 +236,45 @@ def ann_lsh_topk(spark, sf):
     return lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8, dim=64)
 
 
+@_q("ann_ivf_topk", None)  # approximate (k-means cells) — recall tested in pytest
+def ann_ivf_topk(spark, sf):
+    from dozer_spark.ops.similarity import ivf_ann_topk
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk(e, q, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
+
+
+def _clusters_oracle() -> str:
+    pairs = _minhash_oracle(0.9).strip().rstrip()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+    """
+
+
+@_q("dedup_minhash_clusters", _clusters_oracle())
+def dedup_minhash_clusters(spark, sf):
+    """Connected components over the MinHash near-dup pairs: the
+    keep-one-per-cluster step. Oracle computes the same components with a
+    recursive transitive-closure CTE."""
+    from dozer_spark.ops.dedup import dedup_clusters
+
+    d = _cat(spark, sf).df("documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+    return dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

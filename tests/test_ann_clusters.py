@@ -1,0 +1,78 @@
+"""Tests for IVF ANN and dedup clustering, plus streaming-hop and
+old-image helpers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dozer_spark.ops.similarity import ivf_ann_topk, brute_force_topk
+from dozer_spark.ops.dedup import dedup_clusters
+from dozer_spark.streaming.changelog import old_images
+from dozer_spark.streaming import streaming_hop_agg, foreach_batch_upsert
+
+
+def test_ivf_recall_vs_brute_force(catalog):
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    approx = ivf_ann_topk(e, q, "embedding", "vec_id", k=5, n_centroids=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells of random data should recover a majority
+    assert recall > 0.4, recall
+    # every approx hit must be a genuine corpus neighbor with sane rank
+    for r in approx:
+        assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
+
+
+def test_ivf_deterministic(catalog):
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_ann_topk(e, q, "embedding", "vec_id", k=3).collect()))
+    b = sorted(map(tuple, ivf_ann_topk(e, q, "embedding", "vec_id", k=3).collect()))
+    assert a == b
+
+
+def test_dedup_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_old_images_lag(spark):
+    cl = spark.createDataFrame(
+        [("I", 1, 1, 1, 10.0), ("U", 2, 1, 1, 20.0), ("U", 3, 1, 1, 30.0)],
+        ["__op", "__txid", "__seq", "id", "v"],
+    )
+    rows = old_images(cl, ["id"]).orderBy("__txid").collect()
+    assert [r["__old_v"] for r in rows] == [None, 10.0, 20.0]
+
+
+def test_streaming_hop_agg(spark, tmp_path):
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:40:00", 2.0)], ["event_id", "ts_s", "v"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    agg = streaming_hop_agg(
+        stream, "ts", "30 MINUTES", "1 HOUR", [], [F.sum("v").alias("sv")],
+        watermark="1 minute",
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(out, ["window_start"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(str(r.window_start) for r in spark.read.parquet(out).collect())
+    # 00:40 falls in hop windows starting 00:00 and 00:30
+    assert got == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
