@@ -66,6 +66,14 @@ def minhash_signatures(
     return df.select(F.col(id_col), toks.alias("toks"), *sig_cols)
 
 
+def prefilter_min_matches(threshold: float, n_hashes: int) -> int:
+    """Signature-agreement prefilter bound: candidates whose minhash
+    signatures agree on fewer than this many positions skip exact
+    verification. E[matches] = threshold*n_hashes; the 0.7 slack keeps
+    P(reject a true pair) negligible (Binom(16, 0.9) < 10 ~ 2e-5)."""
+    return max(0, int(n_hashes * threshold * 0.7))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -73,12 +81,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_hashes: int = MINHASH_HASHES,
     n_bands: int = MINHASH_BANDS,
+    prefilter: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
 
-    shingle -> minhash -> band -> bucket-join -> verify. Output:
-    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    The band join shuffles on (band, band_key) — only colliding docs meet.
+    shingle -> minhash -> band -> bucket-join -> [signature prefilter] ->
+    verify. Output: (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold. The band join shuffles on (band, band_key) —
+    only colliding docs meet.
+
+    prefilter drops candidates whose signatures agree on too few
+    positions before the set-intersection verify. Worth it when docs are
+    long (verify dominates); on short docs the wider signature rows
+    through the candidate join cost more than they save (measured 1.6x
+    SLOWER on the ~30-token corpus), hence default off.
     """
     rows_per_band = n_hashes // n_bands
     # persist: the signature scan (16 md5 transforms per token) feeds both
@@ -114,17 +130,30 @@ def minhash_lsh_pairs(
     # it so the 10^6-10^7-row candidate table never shuffles (measured 1.6x
     # on sf0.1; at corpus sizes where tokens exceed broadcast limits, drop
     # the hint and AQE picks a shuffled join keyed on doc id).
-    toks = sigs.select(F.col(id_col), F.col("toks"))
-    j = (
-        cand.join(
-            F.broadcast(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a")),
-            "id_a",
-        )
-        .join(
-            F.broadcast(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b")),
-            "id_b",
-        )
-        .withColumn(
+    mh_cols = [f"mh{i}" for i in range(n_hashes)] if prefilter else []
+    side_a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    side_b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    # broadcast: one row per doc vs 10^6+ candidate pairs (see SCALE.md)
+    j = cand.join(F.broadcast(side_a), "id_a").join(F.broadcast(side_b), "id_b")
+
+    min_matches = prefilter_min_matches(threshold, n_hashes) if prefilter else 0
+    if min_matches > 0:
+        match_count = None
+        for c in mh_cols:
+            m = (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
+            match_count = m if match_count is None else match_count + m
+        j = j.filter(match_count >= min_matches)
+
+    return (
+        j.withColumn(
             "jaccard",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
             / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
@@ -132,7 +161,6 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return j
 
 
 def _md5_bits(c: Column, n_bits: int) -> Column:

@@ -48,7 +48,12 @@ def dedup_exact(spark, sf):
     return exact_dedup(d, "text", "doc_id")
 
 
-def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINHASH_BANDS) -> str:
+def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINHASH_BANDS,
+                    prefilter: bool = False) -> str:
+    """Must mirror minhash_lsh_pairs exactly, including the prefilter flag
+    (both default off)."""
+    from dozer_spark.ops.dedup import prefilter_min_matches
+
     r = h // bands
     sig_cols = ",\n      ".join(
         f"list_aggregate(list_transform(toks, t -> md5('h{i}:' || t)), 'min') AS mh{i}"
@@ -59,6 +64,10 @@ def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINH
             b=b, key=" || ':' || ".join(f"mh{b * r + j}" for j in range(r))
         )
         for b in range(bands)
+    )
+    min_matches = prefilter_min_matches(threshold, h) if prefilter else 0
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(h)
     )
     return f"""
     WITH toks AS (
@@ -74,13 +83,18 @@ def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINH
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), prefiltered AS (
+      {"SELECT id_a, id_b FROM cand JOIN sigs sa ON sa.doc_id = cand.id_a "
+       "JOIN sigs sb ON sb.doc_id = cand.id_b "
+       f"WHERE ({match_sum}) >= {min_matches}"
+       if min_matches > 0 else "SELECT id_a, id_b FROM cand"}
     ), verified AS (
       SELECT id_a, id_b,
              CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                / len(list_distinct(ta.toks || tb.toks)) AS j
-      FROM cand
-      JOIN toks ta ON ta.doc_id = cand.id_a
-      JOIN toks tb ON tb.doc_id = cand.id_b
+      FROM prefiltered p
+      JOIN toks ta ON ta.doc_id = p.id_a
+      JOIN toks tb ON tb.doc_id = p.id_b
     )
     SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM verified WHERE j >= {threshold}
     """

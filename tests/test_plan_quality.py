@@ -1,0 +1,69 @@
+"""Plan-quality regression tests.
+
+Correctness tests can stay green while a plan silently degrades (lost
+pushdown, broadcast turned into sort-merge, pruning gone). These tests
+pin the physical-plan properties the scale story depends on, via
+explain("formatted") text.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from dozer_spark.queries import registry
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = registry()["q1_pricing_summary"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    # column pruning: the scan schema must not include unused columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_all_dimension_joins_broadcast(spark):
+    df = registry()["join_multiway_q5_shape"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, "dimension joins lost broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_reaches_scan_for_selection(spark):
+    df = registry()["filter_where"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "GreaterThan(l_quantity,30.0)" in plan.replace(" ", "") or "GreaterThan(l_quantity" in plan
+
+
+def test_tumble_adds_no_shuffle(spark):
+    """The window operator itself must not introduce an Exchange — only
+    the downstream aggregation may."""
+    from dozer_spark.operators import tumble
+    from dozer_spark.registry import Catalog
+
+    ev = Catalog.from_testdata(spark, "/root/testdata/sf0.001").df("events")
+    plan = _plan(tumble(ev, "ts", "1 HOUR"))
+    assert "Exchange" not in plan
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    from dozer_spark.sinks import write_table
+    from dozer_spark.registry import Catalog
+
+    o = Catalog.from_testdata(spark, "/root/testdata/sf0.001").df("orders")
+    p = str(tmp_path / "by_status")
+    write_table(o, p, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
