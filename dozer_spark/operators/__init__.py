@@ -12,8 +12,11 @@ from dozer_spark.operators.ttl import ttl
 from dozer_spark.operators.join import equi_join
 from dozer_spark.operators.aggregate import group_aggregate
 from dozer_spark.operators.setops import union_all, union_distinct
+from dozer_spark.operators.session import sessionize, session_aggregate
 
 __all__ = [
+    "sessionize",
+    "session_aggregate",
     "tumble",
     "hop",
     "ttl",

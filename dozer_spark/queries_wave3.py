@@ -222,3 +222,57 @@ def nested_cte_chain(spark, sf):
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("spend_fl").cast("long").alias("total_spend"),
     )
+
+
+@_q(
+    "session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+             value
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark, sf):
+    """Gap-based sessionization (30-minute gap) — beyond-reference window
+    type; oracle replays the gaps-and-islands construction in SQL."""
+    from dozer_spark.operators.session import session_aggregate
+
+    ev = _cat(spark, sf).df("events")
+    out = session_aggregate(
+        ev,
+        "ts",
+        ["user_id"],
+        "30 MINUTES",
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("v_cents"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        "n",
+        "v_cents",
+    )
