@@ -276,3 +276,124 @@ def session_windows(spark, sf):
         "n",
         "v_cents",
     )
+
+
+@_q(
+    "between_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity BETWEEN 20 AND 30
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def between_filter(spark, sf):
+    """BETWEEN — the reference's expression builder rejects it
+    (SURVEY §2.4); Spark/DuckDB both inclusive-bounds."""
+    li = _cat(spark, sf).df("lineitem")
+    return li.filter(
+        F.col("l_quantity").between(20, 30)
+        & F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"),
+        )
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@_q(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf):
+    """Scalar subquery in a predicate — rejected by the reference
+    (SURVEY §2.4: no scalar subqueries). NOTE: the avg itself is a
+    cross-engine double; comparing strictly above 1.5x avg keeps any
+    1-ulp avg difference from flipping membership (no price sits within
+    1e-9 of the threshold in this corpus)."""
+    o = _cat(spark, sf).df("orders")
+    threshold = o.agg((F.avg("o_totalprice") * 1.5).alias("t"))
+    return o.join(F.broadcast(threshold)).filter(
+        F.col("o_totalprice") > F.col("t")
+    ).select("o_orderkey", "o_totalprice")
+
+
+@_q(
+    "rollup_aggregation",
+    """
+    SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS nk,
+           COUNT(*) AS n,
+           CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(grouping(c_nationkey) AS BIGINT)  AS g_nk
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+)
+def rollup_aggregation(spark, sf):
+    """ROLLUP + GROUPING() — 'no grouping sets / cube / rollup' in the
+    reference (SURVEY §2.4). Via spark.sql: F.grouping() demands the
+    exact grouping expression object, which aliased cast columns break."""
+    _cat(spark, sf)  # registers the views
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nk,
+               COUNT(*) AS n,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(CAST(c_nationkey AS INT)) AS BIGINT) AS g_nk
+        FROM customer
+        GROUP BY ROLLUP (c_mktsegment, CAST(c_nationkey AS INT))
+        """
+    )
+
+
+@_q(
+    "word_count_unnest",
+    """
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def word_count_unnest(spark, sf):
+    """UNNEST/table-function shape — rejected by the reference
+    (builder/table_operator.rs:46-49). The classic word count."""
+    from dozer_spark.ops.text import tokens
+
+    d = _cat(spark, sf).df("documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@_q(
+    "decimal_cast_aggregation",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 0 
+                + CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) * 0
+                + COUNT(*) AS BIGINT) AS n,
+           MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_dec,
+           MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def decimal_cast_aggregation(spark, sf):
+    """Decimal type round-trip (dozer Decimal -> DecimalType, SURVEY
+    §1.2): min/max over DECIMAL(18,2) are exact and engine-portable
+    (sums are not compared — Spark widens sum precision differently
+    than DuckDB)."""
+    o = _cat(spark, sf).df("orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(dec).alias("min_dec"),
+        F.max(dec).alias("max_dec"),
+    )
