@@ -77,6 +77,76 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Vectorized exact top-k: queries collected to a numpy matrix
+    (broadcast in the UDF closure), corpus streamed through mapInPandas
+    in Arrow batches, cosine computed as one matmul per batch, per-batch
+    top-k pre-reduction, global top-k via window.
+
+    ~10x the fold-based brute_force_topk on wide batches; bit-for-bit
+    results may differ in the last ulp (BLAS summation order), so the
+    fold version remains the oracle-gated baseline. The per-batch
+    pre-reduction means the global window only sees
+    n_batches*k*n_queries rows, not the full n*q score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qid = query_id_col or id_col
+    qrows = queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r.qid for r in qrows])
+    Q = np.array([list(map(float, r.qv)) for r in qrows])  # (q, d)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["nid"].to_numpy()
+            C = np.array([list(map(float, v)) for v in pdf["cv"]])  # (n, d)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (n, q)
+            kk = min(k + 1, S.shape[0])  # +1: may include the query itself
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, q)
+            rows = []
+            for qi in range(S.shape[1]):
+                for ni in top[:, qi]:
+                    rows.append((int(q_ids[qi]), int(ids[ni]), float(S[ni, qi])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    scored = c.mapInPandas(score, out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
     reproducible across sessions and engines."""

@@ -366,3 +366,15 @@ def text_lang_id(spark, sf):
     oracle as an ordered CASE chain."""
     d = _cat(spark, sf).df("documents")
     return d.groupBy(lang_id("text").alias("pred_lang")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q("ann_brute_force_topk_fast", None, headline=True)  # last-ulp BLAS diffs -> rows-only
+def ann_brute_force_topk_fast(spark, sf):
+    """Vectorized (numpy matmul via mapInPandas) exact top-k; equivalence
+    to the fold-based oracle-gated baseline is asserted in
+    tests/test_ann_clusters.py."""
+    from dozer_spark.ops.similarity import brute_force_topk_fast
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk_fast(e, q, "embedding", "vec_id", k=5)

@@ -76,3 +76,21 @@ def test_streaming_hop_agg(spark, tmp_path):
     got = sorted(str(r.window_start) for r in spark.read.parquet(out).collect())
     # 00:40 falls in hop windows starting 00:00 and 00:30
     assert got == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
+
+
+def test_brute_force_fast_matches_exact(catalog):
+    from dozer_spark.ops.similarity import brute_force_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    fast = brute_force_topk_fast(e, q, "embedding", "vec_id", k=5).collect()
+    es = {(r.query_id, r.neighbor_id) for r in exact}
+    fs = {(r.query_id, r.neighbor_id) for r in fast}
+    # BLAS vs fold can differ in the last ulp -> allow one flipped pair
+    assert len(es & fs) >= len(es) - 1
+    # cosines agree to 1e-6 on the intersection
+    em = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in fast:
+        if (r.query_id, r.neighbor_id) in em:
+            assert abs(em[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
