@@ -70,6 +70,16 @@ class RetractingJoin:
     right_pk: list[str]
     on: list[tuple[str, str]]
     how: str = "inner"  # inner | left | right
+    # TTL state eviction (join/operator/table.rs:117-136): rows whose
+    # event time falls more than `ttl` behind the side's max seen time
+    # are dropped from the snapshot on merge. Divergence from the
+    # reference: dozer's eviction silently forgets state (sinks keep the
+    # stale rows); here the next batch touching an evicted row's join key
+    # RETRACTS its previously-emitted output — the materialized view stays
+    # consistent with the live state.
+    ttl: str | None = None
+    left_ts: str | None = None
+    right_ts: str | None = None
 
     _left: DataFrame | None = field(default=None, init=False)
     _right: DataFrame | None = field(default=None, init=False)
@@ -81,14 +91,20 @@ class RetractingJoin:
 
     # -- snapshot maintenance ------------------------------------------------
 
-    @staticmethod
-    def _merge(prev: DataFrame | None, changelog: DataFrame, pk: list[str]) -> DataFrame:
+    def _merge(self, prev: DataFrame | None, changelog: DataFrame, pk: list[str],
+               ts_col: str | None = None) -> DataFrame:
         batch_snap = apply_changelog(changelog, pk)
         if prev is None:
-            return batch_snap.localCheckpoint(eager=True)
-        touched = changelog.select(*pk).distinct()
-        kept = prev.join(F.broadcast(touched), pk, "left_anti")
-        return kept.unionByName(batch_snap).localCheckpoint(eager=True)
+            merged = batch_snap
+        else:
+            touched = changelog.select(*pk).distinct()
+            kept = prev.join(F.broadcast(touched), pk, "left_anti")
+            merged = kept.unionByName(batch_snap)
+        if self.ttl is not None and ts_col is not None:
+            from dozer_spark.operators.ttl import ttl as apply_ttl
+
+            merged = apply_ttl(merged, ts_col, self.ttl)
+        return merged.localCheckpoint(eager=True)
 
     def _dirty_keys(self, changelog: DataFrame | None, snap_before: DataFrame | None,
                     pk: list[str], key_cols: list[str]) -> DataFrame | None:
@@ -125,9 +141,9 @@ class RetractingJoin:
         dirty = dirty.distinct().localCheckpoint(eager=True)
 
         if left_changelog is not None:
-            self._left = self._merge(self._left, left_changelog, self.left_pk)
+            self._left = self._merge(self._left, left_changelog, self.left_pk, self.left_ts)
         if right_changelog is not None:
-            self._right = self._merge(self._right, right_changelog, self.right_pk)
+            self._right = self._merge(self._right, right_changelog, self.right_pk, self.right_ts)
 
         if self._left is None or self._right is None:
             # schemas come from the changelogs themselves; an outer join can

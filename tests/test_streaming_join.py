@@ -144,3 +144,41 @@ class TestRetractingUnion:
         got = sorted((r["__op"], r.val) for r in out.collect())
         assert got == [("D", "x"), ("I", "y")]
         assert sorted(r.val for r in u.current().collect()) == ["y"]
+
+
+def test_join_ttl_state_eviction(spark):
+    """TTL eviction of join state (join/operator/table.rs:117-136):
+    old right-side rows are forgotten; new left rows no longer match them."""
+    import pyspark.sql.functions as F
+
+    def ev(rows):
+        return (
+            spark.createDataFrame(rows, ["__op", "__txid", "__seq", "eid", "key", "ts_s"])
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+
+    j = RetractingJoin(
+        spark, ["uid"], ["eid"], [("country_id", "key")], "inner",
+        ttl="1 HOUR", right_ts="ts",
+    )
+    users = lambda rows: spark.createDataFrame(
+        rows, ["__op", "__txid", "__seq", "uid", "name", "country_id"]
+    )
+    # right row at 10:00
+    out1 = j.process_batch(
+        users([("I", 1, 1, 1, "ann", 7)]),
+        ev([("I", 1, 1, 100, 7, "2024-01-01 10:00:00")]),
+    )
+    assert out1.count() == 1  # ann matches the 10:00 event
+    # a new right row at 12:30 advances max ts; the 10:00 row exceeds the
+    # 1h TTL and is evicted from state
+    j.process_batch(None, ev([("I", 2, 1, 101, 99, "2024-01-01 12:30:00")]))
+    # new left row with key 7: its would-be match was evicted, so bob gets
+    # nothing AND ann's stale joined row is retracted (divergence from the
+    # reference's silent forget — our materialization stays consistent)
+    out3 = j.process_batch(users([("I", 3, 1, 2, "bob", 7)]), None)
+    assert [(r["__op"], r.name) for r in out3.collect()] == [("D", "ann")]
+    # but a left row keyed to the fresh right row still joins
+    out4 = j.process_batch(users([("I", 4, 1, 3, "cat", 99)]), None)
+    assert [(r["__op"], r.name) for r in out4.collect()] == [("I", "cat")]
