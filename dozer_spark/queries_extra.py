@@ -353,3 +353,25 @@ def dialect_ttl_tumble_nested(spark, sf):
         GROUP BY window_start
         """,
     )
+
+
+@_q(
+    "python_udf_roundtrip",
+    """
+    SELECT CAST(o_orderkey * 2 + 1 AS BIGINT) AS scored, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def python_udf_roundtrip(spark, sf):
+    """The Python-UDF surface (expression/src/python_udf.rs) under the
+    oracle gate: a vectorized pandas UDF whose arithmetic the oracle
+    reproduces in SQL."""
+    from pyspark.sql import types as T
+
+    from dozer_spark.functions.udf import register_python_udf
+
+    register_python_udf(spark, "score_key_q", lambda x: x * 2 + 1, T.LongType())
+    _cat(spark, sf)
+    return spark.sql(
+        "SELECT score_key_q(o_orderkey) AS scored, COUNT(*) AS n FROM orders GROUP BY 1"
+    )

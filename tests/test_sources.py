@@ -116,3 +116,27 @@ def test_jdbc_partitioned_options():
     assert opts["numPartitions"] == "64" and opts["partitionColumn"] == "o_orderkey"
     with pytest.raises(ValueError, match="bounds"):
         JdbcSnapshot(url="u", table="t", partition_column="id").options()
+
+
+def test_arrow_ingest_normalization(spark):
+    import pyarrow as pa
+    from dozer_spark.sources.arrow import ingest_arrow
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.uint64()),
+            "small": pa.array([3, 4], pa.uint8()),
+            "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_001_000_000_000], pa.timestamp("ns")),
+            "s": pa.array(["a", "b"], pa.large_string()),
+            "v": pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32())),
+        }
+    )
+    df = ingest_arrow(spark, t)
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint" and types["small"] == "int"
+    assert types["ts"].startswith("timestamp")
+    assert types["s"] == "string" and types["v"] == "array<float>"
+    assert df.count() == 2
+    # record-batch list path
+    df2 = ingest_arrow(spark, t.to_batches(max_chunksize=1))
+    assert df2.count() == 2
