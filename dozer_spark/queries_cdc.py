@@ -105,3 +105,55 @@ def cdc_incremental_join(spark, sf):
         None,
     )
     return j.current().select("o_orderkey", "c_name", "c_mktsegment")
+
+
+@_q(
+    "cdc_snapshot_diff_roundtrip",
+    """
+    WITH modified AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM modified GROUP BY o_orderstatus
+    """,
+)
+def cdc_snapshot_diff_roundtrip(spark, sf):
+    """snapshot_diff -> apply_changelog round trip: diff the original
+    orders snapshot against a modified one (delete every 13th, double
+    every 11th price, insert new 'N' rows), replay the changelog, and
+    aggregate the materialization. Oracle aggregates the modified
+    snapshot directly — any miscomputed diff op breaks the match."""
+    from dozer_spark.streaming import snapshot_diff, apply_changelog
+
+    o = _cat(spark, sf).df("orders")
+    modified = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    cl = snapshot_diff(o, modified, ["o_orderkey"])
+    rebuilt = apply_changelog(cl.unionByName(
+        # seed: original snapshot as inserts in an earlier txid
+        o.selectExpr("'I' AS __op", "CAST(0 AS LONG) AS __txid",
+                     "monotonically_increasing_id() AS __seq", "*")
+    ), ["o_orderkey"])
+    return rebuilt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+    )

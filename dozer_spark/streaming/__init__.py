@@ -25,6 +25,7 @@ from dozer_spark.streaming.changelog import (
     with_op,
     apply_changelog,
     changelog_filter,
+    snapshot_diff,
 )
 from dozer_spark.streaming.merge import upsert_parquet, foreach_batch_upsert
 from dozer_spark.streaming.windows import streaming_tumble_agg, streaming_hop_agg
@@ -35,6 +36,7 @@ from dozer_spark.streaming.setops import RetractingUnion
 __all__ = [
     "RetractingJoin",
     "RetractingUnion",
+    "snapshot_diff",
     "CHANGELOG_COLS",
     "with_op",
     "apply_changelog",

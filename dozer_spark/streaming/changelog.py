@@ -49,6 +49,52 @@ def apply_changelog(changelog: DataFrame, pk: list[str]) -> DataFrame:
     return latest.filter(F.col("__op") != "D").drop(*CHANGELOG_COLS)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, pk: list[str], txid: int = 1) -> DataFrame:
+    """Diff two table snapshots into a changelog (I/U/D) — CDC from
+    periodic full dumps, the batch-world entry into the changelog
+    operators. Output rows carry the NEW image for I/U and the OLD image
+    for D (Operation::Delete{old} semantics, types/mod.rs:293-298)."""
+    data_cols = [c for c in new.columns]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols]
+    )
+    cond = None
+    for k in pk:
+        e = F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+        cond = e if cond is None else cond & e
+    j = new.join(o, cond, "full_outer")
+    new_pk_null = F.col(pk[0]).isNull()
+    old_pk_null = F.col(f"__o_{pk[0]}").isNull()
+    non_pk = [c for c in data_cols if c not in pk]
+    if non_pk:
+        differs = None
+        for c in non_pk:
+            d = ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+            differs = d if differs is None else differs | d
+    else:
+        differs = F.lit(False)
+    op = (
+        F.when(old_pk_null & ~new_pk_null, F.lit("I"))
+        .when(new_pk_null & ~old_pk_null, F.lit("D"))
+        .when(differs, F.lit("U"))
+        .otherwise(F.lit(None))
+    )
+    image = [
+        F.when(F.col("__op") == "D", F.col(f"__o_{c}")).otherwise(F.col(c)).alias(c)
+        for c in data_cols
+    ]
+    return (
+        j.withColumn("__op", op)
+        .filter(F.col("__op").isNotNull())
+        .select(
+            "__op",
+            F.lit(txid).cast("long").alias("__txid"),
+            F.monotonically_increasing_id().alias("__seq"),
+            *image,
+        )
+    )
+
+
 def old_images(changelog: DataFrame, pk: list[str]) -> DataFrame:
     """For each op, attach the previous image of the same PK (NULL columns
     when none) as `__old_<col>` columns — the PK-lookup the reference does
