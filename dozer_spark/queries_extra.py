@@ -375,3 +375,22 @@ def python_udf_roundtrip(spark, sf):
     return spark.sql(
         "SELECT score_key_q(o_orderkey) AS scored, COUNT(*) AS n FROM orders GROUP BY 1"
     )
+
+
+@_q(
+    "now_function",
+    """
+    SELECT COUNT(*) AS n_past,
+           CAST(SUM(CASE WHEN ts > now() THEN 1 ELSE 0 END) AS BIGINT) AS n_future
+    FROM events
+    """,
+)
+def now_function(spark, sf):
+    """NOW() (datetime.rs NOW) — deterministic under the gate because the
+    corpus's event times are all in the past for both engines."""
+    ev = _cat(spark, sf).df("events")
+    now = F.current_timestamp().cast("timestamp_ntz")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_past"),
+        F.sum(F.when(F.col("ts") > now, 1).otherwise(0)).cast("long").alias("n_future"),
+    )

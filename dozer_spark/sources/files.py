@@ -21,21 +21,35 @@ from pyspark.sql.types import StructType
 FORMATS = {"parquet", "csv", "json"}
 
 
+# Error policy for malformed records, mirroring the reference's
+# ErrorManager (dozer-core/src/error_manager.rs:29-41 — default threshold
+# 0 = first error panics; configurable tolerance):
+#   fail       -> FAILFAST  (the reference default)
+#   drop       -> DROPMALFORMED (tolerate by skipping)
+#   permissive -> PERMISSIVE (null out bad fields, keep the row)
+BAD_RECORDS_MODES = {"fail": "FAILFAST", "drop": "DROPMALFORMED", "permissive": "PERMISSIVE"}
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     fmt: str = "parquet",
     schema: StructType | None = None,
+    bad_records: str = "fail",
     **options,
 ) -> DataFrame:
     """Batch snapshot read of a file table."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r} (one of {sorted(FORMATS)})")
+    if bad_records not in BAD_RECORDS_MODES:
+        raise ValueError(f"bad_records must be one of {sorted(BAD_RECORDS_MODES)}")
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt in ("csv", "json"):
+        options.setdefault("mode", BAD_RECORDS_MODES[bad_records])
     return reader.options(**options).load(path)
 
 

@@ -109,6 +109,14 @@ def old_images(changelog: DataFrame, pk: list[str]) -> DataFrame:
     return out
 
 
+def changelog_project(changelog: DataFrame, *cols: Column | str) -> DataFrame:
+    """Changelog-aware projection: apply expressions to each op's row
+    image, preserving the op metadata. Projections are stateless in the
+    reference too (pass-through processors) — this helper just keeps the
+    __op/__txid/__seq columns out of the caller's way."""
+    return changelog.select(*CHANGELOG_COLS, *cols)
+
+
 def changelog_filter(changelog: DataFrame, pk: list[str], predicate: Column) -> DataFrame:
     """Changelog-aware WHERE (selection/processor.rs:30-106).
 

@@ -100,3 +100,86 @@ def test_retracting_agg_equals_full_recompute(spark, ops, n_batches):
             expected[grp] = (sum(vals), len(vals), min(vals), max(vals))
     got = {r.grp: (r.s, r.n, r.mn, r.mx) for r in ragg.current().collect()}
     assert got == expected
+
+
+@st.composite
+def two_sided_ops(draw):
+    """Random I/U/D sequences for both join sides over small keyspaces."""
+    n = draw(st.integers(min_value=2, max_value=14))
+    left_live: set[int] = set()
+    right_live: set[int] = set()
+    batches = []
+    batch: tuple[list, list] = ([], [])
+    for i in range(n):
+        side = draw(st.integers(min_value=0, max_value=1))
+        if side == 0:
+            k = draw(st.sampled_from([1, 2, 3]))
+            jk = draw(st.sampled_from([10, 20, 30]))
+            if k in left_live:
+                kind = draw(st.sampled_from(["U", "D"]))
+                if kind == "D":
+                    left_live.discard(k)
+            else:
+                kind = "I"
+                left_live.add(k)
+            batch[0].append((kind, 1 + i, 0, k, f"u{k}", jk))
+        else:
+            k = draw(st.sampled_from([100, 101, 102]))
+            jk = draw(st.sampled_from([10, 20, 30]))
+            if k in right_live:
+                kind = draw(st.sampled_from(["U", "D"]))
+                if kind == "D":
+                    right_live.discard(k)
+            else:
+                kind = "I"
+                right_live.add(k)
+            batch[1].append((kind, 1 + i, 0, k, jk, f"r{k}"))
+        if draw(st.booleans()):
+            batches.append(batch)
+            batch = ([], [])
+    batches.append(batch)
+    return batches
+
+
+def _replay_side(all_batches, idx):
+    state = {}
+    for b in all_batches:
+        for kind, _tx, _seq, k, *rest in b[idx]:
+            if kind == "D":
+                state.pop(k, None)
+            else:
+                state[k] = rest
+    return state
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=two_sided_ops())
+def test_retracting_join_equals_snapshot_join(spark, batches):
+    """After any batching of any op sequences, the incremental join's
+    materialized output must equal the plain join of the final snapshots."""
+    from dozer_spark.streaming.join import RetractingJoin
+
+    j = RetractingJoin(spark, ["uid"], ["rid"], [("jk", "rjk")], "left")
+    lcols = ["__op", "__txid", "__seq", "uid", "name", "jk"]
+    rcols = ["__op", "__txid", "__seq", "rid", "rjk", "rname"]
+    empty_l = spark.createDataFrame([("I", 0, 0, -1, "x", -1)], lcols).limit(0)
+    empty_r = spark.createDataFrame([("I", 0, 0, -1, -1, "x")], rcols).limit(0)
+    for bl, br in batches:
+        ldf = spark.createDataFrame(bl, lcols) if bl else empty_l
+        rdf = spark.createDataFrame(br, rcols) if br else empty_r
+        j.process_batch(ldf, rdf)
+
+    lstate = _replay_side(batches, 0)
+    rstate = _replay_side(batches, 1)
+    expected = set()
+    for uid, (name, jk) in lstate.items():
+        matches = [(rid, rname) for rid, (rjk, rname) in rstate.items() if rjk == jk]
+        if matches:
+            for rid, rname in matches:
+                expected.add((uid, name, jk, rid, jk, rname))
+        else:
+            expected.add((uid, name, jk, None, None, None))
+    got = {
+        (r.uid, r.name, r.jk, r.rid, r.rjk, r.rname) for r in j.current().collect()
+    }
+    assert got == expected
