@@ -99,6 +99,20 @@ def quality_score(c) -> Column:
     )
 
 
+def repetition_ratio(c, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total. High values
+    flag boilerplate/spam — a standard training-data quality signal.
+    int/int division: bit-deterministic across engines."""
+    col = _col(c)
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j - 1) for j in range(n)])
+    )
+    total = F.greatest(F.size(grams), F.lit(1)).cast("double")
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+
+
 def fingerprint(c) -> Column:
     """Content fingerprint: md5 of case-folded, whitespace-collapsed text.
 

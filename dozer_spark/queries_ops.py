@@ -378,3 +378,69 @@ def ann_brute_force_topk_fast(spark, sf):
     e = _cat(spark, sf).df("embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return brute_force_topk_fast(e, q, "embedding", "vec_id", k=5)
+
+
+@_q(
+    "hash_sample_deterministic",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CAST(0.3 * 4294967296 AS BIGINT)
+    """,
+)
+def hash_sample_deterministic(spark, sf):
+    """Deterministic md5-bucket sampling (ops/sampling.py): the oracle
+    reproduces the exact member set — impossible with RNG sampling."""
+    from dozer_spark.ops.sampling import hash_sample
+
+    d = _cat(spark, sf).df("documents")
+    return hash_sample(d, "doc_id", 0.3, salt="s1").select("doc_id", "lang")
+
+
+@_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CASE WHEN lang = 'en' THEN CAST(0.1 * 4294967296 AS BIGINT)
+                 WHEN lang = 'es' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                 ELSE CAST(1.0 * 4294967296 AS BIGINT) END
+    """,
+)
+def stratified_sample(spark, sf):
+    """Per-language downsampling (dominant 'en' to 10%, 'es' to 50%,
+    everything else kept) — reproducible stratified sampling."""
+    from dozer_spark.ops.sampling import stratified_hash_sample
+
+    d = _cat(spark, sf).df("documents")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.1, "es": 0.5}, default_fraction=1.0, salt="strat"
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "text_repetition_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                       / greatest(len(g), 1), 6) AS rep_ratio
+    FROM grams
+    """,
+)
+def text_repetition_ratio(spark, sf):
+    """Repeated-trigram ratio — boilerplate/spam quality signal."""
+    from dozer_spark.ops.text import repetition_ratio
+
+    d = _cat(spark, sf).df("documents")
+    return d.select("doc_id", F.round(repetition_ratio("text", 3), 6).alias("rep_ratio"))

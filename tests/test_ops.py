@@ -154,3 +154,32 @@ def test_frame_sample(spark):
     )
     frames = mm.frame_sample(df, every_ms=1000).collect()
     assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_hash_sampling_determinism_and_split(spark, catalog):
+    from dozer_spark.ops.sampling import hash_sample, train_test_split
+
+    d = catalog.df("documents")
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in hash_sample(d.repartition(7), "doc_id", 0.3).collect()}
+    assert a == b  # stable under repartitioning
+    assert 0.1 < len(a) / d.count() < 0.5
+    train, test = train_test_split(d, "doc_id", 0.2)
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    assert tr.isdisjoint(te) and len(tr) + len(te) == d.count()
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(d, "doc_id", 1.5)
+
+
+def test_repetition_ratio(spark):
+    from dozer_spark.ops.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "all words here are unique tokens")], ["id", "text"]
+    )
+    got = {r.id: round(r.rr, 3) for r in
+           df.select("id", repetition_ratio("text", 3).alias("rr")).collect()}
+    # doc 1: 7 trigrams, 3 distinct -> 1 - 3/7
+    assert got[1] == round(1 - 3 / 7, 3)
+    assert got[2] == 0.0
