@@ -101,6 +101,13 @@ class Catalog:
                       tables: list[str] | None = None) -> "Catalog":
         """Load the driver's parquet corpus (TESTDATA.md) and register
         each table as a temp view with its PK."""
+        # The caller's session may not be ours (the driver builds its own):
+        # pin UTC so epoch math (window bucketing, TTL cutoffs) is
+        # deterministic regardless of host timezone. Runtime-settable conf.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
         cat = cls(spark)
         for name in tables or list(TESTDATA_PKS):
             path = os.path.join(sf_dir, f"{name}.parquet")
