@@ -185,3 +185,41 @@ def test_streaming_file_source_tumble_to_upsert(spark, tmp_path):
         ("2024-01-01T00:00:00", "click"): (2, 3.0),
         ("2024-01-01T01:00:00", "view"): (1, 3.0),
     }
+
+
+def test_windowed_retracting_aggregation_composition(spark):
+    """TUMBLE composes with RetractingAggregation: the window operator is
+    a row-wise map over changelog images, so window_start can join the
+    group key (PK extension semantics, window/operator.rs:36-56)."""
+    from dozer_spark.operators import tumble
+
+    def cl(rows):
+        df = spark.createDataFrame(
+            rows, ["__op", "__txid", "__seq", "id", "ts_s", "amount"]
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        return tumble(df, "ts", "1 HOUR")
+
+    ragg = RetractingAggregation(
+        spark, pk=["id"], group_by=["window_start"],
+        aggs=[F.sum("amount").alias("s"), F.countDistinct("id").cast("long").alias("nd")],
+    )
+    out1 = ragg.process_batch(cl([
+        ("I", 1, 1, 1, "2024-01-01 10:10:00", 5.0),
+        ("I", 1, 2, 2, "2024-01-01 10:40:00", 7.0),
+        ("I", 1, 3, 3, "2024-01-01 11:20:00", 1.0),
+    ]))
+    got1 = {str(r.window_start): (r.s, r.nd) for r in out1.collect()}
+    assert got1 == {"2024-01-01 10:00:00": (12.0, 2), "2024-01-01 11:00:00": (1.0, 1)}
+
+    # moving a row across windows retracts from one and inserts/updates the other
+    out2 = ragg.process_batch(cl([("U", 2, 1, 2, "2024-01-01 11:50:00", 7.0)]))
+    got2 = sorted((r["__op"], str(r.window_start), r.s) for r in out2.collect())
+    assert got2 == [
+        ("U", "2024-01-01 10:00:00", 5.0),
+        ("U", "2024-01-01 11:00:00", 8.0),
+    ]
+    # delete the last row of the 10:00 window -> window Delete
+    out3 = ragg.process_batch(cl([("D", 3, 1, 1, "2024-01-01 10:10:00", 5.0)]))
+    assert [(r["__op"], str(r.window_start)) for r in out3.collect()] == [
+        ("D", "2024-01-01 10:00:00")
+    ]
