@@ -444,3 +444,42 @@ def text_repetition_ratio(spark, sf):
 
     d = _cat(spark, sf).df("documents")
     return d.select("doc_id", F.round(repetition_ratio("text", 3), 6).alias("rep_ratio"))
+
+
+def _final_corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle(0.9).strip()}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR c.id = c.cluster_id
+    """
+
+
+@_q("dedup_final_corpus", _final_corpus_oracle())
+def dedup_final_corpus(spark, sf):
+    """The full dedup pipeline end to end: MinHash-LSH pairs -> connected
+    components -> keep one canonical doc (min id) per cluster -> surviving
+    corpus. Oracle replays every stage in SQL (bands, transitive closure,
+    anti-join)."""
+    from dozer_spark.ops.dedup import dedup_clusters
+
+    d = _cat(spark, sf).df("documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "anti").select("doc_id", "lang")

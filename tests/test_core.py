@@ -97,3 +97,19 @@ def test_union_semantics(catalog):
     r = catalog.df("region").select(F.col("r_regionkey").alias("k"))
     assert union_all(n, r).count() == 30
     assert union_distinct(n, r).count() == 5
+
+
+def test_hop_non_divisible_intervals(catalog):
+    """HOP where size is not a multiple of hop: every output window must
+    contain its record's ts, and each record lands in floor(size/hop) or
+    ceil(size/hop) windows."""
+    from dozer_spark.operators import hop
+
+    ev = catalog.df("events").limit(200)
+    w = hop(ev, "ts", "20 MINUTES", "50 MINUTES")
+    bad = w.filter(
+        ~((F.col("window_start") <= F.col("ts")) & (F.col("ts") < F.col("window_end")))
+    ).count()
+    assert bad == 0
+    counts = [r.n for r in w.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert set(counts) <= {2, 3}  # floor(50/20)=2, ceil=3
