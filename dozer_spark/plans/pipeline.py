@@ -12,6 +12,8 @@ accept: ORDER BY, LIMIT, INTERSECT/EXCEPT, OVER() windows, FULL joins).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from dozer_spark.operators import tumble, hop, ttl
@@ -50,7 +52,12 @@ def statement_to_dataframe(
     write mode to the caller — parquet/console/foreachBatch).
     """
     spark_sql, into, ops = rewrite_statement(sql)
+    # unique view names per statement: concurrent/nested builds in one
+    # session must not clobber each other's __top_N__ views
+    run_id = uuid.uuid4().hex[:8]
     for i, top in enumerate(ops):
-        _materialize(spark, catalog, top).createOrReplaceTempView(f"__top_{i}__")
+        name = f"__top_{run_id}_{i}__"
+        spark_sql = spark_sql.replace(f"__top_{i}__", name)
+        _materialize(spark, catalog, top).createOrReplaceTempView(name)
     df = spark.sql(spark_sql)
     return df, into

@@ -106,3 +106,42 @@ def test_beyond_parity_accepted(spark, catalog):
         spark, "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5", catalog
     )
     assert df.count() == 5
+
+
+def test_tumble_inside_join_clause(spark, catalog):
+    """Table operators are usable anywhere a table can appear, including
+    the right side of a JOIN."""
+    df, _ = statement_to_dataframe(
+        spark,
+        """
+        SELECT w.window_start, COUNT(*) AS n
+        FROM nation n JOIN TUMBLE(events, ts, '12 HOURS') w
+          ON (w.user_id % 25) = n.n_nationkey
+        GROUP BY w.window_start
+        """,
+        catalog,
+    )
+    assert df.count() > 0
+    assert set(df.columns) == {"window_start", "n"}
+
+
+def test_concurrent_statement_builds_do_not_clobber(spark, catalog):
+    """Unique per-statement view names: building a second statement before
+    collecting the first must not redefine its TUMBLE view."""
+    df1, _ = statement_to_dataframe(
+        spark, "SELECT COUNT(*) AS n FROM TUMBLE(events, ts, '1 HOUR')", catalog
+    )
+    df2, _ = statement_to_dataframe(
+        spark, "SELECT COUNT(*) AS n FROM TUMBLE(events, ts, '9999 HOURS')", catalog
+    )
+    # collect AFTER both builds: with shared view names df1 would now see
+    # the 9999-hour windows
+    n1, n2 = df1.first().n, df2.first().n
+    assert n1 == n2 == catalog.df("events").count()
+    w1, _ = statement_to_dataframe(
+        spark, "SELECT DISTINCT window_end FROM TUMBLE(events, ts, '1 HOUR')", catalog
+    )
+    w2, _ = statement_to_dataframe(
+        spark, "SELECT DISTINCT window_end FROM TUMBLE(events, ts, '9999 HOURS')", catalog
+    )
+    assert w1.count() != w2.count()  # genuinely different windows
