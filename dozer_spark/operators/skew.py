@@ -43,6 +43,13 @@ def salted_join(
     """
     if salt < 2:
         raise ValueError("salt must be >= 2 (1 would be a plain join)")
+    if how not in ("inner", "left"):
+        # right/full would surface each unmatched small-side row once per
+        # salt replica (small is exploded `salt` times); put the skewed
+        # side on the left or dedupe externally.
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}"
+        )
     big_cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in big.columns]
     salted_big = big.withColumn(
         SALT_COL, F.pmod(F.crc32(F.concat_ws("\x01", *big_cols)), F.lit(salt)).cast("int")

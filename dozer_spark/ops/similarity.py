@@ -104,21 +104,22 @@ def brute_force_topk_fast(
     qrows = queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("qv")).collect()
     if not qrows:
         raise ValueError("empty query set")
-    q_ids = np.array([r.qid for r in qrows])
+    q_ids = [r.qid for r in qrows]  # plain list: ids keep their source type
     Q = np.array([list(map(float, r.qv)) for r in qrows])  # (q, d)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
+    # id field types come from the inputs — string/int/... doc ids all work
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", queries.schema[qid].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
 
     def score(batches):
         for pdf in batches:
-            ids = pdf["nid"].to_numpy()
+            ids = pdf["nid"].tolist()
             C = np.array([list(map(float, v)) for v in pdf["cv"]])  # (n, d)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn.T  # (n, q)
@@ -127,7 +128,7 @@ def brute_force_topk_fast(
             rows = []
             for qi in range(S.shape[1]):
                 for ni in top[:, qi]:
-                    rows.append((int(q_ids[qi]), int(ids[ni]), float(S[ni, qi])))
+                    rows.append((q_ids[qi], ids[ni], float(S[ni, qi])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))

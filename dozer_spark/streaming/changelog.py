@@ -17,6 +17,42 @@ from pyspark.sql import functions as F
 
 CHANGELOG_COLS = ["__op", "__txid", "__seq"]
 
+_NULL_MARK = "\x00NULL\x00"
+
+
+def keys_join(df: DataFrame, keys: DataFrame, how: str,
+              broadcast: bool = True) -> DataFrame:
+    """Null-safe semi/anti/inner join of df against a small key table
+    (columns of `keys` must exist in df under the same names).
+
+    NULL keys matter everywhere in the changelog operators: GROUP BY
+    treats NULL as one ordinary group and UNION compares NULL columns as
+    equal — plain equi-joins (NULL != NULL) would strand those rows in
+    operator state forever. Key columns are renamed before joining:
+    `keys` often derives from the same lineage as `df`, and same-name
+    column references would resolve as trivially-true self comparisons.
+    """
+    renamed = keys.select(
+        *[F.col(c).alias(f"__k_{c}") for c in keys.columns]
+    ).distinct()
+    kdf = F.broadcast(renamed) if broadcast else renamed
+    c = None
+    for kc in keys.columns:
+        e = df[kc].eqNullSafe(kdf[f"__k_{kc}"])
+        c = e if c is None else c & e
+    return df.join(kdf, c, how)
+
+
+def row_digest(cols: list[str], prefix: str = "") -> Column:
+    """Null-distinguishing md5 digest over columns — used as the join key
+    for full-outer diff joins so rows with NULL key columns still pair up
+    (a plain multi-column full_outer would split a NULL-keyed group into
+    an unmatched old + unmatched new -> spurious D+I instead of U)."""
+    parts = [
+        F.coalesce(F.col(prefix + c).cast("string"), F.lit(_NULL_MARK)) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
 
 def with_op(df: DataFrame, op: str = "I", txid: int = 0, seq_col: Column | None = None) -> DataFrame:
     """Stamp plain rows as changelog operations (batch-insert ingest)."""
@@ -117,27 +153,58 @@ def changelog_project(changelog: DataFrame, *cols: Column | str) -> DataFrame:
     return changelog.select(*CHANGELOG_COLS, *cols)
 
 
-def changelog_filter(changelog: DataFrame, pk: list[str], predicate: Column) -> DataFrame:
+def changelog_filter(
+    changelog: DataFrame,
+    pk: list[str],
+    predicate: Column,
+    prior: DataFrame | None = None,
+) -> DataFrame:
     """Changelog-aware WHERE (selection/processor.rs:30-106).
 
-    Truth table (old image = previous row of this PK via lag(); D rows
-    carry the deleted image themselves, matching Operation::Delete{old}):
+    Truth table (old image = previous row of this PK; D rows carry the
+    deleted image themselves, matching Operation::Delete{old}):
       I, pred(row)               -> I
       D, pred(row)               -> D
       U, pred(old) & pred(new)   -> U
       U, !pred(old) & pred(new)  -> I   (row enters the view)
       U, pred(old) & !pred(new)  -> D   (row leaves the view)
       otherwise                  -> dropped
+
+    Old images resolve via lag() WITHIN `changelog`. If the changelog is
+    processed in slices (micro-batches), a U whose prior image arrived in
+    an earlier slice has no in-slice predecessor — pass `prior` (the
+    materialized snapshot BEFORE this slice, e.g. apply_changelog of all
+    earlier slices) and the first op of each PK resolves its old image
+    from there. Without `prior`, the input must be the COMPLETE changelog
+    from the beginning of the stream or enters-filter Updates degrade to
+    Inserts (duplicating rows downstream of a distinct-less sink).
     """
     data_cols = [c for c in changelog.columns if c not in CHANGELOG_COLS]
     w = Window.partitionBy(*pk).orderBy("__txid", "__seq")
-    olds = {c: F.lag(c).over(w) for c in data_cols}
 
     pred_new = predicate
-    # predicate over the old image: substitute lagged columns
+    # old image: lagged columns; for the first op of a PK in this slice,
+    # fall back to the prior snapshot's row (matched null-safely by PK)
     pred_old_df = changelog
-    for c in data_cols:
-        pred_old_df = pred_old_df.withColumn(f"__old_{c}", olds[c])
+    if prior is not None:
+        p = prior.select(*[F.col(c).alias(f"__p_{c}") for c in data_cols])
+        cond = None
+        for k in pk:
+            e = pred_old_df[k].eqNullSafe(p[f"__p_{k}"])
+            cond = e if cond is None else cond & e
+        pred_old_df = pred_old_df.join(p, cond, "left")
+        pred_old_df = pred_old_df.withColumn("__rn", F.row_number().over(w))
+        for c in data_cols:
+            pred_old_df = pred_old_df.withColumn(
+                f"__old_{c}",
+                F.when(F.col("__rn") == 1, F.col(f"__p_{c}")).otherwise(
+                    F.lag(c).over(w)
+                ),
+            )
+        pred_old_df = pred_old_df.drop("__rn", *[f"__p_{c}" for c in data_cols])
+    else:
+        for c in data_cols:
+            pred_old_df = pred_old_df.withColumn(f"__old_{c}", F.lag(c).over(w))
     # Build pred over renamed old cols by re-expressing predicate on a
     # selection where data col names point at the old image.
     old_view = pred_old_df.select(

@@ -28,34 +28,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog
-
-_NULL_MARK = "\x00NULL\x00"
-
-
-def _keys_join(df: DataFrame, keys: DataFrame, how: str) -> DataFrame:
-    """Null-safe semi/anti join of df against a small key table (columns of
-    `keys` must exist in df under the same names). Key columns are renamed
-    first — `keys` often derives from the same lineage as `df`, and
-    same-name column references would resolve as trivially-true self
-    comparisons."""
-    renamed = keys.select(
-        *[F.col(c).alias(f"__k_{c}") for c in keys.columns]
-    ).distinct()
-    kdf = F.broadcast(renamed)
-    c = None
-    for kc in keys.columns:
-        e = df[kc].eqNullSafe(kdf[f"__k_{kc}"])
-        c = e if c is None else c & e
-    return df.join(kdf, c, how)
-
-
-def _row_key(cols: list[str], prefix: str = "") -> Column:
-    """Null-distinguishing digest over columns (diff-join key)."""
-    parts = [
-        F.coalesce(F.col(prefix + c).cast("string"), F.lit(_NULL_MARK)) for c in cols
-    ]
-    return F.md5(F.concat_ws("\x01", *parts))
+from dozer_spark.streaming.changelog import (
+    CHANGELOG_COLS,
+    apply_changelog,
+    keys_join as _keys_join,
+    row_digest as _row_key,
+)
 
 
 @dataclass

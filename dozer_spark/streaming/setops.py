@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog
+from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog, keys_join
 
 
 @dataclass
@@ -77,22 +77,25 @@ class RetractingUnion:
         for i, snap in enumerate(self._snaps):
             if snap is None:
                 continue
-            sub = snap.select(*self.value_cols).join(F.broadcast(dirty), self.value_cols, "semi")
+            # null-safe: UNION's distinct treats NULL columns as equal
+            # (record_map compares whole records) — plain equi-joins would
+            # silently drop any value row containing a NULL column.
+            sub = keys_join(snap.select(*self.value_cols), dirty, "semi")
             new_present = sub if new_present is None else new_present.unionByName(sub)
         new_present = (new_present.distinct() if new_present is not None
                        else dirty.limit(0)).localCheckpoint(eager=True)
 
         old_present = (
-            self._present.join(F.broadcast(dirty), self.value_cols, "semi")
+            keys_join(self._present, dirty, "semi")
             if self._present is not None
             else new_present.limit(0)
         )
 
         # 0->1 -> Insert; 1->0 -> Delete (operator.rs:54-80)
-        inserts = new_present.join(old_present, self.value_cols, "left_anti").select(
+        inserts = keys_join(new_present, old_present, "anti").select(
             F.lit("I").alias("__op"), *self.value_cols
         )
-        deletes = old_present.join(new_present, self.value_cols, "left_anti").select(
+        deletes = keys_join(old_present, new_present, "anti").select(
             F.lit("D").alias("__op"), *self.value_cols
         )
         out = inserts.unionByName(deletes).localCheckpoint(eager=True)
@@ -101,7 +104,7 @@ class RetractingUnion:
         if self._present is None:
             self._present = new_present
         else:
-            kept = self._present.join(F.broadcast(dirty), self.value_cols, "left_anti")
+            kept = keys_join(self._present, dirty, "anti")
             self._present = kept.unionByName(new_present).localCheckpoint(eager=True)
         return out
 

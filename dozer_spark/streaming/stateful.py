@@ -35,7 +35,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog
+from dozer_spark.streaming.changelog import (
+    CHANGELOG_COLS,
+    apply_changelog,
+    keys_join,
+    row_digest,
+)
 
 
 @dataclass
@@ -58,7 +63,9 @@ class RetractingAggregation:
     # -- helpers ------------------------------------------------------------
 
     def _agg_for(self, snapshot: DataFrame, keys: DataFrame | None) -> DataFrame:
-        src = snapshot if keys is None else snapshot.join(F.broadcast(keys), self.group_by)
+        # null-safe: a NULL group key forms one ordinary group (SQL GROUP
+        # BY semantics, aggregation/processor.rs treats it as any other key)
+        src = snapshot if keys is None else keys_join(snapshot, keys, "semi")
         out = src.groupBy(*self.group_by).agg(*self.aggs)
         if self.having is not None:
             out = out.filter(self.having)
@@ -102,17 +109,21 @@ class RetractingAggregation:
         if self._state is None:
             old_agg = new_agg.limit(0)
         else:
-            old_agg = self._state.join(F.broadcast(dirty), self.group_by)
+            old_agg = keys_join(self._state, dirty, "semi")
 
+        # diff on a null-distinguishing digest of the group key so a
+        # NULL-keyed group pairs old-vs-new instead of splitting D+I
         n = new_agg.select(
-            *[F.col(c).alias(c) for c in self.group_by],
+            row_digest(self.group_by).alias("__gk"),
+            F.struct(*[F.col(c) for c in self.group_by]).alias("__nkeys"),
             F.struct(*[F.col(c) for c in agg_cols]).alias("__new"),
         )
         o = old_agg.select(
-            *[F.col(c).alias(c) for c in self.group_by],
+            row_digest(self.group_by).alias("__gk"),
+            F.struct(*[F.col(c) for c in self.group_by]).alias("__okeys"),
             F.struct(*[F.col(c) for c in agg_cols]).alias("__old"),
         )
-        joined = n.join(o, self.group_by, "full_outer")
+        joined = n.join(o, "__gk", "full_outer")
         op = (
             F.when(F.col("__old").isNull() & F.col("__new").isNotNull(), F.lit("I"))
             .when(F.col("__new").isNull() & F.col("__old").isNotNull(), F.lit("D"))
@@ -120,13 +131,15 @@ class RetractingAggregation:
             .otherwise(F.lit(None))
         )
         image = F.when(F.col("__op") == "D", F.col("__old")).otherwise(F.col("__new"))
+        keys_img = F.when(F.col("__op") == "D", F.col("__okeys")).otherwise(F.col("__nkeys"))
         out = (
             joined.withColumn("__op", op)
             .filter(F.col("__op").isNotNull())
             .withColumn("__img", image)
+            .withColumn("__kimg", keys_img)
             .select(
                 "__op",
-                *self.group_by,
+                *[F.col(f"__kimg.{c}").alias(c) for c in self.group_by],
                 *[F.col(f"__img.{c}").alias(c) for c in agg_cols],
             )
         )
@@ -136,7 +149,7 @@ class RetractingAggregation:
         if self._state is None:
             self._state = new_agg
         else:
-            kept = self._state.join(F.broadcast(dirty), self.group_by, "left_anti")
+            kept = keys_join(self._state, dirty, "anti")
             self._state = kept.unionByName(new_agg).localCheckpoint(eager=True)
         changelog.unpersist()
         dirty.unpersist()
