@@ -33,9 +33,19 @@ def ttl(df: DataFrame, ts_col: str, interval: str | int, *,
     if df.isStreaming:
         secs = max(1, ms // 1000)
         return df.withWatermark(ts_col, f"{secs} seconds")
-    if reference_ts is None:
-        reference_ts = df.agg(F.max(ts_col)).collect()[0][0]
-        if reference_ts is None:  # empty input
-            return df
-    cutoff = F.lit(reference_ts).cast("timestamp") - F.expr(f"INTERVAL {ms // 1000} SECOND")
-    return df.filter(F.col(ts_col) >= cutoff)
+    ivl = F.expr(f"INTERVAL {ms // 1000} SECOND")
+    if reference_ts is not None:
+        cutoff = F.lit(reference_ts).cast("timestamp") - ivl
+        return df.filter(F.col(ts_col) >= cutoff)
+    # default reference = batch max(ts), computed LAZILY: a broadcast
+    # cross-join of the 1-row max keeps TTL inside one job instead of an
+    # eager collect() that forces an extra scan of the input mid-plan.
+    ref = df.agg(F.max(ts_col).alias("__ttl_ref"))
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .filter(
+            F.col("__ttl_ref").isNull()  # all-NULL ts: nothing expires
+            | (F.col(ts_col) >= F.col("__ttl_ref") - ivl)
+        )
+        .drop("__ttl_ref")
+    )

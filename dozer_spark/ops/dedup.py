@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import maybe_broadcast
 from dozer_spark.ops.text import tokens
 
 # default MinHash geometry: 16 hashes = 4 bands x 4 rows. The 4-row bands
@@ -82,6 +83,7 @@ def minhash_lsh_pairs(
     n_hashes: int = MINHASH_HASHES,
     n_bands: int = MINHASH_BANDS,
     prefilter: bool = False,
+    broadcast_gate_bytes: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
 
@@ -126,10 +128,11 @@ def minhash_lsh_pairs(
     )
 
     # verification: re-attach token sets to the (much larger) candidate
-    # pair table. The doc->tokens side is one row per document — broadcast
-    # it so the 10^6-10^7-row candidate table never shuffles (measured 1.6x
-    # on sf0.1; at corpus sizes where tokens exceed broadcast limits, drop
-    # the hint and AQE picks a shuffled join keyed on doc id).
+    # pair table. The doc->tokens side is one row per document — when its
+    # size ESTIMATE clears the gate, broadcast it so the 10^6-10^7-row
+    # candidate table never shuffles (measured 1.6x on sf0.1); past the
+    # gate (real corpora) the hint is dropped and AQE picks a shuffled
+    # join keyed on doc id — valid at any scale.
     mh_cols = [f"mh{i}" for i in range(n_hashes)] if prefilter else []
     side_a = sigs.select(
         F.col(id_col).alias("id_a"),
@@ -141,8 +144,10 @@ def minhash_lsh_pairs(
         F.col("toks").alias("toks_b"),
         *[F.col(c).alias(f"b_{c}") for c in mh_cols],
     )
-    # broadcast: one row per doc vs 10^6+ candidate pairs (see SCALE.md)
-    j = cand.join(F.broadcast(side_a), "id_a").join(F.broadcast(side_b), "id_b")
+    # size-gated broadcast: one row per doc vs 10^6+ candidate pairs
+    j = cand.join(maybe_broadcast(side_a, broadcast_gate_bytes), "id_a").join(
+        maybe_broadcast(side_b, broadcast_gate_bytes), "id_b"
+    )
 
     min_matches = prefilter_min_matches(threshold, n_hashes) if prefilter else 0
     if min_matches > 0:
@@ -256,6 +261,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     n: int = 4,
     prefix_chars: int = 200,
+    broadcast_gate_bytes: int | None = None,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup within a blocking key.
 
@@ -268,19 +274,22 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("blk"),
         char_ngrams(F.substring(F.col(text_col), 1, prefix_chars), n).alias("grams"),
     ).persist()
-    # pair formation on slim (id, blk) rows; gram arrays are broadcast-
-    # attached afterwards so they never ride the skewed per-block shuffle
+    # pair formation on slim (id, blk) rows; gram arrays are attached
+    # afterwards (size-gated broadcast) so they never ride the skewed
+    # per-block shuffle. Past the gate, AQE picks the join strategy.
     ids = g.select(F.col(id_col), F.col("blk"))
     a, b = ids.alias("a"), ids.alias("b")
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("__ia"), F.col(f"b.{id_col}").alias("__ib"))
-    ga = F.broadcast(
-        g.select(F.col(id_col).alias("__ia"), F.col("grams").alias("a_grams"))
+    ga = maybe_broadcast(
+        g.select(F.col(id_col).alias("__ia"), F.col("grams").alias("a_grams")),
+        broadcast_gate_bytes,
     )
-    gb = F.broadcast(
-        g.select(F.col(id_col).alias("__ib"), F.col("grams").alias("b_grams"))
+    gb = maybe_broadcast(
+        g.select(F.col(id_col).alias("__ib"), F.col("grams").alias("b_grams")),
+        broadcast_gate_bytes,
     )
     return (
         pairs.join(ga, "__ia")
