@@ -72,6 +72,69 @@ def cdc_retraction_aggregation(spark, sf):
 
 
 @_q(
+    "cdc_resume_aggregation",
+    """
+    WITH survivors AS (
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ), adjusted AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM survivors
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM adjusted GROUP BY o_orderstatus
+    """,
+)
+def cdc_resume_aggregation(spark, sf):
+    """Same pipeline as cdc_retraction_aggregation but with DURABLE state
+    (StateStore parquet epochs) and a forced operator restart between
+    batches 2 and 3: a brand-new instance resumes from the committed
+    epoch (dozer-core/src/node.rs:61-67 checkpoint contract). The final
+    state must still equal the from-scratch SQL."""
+    import shutil
+    import tempfile
+
+    o = _cat(spark, sf).df("orders")
+    b1 = _stamp(o, "I", 1)
+    b2 = _stamp(
+        o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.1
+        ),
+        "U",
+        2,
+    )
+    b3 = _stamp(o.filter(F.col("o_orderkey") % 7 == 0), "D", 3)
+
+    state_dir = tempfile.mkdtemp(prefix="dozer_spark_resume_")
+
+    def make():
+        return RetractingAggregation(
+            spark,
+            pk=["o_orderkey"],
+            group_by=["o_orderstatus"],
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+            ],
+            state_dir=state_dir,
+        )
+
+    first = make()
+    first.process_batch(b1)
+    first.process_batch(b2)
+    del first  # "crash" — committed epochs survive on disk
+
+    resumed = make()
+    resumed.process_batch(b3)
+    out = resumed.current().select("o_orderstatus", "n", "cents")
+    rows = out.collect()  # materialize before the state dir is removed
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_q(
     "cdc_incremental_join",
     """
     WITH surviving_orders AS (

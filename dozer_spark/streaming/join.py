@@ -58,19 +58,35 @@ class RetractingJoin:
     ttl: str | None = None
     left_ts: str | None = None
     right_ts: str | None = None
+    # durable state (StateStore): set to resume across restarts
+    state_dir: str | None = None
 
     _left: DataFrame | None = field(default=None, init=False)
     _right: DataFrame | None = field(default=None, init=False)
     _prev: DataFrame | None = field(default=None, init=False)  # emitted output rows
+    _store: object = field(default=None, init=False)
 
     def __post_init__(self):
         if self.how not in ("inner", "left", "right"):
             raise ValueError(f"unsupported join type {self.how!r} (factory.rs:120)")
+        if self.state_dir is not None:
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(self.spark, self.state_dir)
+            if self._store.epoch > 0:
+                self._left = self._store.load("left")
+                self._right = self._store.load("right")
+                self._prev = self._store.load("prev")
+
+    def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
+        if self._store is not None:
+            return self._store.stage(name, df)
+        return df.localCheckpoint(eager=True)
 
     # -- snapshot maintenance ------------------------------------------------
 
-    def _merge(self, prev: DataFrame | None, changelog: DataFrame, pk: list[str],
-               ts_col: str | None = None) -> DataFrame:
+    def _merge(self, name: str, prev: DataFrame | None, changelog: DataFrame,
+               pk: list[str], ts_col: str | None = None) -> DataFrame:
         batch_snap = apply_changelog(changelog, pk)
         if prev is None:
             merged = batch_snap
@@ -82,7 +98,7 @@ class RetractingJoin:
             from dozer_spark.operators.ttl import ttl as apply_ttl
 
             merged = apply_ttl(merged, ts_col, self.ttl)
-        return merged.localCheckpoint(eager=True)
+        return self._ckpt(name, merged)
 
     def _dirty_keys(self, changelog: DataFrame | None, snap_before: DataFrame | None,
                     pk: list[str], key_cols: list[str]) -> DataFrame | None:
@@ -119,9 +135,11 @@ class RetractingJoin:
         dirty = dirty.distinct().localCheckpoint(eager=True)
 
         if left_changelog is not None:
-            self._left = self._merge(self._left, left_changelog, self.left_pk, self.left_ts)
+            self._left = self._merge("left", self._left, left_changelog,
+                                     self.left_pk, self.left_ts)
         if right_changelog is not None:
-            self._right = self._merge(self._right, right_changelog, self.right_pk, self.right_ts)
+            self._right = self._merge("right", self._right, right_changelog,
+                                      self.right_pk, self.right_ts)
 
         if self._left is None or self._right is None:
             # schemas come from the changelogs themselves; an outer join can
@@ -182,10 +200,12 @@ class RetractingJoin:
 
         # advance emitted-output state
         if self._prev is None:
-            self._prev = new_out
+            self._prev = self._ckpt("prev", new_out)
         else:
             kept = self._prev_for_keys(dirty, "anti")
-            self._prev = kept.unionByName(new_out).localCheckpoint(eager=True)
+            self._prev = self._ckpt("prev", kept.unionByName(new_out))
+        if self._store is not None:
+            self._store.commit()  # epoch commit: all three states together
         return out
 
     def _prev_for_keys(self, dirty: DataFrame, how: str) -> DataFrame:

@@ -33,12 +33,27 @@ class RetractingUnion:
     spark: SparkSession
     pks: list[list[str]]
     value_cols: list[str]
+    # durable state (StateStore): set to resume across restarts
+    state_dir: str | None = None
 
     _snaps: list[DataFrame | None] = field(default=None, init=False)
     _present: DataFrame | None = field(default=None, init=False)
+    _store: object = field(default=None, init=False)
 
     def __post_init__(self):
         self._snaps = [None] * len(self.pks)
+        if self.state_dir is not None:
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(self.spark, self.state_dir)
+            if self._store.epoch > 0:
+                self._snaps = [self._store.load(f"snap{i}") for i in range(len(self.pks))]
+                self._present = self._store.load("present")
+
+    def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
+        if self._store is not None:
+            return self._store.stage(name, df)
+        return df.localCheckpoint(eager=True)
 
     def process_batch(self, changelogs: list[DataFrame | None]) -> DataFrame:
         if len(changelogs) != len(self.pks):
@@ -66,11 +81,11 @@ class RetractingUnion:
                 continue
             batch_snap = apply_changelog(cl, self.pks[i])
             if self._snaps[i] is None:
-                self._snaps[i] = batch_snap.localCheckpoint(eager=True)
+                self._snaps[i] = self._ckpt(f"snap{i}", batch_snap)
             else:
                 touched = cl.select(*self.pks[i]).distinct()
                 kept = self._snaps[i].join(F.broadcast(touched), self.pks[i], "left_anti")
-                self._snaps[i] = kept.unionByName(batch_snap).localCheckpoint(eager=True)
+                self._snaps[i] = self._ckpt(f"snap{i}", kept.unionByName(batch_snap))
 
         # presence for dirty values = exists in ANY input snapshot
         new_present = None
@@ -102,10 +117,12 @@ class RetractingUnion:
 
         # advance union state
         if self._present is None:
-            self._present = new_present
+            self._present = self._ckpt("present", new_present)
         else:
             kept = keys_join(self._present, dirty, "anti")
-            self._present = kept.unionByName(new_present).localCheckpoint(eager=True)
+            self._present = self._ckpt("present", kept.unionByName(new_present))
+        if self._store is not None:
+            self._store.commit()
         return out
 
     def current(self) -> DataFrame:

@@ -56,11 +56,31 @@ class RetractingAggregation:
     group_by: list[str]
     aggs: list[Column]
     having: Column | None = None
+    # durable state (StateStore): set to resume across restarts; None
+    # keeps the fast localCheckpoint path for ephemeral pipelines
+    state_dir: str | None = None
 
     _snapshot: DataFrame | None = field(default=None, init=False)
     _state: DataFrame | None = field(default=None, init=False)  # aggregate rows
+    _store: object = field(default=None, init=False)
+
+    def __post_init__(self):
+        if self.state_dir is not None:
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(self.spark, self.state_dir)
+            if self._store.epoch > 0:  # resume from the last committed epoch
+                self._snapshot = self._store.load("snapshot")
+                self._state = self._store.load("aggstate")
 
     # -- helpers ------------------------------------------------------------
+
+    def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
+        """Advance one named state: durable parquet stage when a store is
+        configured (lineage broken by the read-back), else localCheckpoint."""
+        if self._store is not None:
+            return self._store.stage(name, df)
+        return df.localCheckpoint(eager=True)
 
     def _agg_for(self, snapshot: DataFrame, keys: DataFrame | None) -> DataFrame:
         # null-safe: a NULL group key forms one ordinary group (SQL GROUP
@@ -98,7 +118,7 @@ class RetractingAggregation:
             kept = self._snapshot.join(F.broadcast(touched), self.pk, "left_anti")
             merged = kept.unionByName(batch_snapshot)
         # materialize to break lineage growth across batches
-        merged = merged.localCheckpoint(eager=True)
+        merged = self._ckpt("snapshot", merged)
         self._snapshot = merged
 
         # 3. recompute aggregates for dirty groups only
@@ -147,10 +167,12 @@ class RetractingAggregation:
 
         # 5. advance aggregate state
         if self._state is None:
-            self._state = new_agg
+            self._state = self._ckpt("aggstate", new_agg)
         else:
             kept = keys_join(self._state, dirty, "anti")
-            self._state = kept.unionByName(new_agg).localCheckpoint(eager=True)
+            self._state = self._ckpt("aggstate", kept.unionByName(new_agg))
+        if self._store is not None:
+            self._store.commit()  # epoch commit: both states become visible
         changelog.unpersist()
         dirty.unpersist()
         return out

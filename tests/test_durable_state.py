@@ -1,0 +1,178 @@
+"""Durable operator state: kill-and-resume semantics.
+
+Mirrors the reference's epoch checkpointing contract
+(dozer-core/src/node.rs:61-67 + checkpoint_ns.rs): state serialized per
+epoch on commit, restored on restart, and a crash between state writes
+and the commit point must roll back to the previous epoch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from dozer_spark.streaming import RetractingAggregation
+from dozer_spark.streaming.join import RetractingJoin
+from dozer_spark.streaming.setops import RetractingUnion
+from dozer_spark.streaming.state import StateStore
+
+
+def _cl(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("__op", T.StringType()),
+            T.StructField("__txid", T.LongType()),
+            T.StructField("__seq", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _ragg(spark, state_dir):
+    return RetractingAggregation(
+        spark,
+        pk=["id"],
+        group_by=["grp"],
+        aggs=[F.sum("amount").alias("s"), F.count(F.lit(1)).cast("long").alias("n")],
+        state_dir=state_dir,
+    )
+
+
+class TestStateStore:
+    def test_stage_then_commit_then_load(self, spark, tmp_path):
+        st = StateStore(spark, str(tmp_path / "s"))
+        df = spark.createDataFrame([(1, "a")], ["id", "v"])
+        st.stage("t", df)
+        assert st.load("t") is None  # staged ≠ committed
+        assert st.commit() == 1
+        assert [(r.id, r.v) for r in st.load("t").collect()] == [(1, "a")]
+
+    def test_crash_before_commit_rolls_back(self, spark, tmp_path):
+        root = str(tmp_path / "s")
+        st = StateStore(spark, root)
+        st.stage("t", spark.createDataFrame([(1,)], ["id"]))
+        st.commit()
+        # epoch 2 staged but NOT committed (simulated crash)
+        st.stage("t", spark.createDataFrame([(2,)], ["id"]))
+        st2 = StateStore(spark, root)  # restart
+        assert st2.epoch == 1
+        assert [r.id for r in st2.load("t").collect()] == [1]
+
+    def test_empty_state_roundtrip(self, spark, tmp_path):
+        st = StateStore(spark, str(tmp_path / "s"))
+        df = spark.createDataFrame([], "id long, v string")
+        st.stage("t", df)
+        st.commit()
+        got = st.load("t")
+        assert got.count() == 0 and got.columns == ["id", "v"]
+
+    def test_prune_keeps_committed_versions(self, spark, tmp_path):
+        root = str(tmp_path / "s")
+        st = StateStore(spark, root)
+        for i in range(5):
+            st.stage("t", spark.createDataFrame([(i,)], ["id"]))
+            st.commit()
+        versions = sorted(os.listdir(os.path.join(root, "t")))
+        assert f"v{st.epoch:06d}" in versions
+        assert len(versions) <= 2  # KEEP_EPOCHS
+        assert [r.id for r in st.load("t").collect()] == [4]
+
+
+class TestAggregationResume:
+    B1 = [("I", 1, 1, 1, "a", 10.0), ("I", 1, 2, 2, "b", 7.0)]
+    B2 = [("U", 2, 1, 1, "a", 20.0), ("I", 2, 2, 3, "a", 5.0)]
+    B3 = [("D", 3, 1, 2, "b", 7.0), ("U", 3, 2, 3, "c", 5.0)]
+
+    def test_restart_mid_stream_matches_uninterrupted(self, spark, tmp_path):
+        # uninterrupted run (ephemeral state)
+        ref = _ragg(spark, None)
+        ref.process_batch(_cl(spark, self.B1))
+        ref.process_batch(_cl(spark, self.B2))
+        ref_out3 = ref.process_batch(_cl(spark, self.B3))
+
+        # durable run with a "crash" after batch 2: a NEW operator instance
+        # on a NEW session resumes from the committed state
+        sd = str(tmp_path / "agg_state")
+        first = _ragg(spark, sd)
+        first.process_batch(_cl(spark, self.B1))
+        first.process_batch(_cl(spark, self.B2))
+        del first
+
+        spark2 = spark.newSession()
+        resumed = _ragg(spark2, sd)
+        out3 = resumed.process_batch(_cl(spark2, self.B3))
+
+        def norm(df):
+            return sorted((r["__op"], r.grp, r.s, r.n) for r in df.collect())
+
+        assert norm(out3) == norm(ref_out3)
+        assert sorted((r.grp, r.s) for r in resumed.current().collect()) == sorted(
+            (r.grp, r.s) for r in ref.current().collect()
+        )
+
+
+class TestJoinResume:
+    def _cl2(self, spark, rows, cols):
+        return spark.createDataFrame(rows, ["__op", "__txid", "__seq", *cols])
+
+    def test_join_restart_resumes(self, spark, tmp_path):
+        sd = str(tmp_path / "join_state")
+        j1 = RetractingJoin(
+            spark, left_pk=["lid"], right_pk=["rid"], on=[("k", "k2")],
+            how="left", state_dir=sd,
+        )
+        l1 = self._cl2(spark, [("I", 1, 1, 1, 10), ("I", 1, 2, 2, 20)], ["lid", "k"])
+        r1 = self._cl2(spark, [("I", 1, 1, 100, 10)], ["rid", "k2"])
+        j1.process_batch(l1, r1)
+        del j1
+
+        j2 = RetractingJoin(
+            spark, left_pk=["lid"], right_pk=["rid"], on=[("k", "k2")],
+            how="left", state_dir=sd,
+        )
+        # right row for k=20 arrives after restart: padded row must retract
+        r2 = self._cl2(spark, [("I", 2, 1, 200, 20)], ["rid", "k2"])
+        l2 = spark.createDataFrame([], l1.schema)
+        out = j2.process_batch(l2, r2)
+        got = sorted(((r["__op"], r.lid, r.rid) for r in out.collect()), key=str)
+        # padded (2, NULL) retracts; matched (2, 200) inserts
+        # (operator/mod.rs:75-135 semantics — resume must preserve them)
+        assert got == [("D", 2, None), ("I", 2, 200)]
+        cur = sorted((r.lid, r.rid) for r in j2.current().collect())
+        assert cur == [(1, 100), (2, 200)]
+
+
+class TestUnionResume:
+    def test_union_restart_resumes(self, spark, tmp_path):
+        sd = str(tmp_path / "union_state")
+        schema = T.StructType(
+            [
+                T.StructField("__op", T.StringType()),
+                T.StructField("__txid", T.LongType()),
+                T.StructField("__seq", T.LongType()),
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+            ]
+        )
+        u1 = RetractingUnion(spark, pks=[["id"], ["id"]], value_cols=["val"],
+                             state_dir=sd)
+        a1 = spark.createDataFrame([("I", 1, 1, 1, "x")], schema)
+        b1 = spark.createDataFrame([("I", 1, 1, 9, "x")], schema)
+        u1.process_batch([a1, b1])
+        del u1
+
+        u2 = RetractingUnion(spark, pks=[["id"], ["id"]], value_cols=["val"],
+                             state_dir=sd)
+        # remove one holder of "x": still present (count 2->1), no output
+        a2 = spark.createDataFrame([("D", 2, 1, 1, "x")], schema)
+        out = u2.process_batch([a2, None])
+        assert out.count() == 0
+        # remove the last holder: Delete
+        b3 = spark.createDataFrame([("D", 3, 1, 9, "x")], schema)
+        out2 = u2.process_batch([None, b3])
+        assert [(r["__op"], r.val) for r in out2.collect()] == [("D", "x")]
