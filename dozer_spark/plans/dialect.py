@@ -141,11 +141,17 @@ def rewrite_functions(sql: str) -> str:
     while changed:
         changed = False
         calls = find_calls(sql, {"UCASE", "MIN_VALUE", "MAX_VALUE", "TO_CHAR",
-                                 "JSON_VALUE", "JSON_QUERY"})
+                                 "JSON_VALUE", "JSON_QUERY",
+                                 "MIN_APPEND_ONLY", "MAX_APPEND_ONLY"})
         for call in reversed(calls):  # right-to-left keeps earlier offsets valid
             name = call.name.upper()
             if name == "UCASE" and len(call.args) == 1:
                 repl = f"upper({call.args[0]})"
+            elif name in ("MIN_APPEND_ONLY", "MAX_APPEND_ONLY") and len(call.args) == 1:
+                # append-only aggregators are a state-size optimization in
+                # the reference (aggregation/{min,max}_append_only.rs);
+                # batch results are identical to MIN/MAX
+                repl = f"{name[:3].lower()}({call.args[0]})"
             elif name in ("MIN_VALUE", "MAX_VALUE") and len(call.args) == 2:
                 fn = "min_by" if name == "MIN_VALUE" else "max_by"
                 # dozer: MIN_VALUE(measure, returned); spark: min_by(returned, measure)
@@ -205,11 +211,24 @@ def find_table_ops(sql: str) -> list[TableOp]:
     return [parse_table_op(sql, c) for c in find_calls(sql, TABLE_OPERATORS)]
 
 
+_PY_UDF_GENERIC = re.compile(r"\b(py_[A-Za-z0-9_]*)\s*<\s*\w+\s*>\s*\(")
+
+
+def rewrite_py_udf_generics(sql: str) -> str:
+    """dozer python-UDF call syntax `py_fn<float>(args)` declares the
+    return type inline (dozer-sql/expression/src/python_udf.rs; see
+    dozer-tests py_udf.test). Spark UDFs carry their return type at
+    registration, so the generic tag is dropped — the function must be
+    registered (spark.udf.register) under the same py_ name."""
+    return _PY_UDF_GENERIC.sub(r"\1(", sql)
+
+
 def rewrite_statement(sql: str) -> tuple[str, str | None, list[TableOp]]:
     """Full dialect rewrite. Returns (spark_sql, into_name, table_ops);
     table_ops still need materialization (pipeline.py) — their spans in
     spark_sql are replaced with placeholder view names __top_{i}__."""
     sql, into = split_into(sql)
+    sql = rewrite_py_udf_generics(sql)
     ops = find_table_ops(sql)
     for i, op in enumerate(reversed(ops)):
         idx = len(ops) - 1 - i

@@ -1,0 +1,184 @@
+"""The reference's sqllogictest corpus, replayed through this engine.
+
+Corpus: /root/reference/dozer-tests/src/sql_tests/full/*.test (account,
+agg, aggr_append_only, aggregations, complex, example, functions, join,
+nested, simple, union — py_udf needs the reference's configured CPython
+UDFs and is covered separately in test_sinks_udf.py).
+
+Three assertions per query (see dozer_spark/testing/sqllogic.py):
+- engine vs DuckDB oracle on the replayed state (validator mode —
+  mirrors the reference's --complete SQLite oracle);
+- file-expected vs DuckDB where the file ships expected rows (guards the
+  harness itself; dialect-divergent or blank blocks are reported);
+- the retracting-operator legs for queries matching the incremental
+  shapes — the INSERT/UPDATE/DELETE sequences then exercise retraction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dozer_spark.testing.sqllogic import SqlLogicRunner, parse_slt_file
+
+CORPUS = "/root/reference/dozer-tests/src/sql_tests/full"
+
+FILES = [
+    "simple.test",
+    "agg.test",
+    "aggregations.test",
+    "aggr_append_only.test",
+    "nested.test",
+    "union.test",
+    "join.test",
+    "complex.test",
+    "account.test",
+    "example.test",
+    "functions.test",
+    "py_udf.test",
+]
+
+
+def _register_py_udfs(spark, duck):
+    """The corpus's python UDFs (dozer-tests/python_udf/python_udf.py:
+    add = a+1, sum = a+b), registered under their py_ dialect names in
+    BOTH engines so the oracle can run the same query."""
+    from pyspark.sql import types as T
+
+    spark.udf.register("py_add", lambda a: float(a) + 1.0, T.DoubleType())
+    spark.udf.register("py_sum", lambda a, b: float(a) + float(b), T.DoubleType())
+    try:
+        duck.create_function("py_add", lambda a: float(a) + 1.0,
+                             ["BIGINT"], "DOUBLE")
+        duck.create_function("py_sum", lambda a, b: float(a) + float(b),
+                             ["BIGINT", "BIGINT"], "DOUBLE")
+    except Exception:  # older duckdb without python UDFs
+        pytest.skip("duckdb python UDFs unavailable")
+
+# Queries whose SQL is not valid Spark SQL / diverges by documented
+# dialect rules; keyed by (file, first 60 chars of normalized sql).
+REWRITES: dict[tuple[str, str], str] = {
+    # HAVING with a bare column and no GROUP BY: SQLite implicitly treats
+    # the whole table as one group; Spark and DuckDB both reject the bare
+    # column. The corpus expects an empty result; the per-country grouping
+    # preserves that (every group fails `> 50000 AND < 400`).
+    (
+        "aggregations.test",
+        "SELECT Country, SUM(Salary) FROM Users HAVING SUM(Salary) > ",
+    ): "SELECT Country, SUM(Salary) FROM Users GROUP BY Country "
+       "HAVING SUM(Salary) > 50000 AND SUM(Salary) < 400",
+    # SQLite lets SELECT name columns functionally dependent on a grouped
+    # PK; Spark and DuckDB both require them in GROUP BY. Grouping by the
+    # PK plus the dependent name columns is semantics-preserving (the PK
+    # determines them). One entry per complex.test query of that shape.
+    (
+        "complex.test",
+        "SELECT a.first_name, a.last_name, COUNT(fa.film_id) as num_f",
+    ): """SELECT a.first_name, a.last_name, COUNT(fa.film_id) as num_films
+          FROM actor a INNER JOIN film_actor fa ON a.actor_id = fa.actor_id
+          GROUP BY a.actor_id, a.first_name, a.last_name""",
+    (
+        "complex.test",
+        "SELECT a.first_name, a.last_name, SUM(f.length) as total_len",
+    ): """SELECT a.first_name, a.last_name, SUM(f.length) as total_length
+          FROM actor a INNER JOIN film_actor fa ON a.actor_id = fa.actor_id
+          INNER JOIN film f ON fa.film_id = f.film_id
+          GROUP BY a.actor_id, a.first_name, a.last_name""",
+    (
+        "complex.test",
+        "SELECT actor.first_name, actor.last_name, COUNT(film_actor.f",
+    ): """SELECT actor.first_name, actor.last_name,
+                 COUNT(film_actor.film_id) AS total_films
+          FROM actor INNER JOIN film_actor
+            ON actor.actor_id = film_actor.actor_id
+          GROUP BY actor.actor_id, actor.first_name, actor.last_name
+          HAVING COUNT(film_actor.film_id) > 50""",
+    (
+        "complex.test",
+        "SELECT a.actor_id, a.first_name, a.last_name, COUNT(fa.film_",
+    ): """SELECT a.actor_id, a.first_name, a.last_name,
+                 COUNT(fa.film_id) AS num_films
+          FROM actor a INNER JOIN film_actor fa ON a.actor_id = fa.actor_id
+          GROUP BY a.actor_id, a.first_name, a.last_name""",
+    (
+        "complex.test",
+        "SELECT a.actor_id, a.first_name, a.last_name, SUM(f.replacem",
+    ): """SELECT a.actor_id, a.first_name, a.last_name, SUM(f.replacement_cost)
+          FROM actor a INNER JOIN film_actor fa ON a.actor_id = fa.actor_id
+          INNER JOIN film f ON fa.film_id = f.film_id
+          GROUP BY a.actor_id, a.first_name, a.last_name""",
+}
+
+
+def _norm_sql(sql: str) -> str:
+    return " ".join(sql.split())[:60]
+
+
+@pytest.mark.parametrize("fname", FILES)
+def test_sqllogic_file(spark, fname):
+    path = os.path.join(CORPUS, fname)
+    records = parse_slt_file(path)
+    runner = SqlLogicRunner(spark)
+    if fname == "py_udf.test":
+        _register_py_udfs(spark, runner.duck)
+
+    n_queries = 0
+    n_retraction_legs = 0
+    expected_checked = 0
+    expected_divergent: list[str] = []
+
+    for rec in records:
+        if rec.skipped and fname != "functions.test":
+            # functions.test marks every query `onlyif bug`: the reference's
+            # expression engine can't run them (int/int division, BETWEEN —
+            # its own comments say so). This engine can, so run them against
+            # the DuckDB oracle anyway — coverage beyond the reference.
+            continue
+        if rec.kind == "statement":
+            runner.execute_statement(rec.sql)
+            continue
+
+        n_queries += 1
+        sql = REWRITES.get((fname, _norm_sql(rec.sql)), rec.sql)
+        duck = runner.run_query_duck(sql)
+        ours = runner.run_query_spark(sql)
+        assert ours == duck, (
+            f"{fname}:{rec.lineno}: engine vs DuckDB mismatch\n"
+            f"sql: {sql}\nours: {ours[:5]}...\nduck: {duck[:5]}..."
+        )
+
+        # file-expected leg (informational where dialects diverge)
+        if rec.expected:
+            if sorted(rec.expected) == duck:
+                expected_checked += 1
+            else:
+                expected_divergent.append(f"{fname}:{rec.lineno}")
+
+        # retraction legs (F.expr needs Spark spellings, not dozer's)
+        sql_n = runner.oracle_sql(sql)
+        ragg = runner.run_query_retracting_agg(sql_n)
+        if ragg is not None:
+            n_retraction_legs += 1
+            assert ragg == duck, (
+                f"{fname}:{rec.lineno}: retracting-aggregation leg mismatch\n"
+                f"sql: {sql}\ngot: {ragg[:5]}...\nexp: {duck[:5]}..."
+            )
+        else:
+            rfil = runner.run_query_retracting_filter(sql_n)
+            if rfil is not None:
+                n_retraction_legs += 1
+                assert rfil == duck, (
+                    f"{fname}:{rec.lineno}: changelog-filter leg mismatch\n"
+                    f"sql: {sql}\ngot: {rfil[:5]}...\nexp: {duck[:5]}..."
+                )
+
+    assert n_queries > 0
+    # most files must exercise at least one incremental leg
+    if fname in ("aggregations.test", "agg.test", "aggr_append_only.test",
+                 "simple.test", "functions.test"):
+        assert n_retraction_legs > 0, f"{fname}: no retraction-shaped query ran"
+    # file-shipped expected rows that match the oracle confirm the harness
+    if fname in ("simple.test", "agg.test", "aggregations.test", "join.test",
+                 "nested.test", "account.test"):
+        assert expected_checked > 0, f"{fname}: no expected block validated"
