@@ -159,11 +159,22 @@ def rewrite_functions(sql: str) -> str:
             elif name == "TO_CHAR" and len(call.args) == 2:
                 fmt = strftime_to_java(_strip_quotes(call.args[1]))
                 repl = f"date_format({call.args[0]}, '{fmt}')"
-            elif name in ("JSON_VALUE", "JSON_QUERY") and len(call.args) == 2:
-                path = _strip_quotes(call.args[1])
+            elif name in ("JSON_VALUE", "JSON_QUERY") and len(call.args) in (1, 2):
+                path = _strip_quotes(call.args[1]) if len(call.args) == 2 else "$"
                 if not path.startswith("$"):
                     path = "$." + path
-                repl = f"get_json_object({call.args[0]}, '{path}')"
+                complex_path = "*" in path or ".." in path
+                if name == "JSON_QUERY":
+                    # JSON_QUERY semantics (object/array only, scalar ->
+                    # NULL, single-match unwrap: json_functions.rs:68-93)
+                    # need the full engine (functions/jsonpath.py)
+                    repl = f"json_query_full({call.args[0]}, '{path}')"
+                elif complex_path:
+                    repl = f"json_value_full({call.args[0]}, '{path}')"
+                else:
+                    # simple scalar path: get_json_object matches the
+                    # reference's JSON_VALUE and stays JVM-side
+                    repl = f"get_json_object({call.args[0]}, '{path}')"
             else:
                 continue
             sql = sql[: call.start] + repl + sql[call.end :]

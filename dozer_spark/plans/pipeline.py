@@ -51,6 +51,9 @@ def statement_to_dataframe(
     level and attaches sinks there, builder/mod.rs:336-358; we leave the
     write mode to the caller — parquet/console/foreachBatch).
     """
+    from dozer_spark.functions.jsonpath import ensure_json_udfs
+
+    ensure_json_udfs(spark)
     spark_sql, into, ops = rewrite_statement(sql)
     # unique view names per statement: concurrent/nested builds in one
     # session must not clobber each other's __top_N__ views

@@ -66,6 +66,64 @@ def coercion_arithmetic_matrix(spark, sf):
 
 
 @_q(
+    "json_query_matrix",
+    """
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"k":' || o_orderkey || ',"tags":["a","b"],"nest":{"d":'
+                 || o_custkey || '}}' AS doc,
+             o_custkey
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(doc, '$.nest') AS VARCHAR) AS q_nest,
+           CAST(json_extract(doc, '$.tags') AS VARCHAR) AS q_tags,
+           CAST(NULL AS VARCHAR) AS q_scalar,
+           json_extract_string(doc, '$.k') AS v_k,
+           json_extract_string(doc, '$.tags[1]') AS v_tag1,
+           CAST(NULL AS VARCHAR) AS v_obj,
+           '["a","b"]' AS q_wild,
+           CAST(o_custkey AS VARCHAR) AS v_descent
+    FROM j
+    """,
+)
+def json_query_matrix(spark, sf):
+    """JSON_VALUE / JSON_QUERY with the reference's jsonpath engine
+    semantics (json_functions.rs:13-118; engine dozer-sql/jsonpath/):
+    JSON_QUERY keeps objects/arrays and NULLs scalars, JSON_VALUE the
+    reverse; single-match unwrap; wildcard and recursive-descent paths.
+    The JSON docs are built from table columns, so the oracle states
+    ground truth directly where DuckDB's path dialect lacks a feature
+    (descent), and via json_extract where it has one."""
+    from dozer_spark.functions.jsonpath import ensure_json_udfs
+
+    ensure_json_udfs(spark)
+    o = (
+        _cat(spark, sf).df("orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .withColumn(
+            "doc",
+            F.concat(
+                F.lit('{"k":'), F.col("o_orderkey").cast("string"),
+                F.lit(',"tags":["a","b"],"nest":{"d":'),
+                F.col("o_custkey").cast("string"), F.lit("}}"),
+            ),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr("json_query_full(doc, '$.nest')").alias("q_nest"),
+        F.expr("json_query_full(doc, '$.tags')").alias("q_tags"),
+        F.expr("json_query_full(doc, '$.k')").alias("q_scalar"),
+        F.expr("json_value_full(doc, '$.k')").alias("v_k"),
+        F.expr("json_value_full(doc, '$.tags[1]')").alias("v_tag1"),
+        F.expr("json_value_full(doc, '$.nest')").alias("v_obj"),
+        F.expr("json_query_full(doc, '$.tags[*]')").alias("q_wild"),
+        F.expr("json_value_full(doc, '$..d')").alias("v_descent"),
+    )
+
+
+@_q(
     "coercion_avg_returns_decimal",
     """
     SELECT o_orderstatus,
