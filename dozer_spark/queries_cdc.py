@@ -171,6 +171,61 @@ def cdc_incremental_join(spark, sf):
 
 
 @_q(
+    "cdc_transactional_merge",
+    """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def cdc_transactional_merge(spark, sf):
+    """End-to-end MERGE-sink pipeline: three batches (insert all orders /
+    raise every 10th price via update / delete every 7th) MERGEd into a
+    TransactionalTable (atomic bucket-pruned upserts, storage/txtable.py),
+    then the table's CHANGE DATA FEED is replayed through apply_changelog
+    and aggregated. Oracle computes the surviving rows directly — any
+    miscommitted bucket or miscomputed change row breaks the hash."""
+    import shutil
+    import tempfile
+
+    from dozer_spark.storage import TransactionalTable
+
+    o = _cat(spark, sf).df("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dozer_spark_txtable_")
+    try:
+        t = TransactionalTable(spark, path, pk=["o_orderkey"], n_buckets=8)
+        t.merge(o)
+        t.merge(
+            o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 1.1
+            )
+        )
+        t.merge(
+            o.filter(F.col("o_orderkey") % 7 == 0).withColumn("__del", F.lit(True)),
+            delete_col="__del",
+        )
+        from dozer_spark.streaming.changelog import apply_changelog
+
+        snap = apply_changelog(t.changes_as_changelog(1), ["o_orderkey"])
+        out = snap.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@_q(
     "cdc_snapshot_diff_roundtrip",
     """
     WITH modified AS (

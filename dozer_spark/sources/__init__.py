@@ -1,17 +1,22 @@
 """Sources — Spark-native equivalents of the reference's connector registry
 (dozer-ingestion/src/lib.rs:43-161; trait connector/src/lib.rs:55-96).
 
-| reference connector       | here                                       |
-|---------------------------|--------------------------------------------|
-| S3/LocalStorage (parquet, | files.py batch + streaming file sources    |
-|   CSV via DataFusion)     |                                            |
-| Postgres snapshot + WAL   | jdbc.py snapshot (partitioned) + kafka.py  |
-|   CDC                     |   Debezium topic parsing -> changelog      |
-| MySQL binlog              | same pattern (kafka.py)                    |
-| Kafka                     | kafka.py readStream builder                |
-| DeltaLake / Snowflake     | format plugins — config builders only      |
-| gRPC ingest               | cdc.py replay (tests) / socket source      |
-| Ethereum, Deno JS         | out of scope (documented)                  |
+| reference connector       | here                                        |
+|---------------------------|---------------------------------------------|
+| S3/LocalStorage (parquet, | files.py batch + streaming file sources     |
+|   CSV via DataFusion)     |                                             |
+| Postgres snapshot + WAL   | jdbc.py snapshot (partitioned) + wal2json.py|
+|   CDC                     |   logical-decoding parse; kafka.py Debezium |
+| MySQL binlog              | kafka.py Debezium envelope path             |
+| Kafka                     | kafka.py readStream builder                 |
+| MongoDB                   | mongo.py snapshot builder + change-stream   |
+|                           |   event normalization (tested)              |
+| DeltaLake (+CDF)          | delta.py (gated on delta-spark); the        |
+|                           |   parquet-native twin is storage/txtable.py |
+| Snowflake                 | snowflake.py options + watermark increments |
+| gRPC ingest (Arrow)       | ingest_server.py Arrow-IPC-over-TCP spool   |
+|                           |   + cdc.py replay (test harness)            |
+| Ethereum, Deno JS         | out of scope (documented)                   |
 
 The CDC replay source (cdc.py) doubles as the test harness equivalent of
 the reference's SQLite-changelog replay (dozer-tests logic_test.rs:81-94).
@@ -20,6 +25,9 @@ the reference's SQLite-changelog replay (dozer-tests logic_test.rs:81-94).
 from dozer_spark.sources.files import read_table, stream_table
 from dozer_spark.sources.cdc import replay_changelog, changelog_batches
 from dozer_spark.sources.kafka import kafka_stream, parse_debezium
+from dozer_spark.sources.wal2json import wal2json_changelog
+from dozer_spark.sources.mongo import change_stream_to_changelog
+from dozer_spark.sources.ingest_server import ArrowIngestServer, send_arrow
 
 __all__ = [
     "read_table",
@@ -28,4 +36,8 @@ __all__ = [
     "changelog_batches",
     "kafka_stream",
     "parse_debezium",
+    "wal2json_changelog",
+    "change_stream_to_changelog",
+    "ArrowIngestServer",
+    "send_arrow",
 ]

@@ -1,0 +1,247 @@
+"""Connector-surface tests: transactional MERGE table + change feed,
+wal2json parsing, Mongo change-stream normalization, Snowflake
+incremental helpers, Arrow-IPC ingest endpoint, delta/ClickHouse gated."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from dozer_spark.storage import TransactionalTable
+from dozer_spark.streaming.changelog import apply_changelog
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestTransactionalTable:
+    def test_merge_insert_update_delete_cycle(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=4)
+        v1 = t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+        assert v1 == 1
+        assert _rows(t.read(), "id", "v") == [(1, "a"), (2, "b")]
+
+        v2 = t.merge(spark.createDataFrame([(2, "b2"), (3, "c")], ["id", "v"]))
+        assert _rows(t.read(), "id", "v") == [(1, "a"), (2, "b2"), (3, "c")]
+
+        t.merge(
+            spark.createDataFrame([(1, "a", True), (4, "d", False)],
+                                  ["id", "v", "is_del"]),
+            delete_col="is_del",
+        )
+        assert _rows(t.read(), "id", "v") == [(2, "b2"), (3, "c"), (4, "d")]
+        assert t.version == 3
+
+    def test_reopen_reads_committed_state(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"])
+        t.merge(spark.createDataFrame([(1, "a")], ["id", "v"]))
+        t2 = TransactionalTable(spark, p, pk=["id"])
+        assert t2.version == 1
+        assert _rows(t2.read(), "id", "v") == [(1, "a")]
+        with pytest.raises(ValueError, match="existing table has pk"):
+            TransactionalTable(spark, p, pk=["other"])
+
+    def test_merge_rewrites_only_touched_buckets(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=8)
+        t.merge(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["id", "v"]))
+        before = dict(t._buckets)
+        t.merge(spark.createDataFrame([(7, "v7x")], ["id", "v"]))
+        after = dict(t._buckets)
+        changed = [b for b in after if after[b] != before.get(b)]
+        # exactly one bucket rewritten; the rest carried forward by ref
+        assert len(changed) == 1
+        untouched = [b for b in after if after[b] == before.get(b)]
+        assert len(untouched) == len(before) - 1
+        assert _rows(t.read().filter(F.col("id") == 7), "v") == [("v7x",)]
+
+    def test_change_feed_matches_delta_cdf_shape(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=2)
+        t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+        t.merge(
+            spark.createDataFrame([(2, "b2", False), (1, "x", True)],
+                                  ["id", "v", "is_del"]),
+            delete_col="is_del",
+        )
+        ch = t.read_changes(since_version=2)
+        got = sorted(
+            (r["_change_type"], r.id, r.v) for r in ch.collect()
+        )
+        assert got == [
+            ("delete", 1, "a"),
+            ("update_postimage", 2, "b2"),
+            ("update_preimage", 2, "b"),
+        ]
+
+    def test_changelog_replay_reconstructs_snapshot(self, spark, tmp_path):
+        """The CDF-as-changelog must replay (apply_changelog) into exactly
+        the table's current snapshot — the contract the changelog
+        operators depend on."""
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=4)
+        t.merge(spark.createDataFrame([(i, i * 10) for i in range(20)], ["id", "v"]))
+        t.merge(spark.createDataFrame([(5, 555), (21, 210)], ["id", "v"]))
+        t.merge(
+            spark.createDataFrame([(3, 0, True), (21, 211, False)],
+                                  ["id", "v", "is_del"]),
+            delete_col="is_del",
+        )
+        replayed = apply_changelog(t.changes_as_changelog(1), ["id"])
+        assert _rows(replayed, "id", "v") == _rows(t.read(), "id", "v")
+
+    def test_crash_before_commit_invisible(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=2)
+        t.merge(spark.createDataFrame([(1, "a")], ["id", "v"]))
+        # simulate a crash mid-merge: bucket files written, manifest not
+        stray = os.path.join(p, "buckets", "v000099", "b=0")
+        os.makedirs(stray)
+        spark.createDataFrame([(9, "junk")], ["id", "v"]).write.mode(
+            "overwrite").parquet(stray)
+        t2 = TransactionalTable(spark, p, pk=["id"])
+        assert t2.version == 1
+        assert _rows(t2.read(), "id", "v") == [(1, "a")]
+
+
+def test_wal2json_changelog(spark):
+    recs = [
+        {"action": "I", "schema": "public", "table": "users", "xid": 100,
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "name", "type": "text", "value": "ann"}]},
+        {"action": "U", "schema": "public", "table": "users", "xid": 101,
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "name", "type": "text", "value": "anne"}],
+         "identity": [{"name": "id", "value": "1"}]},
+        {"action": "I", "schema": "public", "table": "OTHER", "xid": 102,
+         "columns": [{"name": "id", "type": "integer", "value": "9"}]},
+        {"action": "D", "schema": "public", "table": "users", "xid": 103,
+         "identity": [{"name": "id", "value": "1"}]},
+        {"action": "B", "xid": 104},  # begin marker: ignored
+    ]
+    from dozer_spark.sources.wal2json import wal2json_changelog
+
+    raw = spark.createDataFrame([(json.dumps(r),) for r in recs], ["value"])
+    cl = wal2json_changelog(raw, "value", "users",
+                            {"id": "bigint", "name": "string"})
+    got = [(r["__op"], r.id, r.name) for r in
+           sorted(cl.collect(), key=lambda r: r["__txid"])]
+    assert got == [("I", 1, "ann"), ("U", 1, "anne"), ("D", 1, None)]
+    # replays to an empty table (insert -> update -> delete)
+    assert apply_changelog(cl, ["id"]).count() == 0
+
+
+def test_mongo_change_stream_to_changelog(spark):
+    from dozer_spark.sources.mongo import change_stream_to_changelog
+
+    doc_schema = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    events = [
+        {"operationType": "insert", "clusterTime": 1,
+         "documentKey": {"_id": 1}, "fullDocument": {"_id": 1, "name": "ann"}},
+        {"operationType": "update", "clusterTime": 2,
+         "documentKey": {"_id": 1}, "fullDocument": {"_id": 1, "name": "anne"}},
+        {"operationType": "drop", "clusterTime": 3},  # non-doc event: ignored
+        {"operationType": "delete", "clusterTime": 4, "documentKey": {"_id": 1}},
+    ]
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    cl = change_stream_to_changelog(raw, "value", doc_schema)
+    got = [(r["__op"], r["_id"], r.name) for r in
+           sorted(cl.collect(), key=lambda r: r["__txid"])]
+    assert got == [("I", 1, "ann"), ("U", 1, "anne"), ("D", 1, None)]
+    assert apply_changelog(cl, ["_id"]).count() == 0
+
+
+class TestSnowflake:
+    def test_options_validated(self):
+        from dozer_spark.sources.snowflake import snowflake_options
+
+        opts = snowflake_options("acc.snowflakecomputing.com", "u", "db", "sch", "wh",
+                                 sfRole="r")
+        assert opts["sfRole"] == "r"
+        with pytest.raises(ValueError, match="missing"):
+            snowflake_options("", "u", "db", "sch", "wh")
+
+    def test_incremental_pull(self, spark):
+        from dozer_spark.sources.snowflake import incremental_pull, next_watermark
+
+        df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["id", "wm"])
+        assert incremental_pull(df, "wm", None).count() == 3
+        sl = incremental_pull(df, "wm", 10)
+        assert _rows(sl, "id") == [(2,), (3,)]
+        assert next_watermark(sl, "wm") == 30
+
+
+def test_arrow_ingest_end_to_end(spark, tmp_path):
+    import pyarrow as pa
+
+    from dozer_spark.sources.ingest_server import ArrowIngestServer, send_arrow
+
+    spool = str(tmp_path / "spool")
+    server = ArrowIngestServer(spool).start()
+    try:
+        t1 = pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})
+        t2 = pa.table({"id": [4, 5], "v": ["d", "e"]})
+        send_arrow(server.host, server.port, t1)
+        send_arrow(server.host, server.port, t2)
+        import time
+
+        deadline = time.time() + 10
+        while server.batches_landed < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert server.batches_landed >= 2
+        got = spark.read.parquet(spool)
+        assert _rows(got, "id", "v") == [
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")
+        ]
+        # incremental consumption: the spool is a valid streaming source
+        stream = spark.readStream.schema(got.schema).parquet(spool)
+        assert stream.isStreaming
+    finally:
+        server.stop()
+
+
+def test_delta_gated(spark, tmp_path):
+    from dozer_spark.sources.delta import delta_available, delta_merge_upsert
+
+    if not delta_available():
+        pytest.skip("delta-spark not installed in this container")
+    p = str(tmp_path / "d")
+    delta_merge_upsert(spark, spark.createDataFrame([(1, "a")], ["id", "v"]), p, ["id"])
+    assert spark.read.format("delta").load(p).count() == 1
+
+
+def test_clickhouse_integration_gated(spark):
+    """Real ClickHouse write path, enabled by SPARK_GRAFT_CLICKHOUSE_URL
+    (jdbc:clickhouse://host:8123/db, driver jar on the classpath)."""
+    url = os.environ.get("SPARK_GRAFT_CLICKHOUSE_URL")
+    if not url:
+        pytest.skip("set SPARK_GRAFT_CLICKHOUSE_URL to run")
+    from dozer_spark.sinks import ClickHouseSink
+
+    sink = ClickHouseSink(url=url, table="dozer_spark_it")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    sink.write(df, mode="append")
+    back = (
+        spark.read.format("jdbc").options(**sink.options()).load()
+    )
+    assert back.count() >= 1
+
+
+def test_foreach_batch_merge(spark, tmp_path):
+    from dozer_spark.storage.txtable import foreach_batch_merge
+
+    p = str(tmp_path / "t")
+    fn = foreach_batch_merge(p, ["id"])
+    fn(spark.createDataFrame([(1, "a")], ["id", "v"]), 0)
+    fn(spark.createDataFrame([(1, "a2"), (2, "b")], ["id", "v"]), 1)
+    t = TransactionalTable(spark, p, ["id"])
+    assert _rows(t.read(), "id", "v") == [(1, "a2"), (2, "b")]
