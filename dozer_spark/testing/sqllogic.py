@@ -465,6 +465,133 @@ class SqlLogicRunner:
         )
         return render_rows([tuple(r) for r in out.collect()])
 
+    # retraction leg: two-table equi-join -------------------------------------
+
+    _JOIN_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+"
+        r"(?P<t1>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?:AS\s+)?(?P<a1>[A-Za-z_][A-Za-z0-9_]*))?\s+"
+        r"(?:(?P<how>INNER|LEFT|RIGHT)\s+)?(?:OUTER\s+)?JOIN\s+"
+        r"(?P<t2>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?:AS\s+)?(?P<a2>[A-Za-z_][A-Za-z0-9_]*))?\s+"
+        r"ON\s+(?P<q1>[A-Za-z_][A-Za-z0-9_]*)\.(?P<c1>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+        r"(?P<q2>[A-Za-z_][A-Za-z0-9_]*)\.(?P<c2>[A-Za-z_][A-Za-z0-9_]*)\s*"
+        r"(?:WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _qualify(self, text: str, t1: str, a1: str, t2: str, a2: str) -> str:
+        """Rewrite alias/table-qualified and bare column refs to the
+        prefixed (l_/r_) names of the join-leg changelogs."""
+        cols1 = {c.lower() for c in self.cols[t1]}
+        cols2 = {c.lower() for c in self.cols[t2]}
+
+        def repl_qualified(m):
+            q, c = m.group(1).lower(), m.group(2)
+            if q in (a1.lower(), t1.lower()):
+                return f"l_{c}"
+            if q in (a2.lower(), t2.lower()):
+                return f"r_{c}"
+            return m.group(0)
+
+        text = re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)",
+                      repl_qualified, text)
+
+        def repl_bare(m):
+            w = m.group(0)
+            if w.startswith(("l_", "r_")):
+                return w
+            lw = w.lower()
+            if lw in cols1:
+                return f"l_{w}"
+            if lw in cols2:
+                return f"r_{w}"
+            return w
+
+        return re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b(?!\s*\()", repl_bare, text)
+
+    def run_query_retracting_join(self, sql: str, n_batches: int = 2) -> list[str] | None:
+        """Replay a two-table equi-join through RetractingJoin, feeding
+        both tables' changelogs in synchronized batches; the join's
+        materialized output (projected, filtered) must match the oracle.
+        None when the query doesn't fit (self-join, >1 join, GROUP BY,
+        subqueries)."""
+        if re.search(r"\bGROUP\s+BY\b|\bUNION\b|\bWITH\b|\(\s*SELECT|\bDISTINCT\b",
+                     sql, re.IGNORECASE):
+            return None
+        if self._AGG_FNS.search(sql) or len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) != 1:
+            return None
+        m = self._JOIN_SHAPE.match(sql)
+        if not m:
+            return None
+        d = m.groupdict()
+        t1, t2 = d["t1"].lower(), d["t2"].lower()
+        if t1 == t2 or t1 not in self.tables or t2 not in self.tables:
+            return None  # self-join: output column prefixes would collide
+        a1, a2 = d["a1"] or d["t1"], d["a2"] or d["t2"]
+        how = (d["how"] or "inner").lower()
+
+        from dozer_spark.streaming.join import RetractingJoin
+
+        def prefixed_cl(table: str, prefix: str):
+            cl = self._changelog_df(table)
+            if cl is None:
+                return None, None
+            # keep the synthetic __rid PK (append-only tables) as data
+            data = [c for c in cl.columns if c not in ("__op", "__txid", "__seq")]
+            out = cl.select(
+                "__op", "__txid", "__seq",
+                *[F.col(c).alias(f"{prefix}_{c}") for c in data],
+            )
+            pk = [f"{prefix}_{c}" for c in self.tables[table]]
+            return out, pk
+
+        lcl, lpk = prefixed_cl(t1, "l")
+        rcl, rpk = prefixed_cl(t2, "r")
+        if lcl is None or rcl is None:
+            return None
+
+        def side_col(q, c):
+            if q.lower() in (a1.lower(), t1.lower()):
+                return ("l", f"l_{c}")
+            if q.lower() in (a2.lower(), t2.lower()):
+                return ("r", f"r_{c}")
+            raise ValueError(f"unknown qualifier {q}")
+
+        s1, n1 = side_col(d["q1"], d["c1"])
+        s2, n2 = side_col(d["q2"], d["c2"])
+        if s1 == s2:
+            return None
+        on = [(n1, n2)] if s1 == "l" else [(n2, n1)]
+
+        j = RetractingJoin(self.spark, left_pk=lpk, right_pk=rpk, on=on, how=how)
+
+        def chunks(cl):
+            txids = sorted({r["__txid"] for r in cl.select("__txid").distinct().collect()})
+            per = max(1, (len(txids) + n_batches - 1) // n_batches)
+            return [cl.filter(F.col("__txid").isin([int(t) for t in txids[i:i + per]]))
+                    for i in range(0, len(txids), per)]
+
+        lc, rc = chunks(lcl), chunks(rcl)
+        for i in range(max(len(lc), len(rc))):
+            lb = lc[i] if i < len(lc) else (lcl.limit(0) if i == 0 else None)
+            rb = rc[i] if i < len(rc) else (rcl.limit(0) if i == 0 else None)
+            j.process_batch(lb, rb)
+
+        cur = j.current()
+        if d["where"]:
+            cur = cur.filter(F.expr(self._qualify(d["where"], t1, a1, t2, a2)))
+        items = self._split_items(d["items"])
+        if any(it.strip() == "*" for it in items):
+            # SQL star order: left table's columns then right's
+            items = [f"l_{c}" for c in self.cols[t1]] + [f"r_{c}" for c in self.cols[t2]]
+        exprs = []
+        for n, item in enumerate(items):
+            im = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", item)
+            expr = im.group(1) if im else item
+            exprs.append(
+                F.expr(self._qualify(expr, t1, a1, t2, a2)).alias(f"c{n}")
+            )
+        return render_rows([tuple(r) for r in cur.select(*exprs).collect()])
+
     # retraction leg: single-table filter/projection -------------------------
 
     def run_query_retracting_filter(self, sql: str, n_batches: int = 3) -> list[str] | None:

@@ -172,11 +172,19 @@ def test_sqllogic_file(spark, fname):
                     f"{fname}:{rec.lineno}: changelog-filter leg mismatch\n"
                     f"sql: {sql}\ngot: {rfil[:5]}...\nexp: {duck[:5]}..."
                 )
+            else:
+                rjoin = runner.run_query_retracting_join(sql_n)
+                if rjoin is not None:
+                    n_retraction_legs += 1
+                    assert rjoin == duck, (
+                        f"{fname}:{rec.lineno}: retracting-join leg mismatch\n"
+                        f"sql: {sql}\ngot: {rjoin[:5]}...\nexp: {duck[:5]}..."
+                    )
 
     assert n_queries > 0
     # most files must exercise at least one incremental leg
     if fname in ("aggregations.test", "agg.test", "aggr_append_only.test",
-                 "simple.test", "functions.test"):
+                 "simple.test", "functions.test", "join.test"):
         assert n_retraction_legs > 0, f"{fname}: no retraction-shaped query ran"
     # file-shipped expected rows that match the oracle confirm the harness
     if fname in ("simple.test", "agg.test", "aggregations.test", "join.test",
