@@ -32,6 +32,9 @@ from dozer_spark.streaming.windows import streaming_tumble_agg, streaming_hop_ag
 from dozer_spark.streaming.stateful import RetractingAggregation
 from dozer_spark.streaming.join import RetractingJoin
 from dozer_spark.streaming.setops import RetractingUnion
+from dozer_spark.streaming.native_join import stream_stream_join
+from dozer_spark.streaming.custom_state import KeyedAccumulator
+from dozer_spark.streaming.state import StateStore
 
 __all__ = [
     "RetractingJoin",
@@ -46,4 +49,7 @@ __all__ = [
     "streaming_tumble_agg",
     "streaming_hop_agg",
     "RetractingAggregation",
+    "stream_stream_join",
+    "KeyedAccumulator",
+    "StateStore",
 ]
