@@ -474,7 +474,9 @@ class SqlLogicRunner:
         r"(?P<t2>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?:AS\s+)?(?P<a2>[A-Za-z_][A-Za-z0-9_]*))?\s+"
         r"ON\s+(?P<q1>[A-Za-z_][A-Za-z0-9_]*)\.(?P<c1>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
         r"(?P<q2>[A-Za-z_][A-Za-z0-9_]*)\.(?P<c2>[A-Za-z_][A-Za-z0-9_]*)\s*"
-        r"(?:WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+        r"(?:WHERE\s+(?P<where>.*?))?"
+        r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
+        r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -508,16 +510,13 @@ class SqlLogicRunner:
 
         return re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b(?!\s*\()", repl_bare, text)
 
-    def run_query_retracting_join(self, sql: str, n_batches: int = 2) -> list[str] | None:
-        """Replay a two-table equi-join through RetractingJoin, feeding
-        both tables' changelogs in synchronized batches; the join's
-        materialized output (projected, filtered) must match the oracle.
-        None when the query doesn't fit (self-join, >1 join, GROUP BY,
-        subqueries)."""
-        if re.search(r"\bGROUP\s+BY\b|\bUNION\b|\bWITH\b|\(\s*SELECT|\bDISTINCT\b",
+    def _parse_join(self, sql: str):
+        """Common parse/validation for the join legs. Returns the match
+        dict extended with resolved names, or None."""
+        if re.search(r"\bUNION\b|\bWITH\b|\(\s*SELECT|\bDISTINCT\b",
                      sql, re.IGNORECASE):
             return None
-        if self._AGG_FNS.search(sql) or len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) != 1:
+        if len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) != 1:
             return None
         m = self._JOIN_SHAPE.match(sql)
         if not m:
@@ -526,43 +525,50 @@ class SqlLogicRunner:
         t1, t2 = d["t1"].lower(), d["t2"].lower()
         if t1 == t2 or t1 not in self.tables or t2 not in self.tables:
             return None  # self-join: output column prefixes would collide
-        a1, a2 = d["a1"] or d["t1"], d["a2"] or d["t2"]
-        how = (d["how"] or "inner").lower()
-
-        from dozer_spark.streaming.join import RetractingJoin
-
-        def prefixed_cl(table: str, prefix: str):
-            cl = self._changelog_df(table)
-            if cl is None:
-                return None, None
-            # keep the synthetic __rid PK (append-only tables) as data
-            data = [c for c in cl.columns if c not in ("__op", "__txid", "__seq")]
-            out = cl.select(
-                "__op", "__txid", "__seq",
-                *[F.col(c).alias(f"{prefix}_{c}") for c in data],
-            )
-            pk = [f"{prefix}_{c}" for c in self.tables[table]]
-            return out, pk
-
-        lcl, lpk = prefixed_cl(t1, "l")
-        rcl, rpk = prefixed_cl(t2, "r")
-        if lcl is None or rcl is None:
-            return None
+        d["t1"], d["t2"] = t1, t2
+        d["a1"] = d["a1"] or d["t1"]
+        d["a2"] = d["a2"] or d["t2"]
+        d["how"] = (d["how"] or "inner").lower()
 
         def side_col(q, c):
-            if q.lower() in (a1.lower(), t1.lower()):
+            if q.lower() in (d["a1"].lower(), t1.lower()):
                 return ("l", f"l_{c}")
-            if q.lower() in (a2.lower(), t2.lower()):
+            if q.lower() in (d["a2"].lower(), t2.lower()):
                 return ("r", f"r_{c}")
-            raise ValueError(f"unknown qualifier {q}")
+            return (None, None)
 
         s1, n1 = side_col(d["q1"], d["c1"])
         s2, n2 = side_col(d["q2"], d["c2"])
-        if s1 == s2:
+        if s1 is None or s2 is None or s1 == s2:
             return None
-        on = [(n1, n2)] if s1 == "l" else [(n2, n1)]
+        d["on"] = [(n1, n2)] if s1 == "l" else [(n2, n1)]
+        return d
 
-        j = RetractingJoin(self.spark, left_pk=lpk, right_pk=rpk, on=on, how=how)
+    def _prefixed_cl(self, table: str, prefix: str):
+        cl = self._changelog_df(table)
+        if cl is None:
+            return None, None
+        # keep the synthetic __rid PK (append-only tables) as data
+        data = [c for c in cl.columns if c not in ("__op", "__txid", "__seq")]
+        out = cl.select(
+            "__op", "__txid", "__seq",
+            *[F.col(c).alias(f"{prefix}_{c}") for c in data],
+        )
+        pk = [f"{prefix}_{c}" for c in self.tables[table]]
+        return out, pk
+
+    def _replay_join(self, d, n_batches: int):
+        """Feed both tables' changelogs through RetractingJoin in
+        synchronized batches; yields (join, per-batch output changelog)."""
+        from dozer_spark.streaming.join import RetractingJoin
+
+        lcl, lpk = self._prefixed_cl(d["t1"], "l")
+        rcl, rpk = self._prefixed_cl(d["t2"], "r")
+        if lcl is None or rcl is None:
+            return None, None, None
+
+        j = RetractingJoin(self.spark, left_pk=lpk, right_pk=rpk, on=d["on"],
+                           how=d["how"])
 
         def chunks(cl):
             txids = sorted({r["__txid"] for r in cl.select("__txid").distinct().collect()})
@@ -571,10 +577,26 @@ class SqlLogicRunner:
                     for i in range(0, len(txids), per)]
 
         lc, rc = chunks(lcl), chunks(rcl)
+        outs = []
         for i in range(max(len(lc), len(rc))):
             lb = lc[i] if i < len(lc) else (lcl.limit(0) if i == 0 else None)
             rb = rc[i] if i < len(rc) else (rcl.limit(0) if i == 0 else None)
-            j.process_batch(lb, rb)
+            outs.append(j.process_batch(lb, rb))
+        return j, outs, lpk + rpk
+
+    def run_query_retracting_join(self, sql: str, n_batches: int = 2) -> list[str] | None:
+        """Replay a two-table equi-join through RetractingJoin; the
+        join's materialized output (projected, filtered) must match the
+        oracle. None when the query doesn't fit."""
+        if re.search(r"\bGROUP\s+BY\b", sql, re.IGNORECASE) or self._AGG_FNS.search(sql):
+            return None
+        d = self._parse_join(sql)
+        if d is None:
+            return None
+        t1, a1, t2, a2 = d["t1"], d["a1"], d["t2"], d["a2"]
+        j, _, _ = self._replay_join(d, n_batches)
+        if j is None:
+            return None
 
         cur = j.current()
         if d["where"]:
@@ -591,6 +613,98 @@ class SqlLogicRunner:
                 F.expr(self._qualify(expr, t1, a1, t2, a2)).alias(f"c{n}")
             )
         return render_rows([tuple(r) for r in cur.select(*exprs).collect()])
+
+    # retraction leg: join -> aggregation DAG ---------------------------------
+
+    def run_query_retracting_join_agg(self, sql: str,
+                                      n_batches: int = 2) -> list[str] | None:
+        """Two-operator changelog DAG: RetractingJoin's per-batch OUTPUT
+        changelog feeds RetractingAggregation — the reference's
+        processor-chain architecture (every operator consumes and emits a
+        changelog). Matches `SELECT aggs FROM a JOIN b ON .. [WHERE]
+        GROUP BY .. [HAVING ..]`; the final aggregate state must equal
+        the oracle."""
+        if not re.search(r"\bGROUP\s+BY\b", sql, re.IGNORECASE):
+            return None
+        if not self._AGG_FNS.search(sql):
+            return None
+        d = self._parse_join(sql)
+        if d is None or not d["group"]:
+            return None
+        t1, a1, t2, a2 = d["t1"], d["a1"], d["t2"], d["a2"]
+        if d["where"]:
+            return None  # WHERE between join and agg: not wired yet
+
+        group_cols = [
+            self._qualify(g.strip(), t1, a1, t2, a2)
+            for g in self._split_items(d["group"])
+        ]
+        if not all(re.fullmatch(r"[lr]_[A-Za-z0-9_]+", g) for g in group_cols):
+            return None
+
+        from dozer_spark.streaming import RetractingAggregation
+
+        items = self._split_items(d["items"])
+        sel: list[tuple[str, str]] = []
+        aggs = []
+        for n, item in enumerate(items):
+            im = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", item)
+            expr = self._qualify((im.group(1) if im else item), t1, a1, t2, a2)
+            if self._AGG_FNS.search(expr):
+                aggs.append(F.expr(expr).alias(f"c{n}"))
+                sel.append((f"c{n}", "agg"))
+            else:
+                if expr not in group_cols:
+                    return None
+                sel.append((expr, "group"))
+
+        having = None
+        if d["having"]:
+            htext = self._qualify(d["having"], t1, a1, t2, a2)
+            calls, i = [], 0
+            while True:
+                m2 = self._AGG_FNS.search(htext, i)
+                if not m2:
+                    break
+                jx, depth = m2.end(), 1
+                while jx < len(htext) and depth:
+                    if htext[jx] == "(":
+                        depth += 1
+                    elif htext[jx] == ")":
+                        depth -= 1
+                    jx += 1
+                calls.append(htext[m2.start():jx])
+                i = jx
+            for k, call in enumerate(dict.fromkeys(calls)):
+                alias = f"__h{k}"
+                aggs.append(F.expr(call).alias(alias))
+                htext = htext.replace(call, alias)
+            having = F.expr(htext)
+
+        j, outs, join_pk = self._replay_join(d, n_batches)
+        if j is None:
+            return None
+        ragg = RetractingAggregation(
+            self.spark, pk=join_pk, group_by=group_cols, aggs=aggs, having=having
+        )
+        for i, out_cl in enumerate(outs):
+            # the join emits (__op, data...); re-stamp ordering metadata
+            # for the downstream operator (forwarder role)
+            stamped = out_cl.select(
+                "__op",
+                F.lit(i + 1).cast("long").alias("__txid"),
+                F.monotonically_increasing_id().alias("__seq"),
+                *[c for c in out_cl.columns if c != "__op"],
+            )
+            ragg.process_batch(stamped)
+        state = ragg.current()
+        final = state.select(
+            *[
+                F.col(e).alias(f"c{i}") if kind == "agg" else F.expr(e).alias(f"c{i}")
+                for i, (e, kind) in enumerate(sel)
+            ]
+        )
+        return render_rows([tuple(r) for r in final.collect()])
 
     # retraction leg: single-table filter/projection -------------------------
 

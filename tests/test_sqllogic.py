@@ -180,6 +180,14 @@ def test_sqllogic_file(spark, fname):
                         f"{fname}:{rec.lineno}: retracting-join leg mismatch\n"
                         f"sql: {sql}\ngot: {rjoin[:5]}...\nexp: {duck[:5]}..."
                     )
+                else:
+                    rja = runner.run_query_retracting_join_agg(sql_n)
+                    if rja is not None:
+                        n_retraction_legs += 1
+                        assert rja == duck, (
+                            f"{fname}:{rec.lineno}: join->agg DAG leg mismatch\n"
+                            f"sql: {sql}\ngot: {rja[:5]}...\nexp: {duck[:5]}..."
+                        )
 
     assert n_queries > 0
     # most files must exercise at least one incremental leg
