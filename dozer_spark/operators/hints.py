@@ -34,6 +34,20 @@ def estimated_plan_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has slots. A small file (one split) would otherwise pin a
+    CPU-heavy scan (per-token hashing, decoding) to a single task. At
+    real data sizes the input naturally exceeds the core count and this
+    is a no-op — the shuffle is only paid when the input is small enough
+    for it to be trivial."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
     """`F.broadcast(df)` only when Catalyst estimates df under the gate;
     otherwise the UNHINTED df (AQE/planner picks the join strategy from

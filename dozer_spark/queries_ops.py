@@ -54,14 +54,23 @@ def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINH
     (both default off)."""
     from dozer_spark.ops.dedup import prefilter_min_matches
 
+    from dozer_spark.ops.dedup import MINHASH_PRIME
+
     r = h // bands
+    # Carter-Wegman family, digit-for-digit the Spark computation:
+    # (h1 + i*h2) mod P over per-token md5 halves (minhash_signatures)
     sig_cols = ",\n      ".join(
-        f"list_aggregate(list_transform(toks, t -> md5('h{i}:' || t)), 'min') AS mh{i}"
+        "list_aggregate(list_transform(toks_h, d -> "
+        f"(CAST('0x' || substr(d, 1, 8) AS BIGINT) + {i} * "
+        f"CAST('0x' || substr(d, 9, 8) AS BIGINT)) % {MINHASH_PRIME}), 'min') AS mh{i}"
         for i in range(h)
     )
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
-            b=b, key=" || ':' || ".join(f"mh{b * r + j}" for j in range(r))
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
         )
         for b in range(bands)
     )
@@ -73,10 +82,12 @@ def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINH
     WITH toks AS (
       SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       FROM documents
+    ), hashed_toks AS (
+      SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS toks_h FROM toks
     ), sigs AS (
       SELECT doc_id, toks,
       {sig_cols}
-      FROM toks
+      FROM hashed_toks
     ), bands AS (
       {band_selects}
     ), cand AS (
