@@ -108,13 +108,29 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
         result.outputs[into] = df
         if into in sinks:
             sink = sinks[into]
-            write_table(
-                df,
-                sink["path"],
-                fmt=sink.get("format", "parquet"),
-                mode=sink.get("mode", "overwrite"),
-                partition_by=sink.get("partition_by"),
-            )
+            if sink.get("format") == "transactional":
+                # MERGE-by-PK sink (storage/txtable.py): atomic versioned
+                # commits + change feed; pk required (the reference's
+                # sinks are PK-keyed too, record_store.rs)
+                from dozer_spark.storage import TransactionalTable
+
+                pk = sink.get("pk") or (cat.pk(into) if hasattr(cat, "pk") else None)
+                if not pk:
+                    raise ValueError(
+                        f"transactional sink {into!r} needs a pk: [...] entry"
+                    )
+                TransactionalTable(
+                    spark, sink["path"], pk=list(pk),
+                    n_buckets=int(sink.get("n_buckets", 16)),
+                ).merge(df)
+            else:
+                write_table(
+                    df,
+                    sink["path"],
+                    fmt=sink.get("format", "parquet"),
+                    mode=sink.get("mode", "overwrite"),
+                    partition_by=sink.get("partition_by"),
+                )
             result.written[into] = sink["path"]
     unknown_sinks = set(sinks) - set(result.outputs)
     if unknown_sinks:

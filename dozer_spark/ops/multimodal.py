@@ -4,7 +4,7 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 The decode step is STUBBED (image/audio libraries are not available in
 this container) behind `register_decoder` — the Spark-side plumbing
 (schema, partitioning, UDF signature, batch shape) is real and tested
-with a deterministic fake decoder in tests/test_multimodal.py.
+with a deterministic fake decoder in tests/test_ops.py.
 
 Design for 100 TB of media:
 - binary payloads stay opaque through shuffles; all filtering happens on

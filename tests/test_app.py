@@ -76,3 +76,35 @@ def test_run_app_errors(spark):
                 "sinks": {"nope": {"path": "/tmp/x"}},
             },
         )
+
+
+def test_run_app_transactional_sink(spark, tmp_path):
+    """A 'transactional' sink MERGEs the output by PK across runs
+    (storage/txtable.py) instead of overwriting parquet."""
+    from dozer_spark.app import run_app
+    from dozer_spark.storage import TransactionalTable
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "grp", "amount"]
+    ).write.mode("overwrite").parquet(src)
+    config = {
+        "sources": {"t": {"path": src, "pk": ["id"]}},
+        "sql": "SELECT id, grp, amount * 2 AS doubled FROM t INTO result",
+        "sinks": {
+            "result": {"format": "transactional", "path": out, "pk": ["id"]}
+        },
+    }
+    r1 = run_app(spark, config)
+    assert r1.written["result"] == out
+
+    # second run with changed data merges by PK (no duplicate rows)
+    spark.createDataFrame(
+        [(1, "a", 100.0), (3, "c", 30.0)], ["id", "grp", "amount"]
+    ).write.mode("overwrite").parquet(src)
+    run_app(spark, config)
+    t = TransactionalTable(spark, out, pk=["id"])
+    got = sorted((r.id, r.doubled) for r in t.read().collect())
+    assert got == [(1, 200.0), (2, 40.0), (3, 60.0)]
+    assert t.version == 2
