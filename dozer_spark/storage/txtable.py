@@ -40,6 +40,15 @@ MANIFEST = "MANIFEST.json"
 CHANGE_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed since this instance loaded the manifest.
+
+    The table is single-writer by design (same assumption as the
+    reference's pipeline state); this guard turns a lost-update race
+    into a loud failure. For true multi-writer semantics use the Delta
+    path (sources/delta.py) whose transaction log does real CAS."""
+
+
 class TransactionalTable:
     def __init__(self, spark: SparkSession, path: str, pk: list[str],
                  n_buckets: int = 16):
@@ -71,6 +80,12 @@ class TransactionalTable:
             return None
 
     def _commit(self) -> None:
+        on_disk = self._read_manifest()
+        if on_disk is not None and on_disk["version"] != self.version - 1:
+            raise ConcurrentWriteError(
+                f"manifest is at v{on_disk['version']}, expected "
+                f"v{self.version - 1}: another writer committed"
+            )
         m = {
             "version": self.version,
             "pk": self.pk,
@@ -165,12 +180,15 @@ class TransactionalTable:
             self._schema_json = batch.schema.json()
         new_version = self.version + 1
 
-        # buckets touched by this batch (one job over the slim key columns)
-        keyed = batch.withColumn("__b", self._bucket_col())
+        # buckets touched by this batch (one job over the slim key columns).
+        # keyed/dk/cur are persisted for the duration of the merge: the
+        # data write and the change-feed write otherwise recompute the
+        # same join chain twice.
+        keyed = batch.withColumn("__b", self._bucket_col()).persist()
         key_src = keyed.select("__b")
         dk = None
         if deletes is not None:
-            dk = deletes.withColumn("__b", self._bucket_col())
+            dk = deletes.withColumn("__b", self._bucket_col()).persist()
             key_src = key_src.unionByName(dk.select("__b"))
         touched = sorted(r["__b"] for r in key_src.distinct().collect())
 
@@ -180,7 +198,7 @@ class TransactionalTable:
         if old_rels:
             cur = self.spark.read.schema(self._schema()).parquet(
                 *[os.path.join(self.path, rel) for rel in old_rels]
-            ).withColumn("__b", self._bucket_col())
+            ).withColumn("__b", self._bucket_col()).persist()
         else:
             cur = self.spark.createDataFrame([], keyed.schema)
 
@@ -230,6 +248,11 @@ class TransactionalTable:
             os.path.join(self.path, "changes", f"v{new_version:06d}")
         )
 
+        keyed.unpersist()
+        if dk is not None:
+            dk.unpersist()
+        if old_rels:
+            cur.unpersist()
         self.version = new_version
         self._commit()
         self._vacuum()

@@ -245,3 +245,15 @@ def test_foreach_batch_merge(spark, tmp_path):
     fn(spark.createDataFrame([(1, "a2"), (2, "b")], ["id", "v"]), 1)
     t = TransactionalTable(spark, p, ["id"])
     assert _rows(t.read(), "id", "v") == [(1, "a2"), (2, "b")]
+
+
+def test_concurrent_writer_detected(spark, tmp_path):
+    from dozer_spark.storage.txtable import ConcurrentWriteError
+
+    p = str(tmp_path / "t")
+    a = TransactionalTable(spark, p, pk=["id"])
+    a.merge(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    b = TransactionalTable(spark, p, pk=["id"])
+    a.merge(spark.createDataFrame([(2, "b")], ["id", "v"]))  # a is now v2
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        b.merge(spark.createDataFrame([(3, "c")], ["id", "v"]))
