@@ -165,3 +165,50 @@ def test_brute_force_fast_string_ids(spark):
     s = sorted((r.query_id, r.neighbor_id, r.rank) for r in slow.collect())
     assert f == s
     assert ("a", "b", 1) in f
+
+
+class TestAggregationNullVectors:
+    """Ported from the reference's aggregation_null.rs: NULL group keys
+    (already covered above per test_sum_aggregation_null), NULL VALUES
+    inside aggregates, and the delete-to-empty / re-insert cycle
+    (test_sum_aggregation_del_and_insert)."""
+
+    def _ragg(self, spark):
+        return RetractingAggregation(
+            spark,
+            pk=["id"],
+            group_by=["grp"],
+            aggs=[
+                F.sum("amount").alias("s"),
+                F.count("amount").cast("long").alias("n_vals"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            ],
+        )
+
+    def test_null_values_skipped_by_sum_and_count_col(self, spark):
+        ragg = self._ragg(spark)
+        out = ragg.process_batch(
+            _cl(spark, [("I", 1, 1, 1, "it", 100.0), ("I", 1, 2, 2, "it", None)])
+        )
+        # SQL semantics both engines share: SUM/COUNT(col) skip NULLs,
+        # COUNT(*) does not
+        assert [(r["__op"], r.s, r.n_vals, r.n_rows) for r in out.collect()] == [
+            ("I", 100.0, 1, 2)
+        ]
+        # deleting the NULL-valued row changes only COUNT(*)
+        out2 = ragg.process_batch(_cl(spark, [("D", 2, 1, 2, "it", None)]))
+        assert [(r["__op"], r.s, r.n_vals, r.n_rows) for r in out2.collect()] == [
+            ("U", 100.0, 1, 1)
+        ]
+
+    def test_delete_to_empty_then_reinsert(self, spark):
+        """aggregation_null.rs test_sum_aggregation_del_and_insert: the
+        group vanishes (D) on its last delete and returns (I) on
+        re-insert — state must not remember the dead group."""
+        ragg = self._ragg(spark)
+        ragg.process_batch(_cl(spark, [("I", 1, 1, 1, "it", 100.0)]))
+        out = ragg.process_batch(_cl(spark, [("D", 2, 1, 1, "it", 100.0)]))
+        assert [(r["__op"], r.grp) for r in out.collect()] == [("D", "it")]
+        assert ragg.current().count() == 0
+        out2 = ragg.process_batch(_cl(spark, [("I", 3, 1, 1, "it", 100.0)]))
+        assert [(r["__op"], r.grp, r.s) for r in out2.collect()] == [("I", "it", 100.0)]
