@@ -37,11 +37,19 @@ def main() -> None:
     # warmup: JVM/codegen/file-listing
     run_query(next(iter(headline.values())).build(spark, SF_DIR))
 
+    # min-of-2 per query: single-pass numbers at the 1-3s scale swing
+    # ±0.7s (GC, file-cache, JIT), burying real regressions; the min of
+    # two passes tracks the query's actual cost with ~±0.2s variance.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        t0 = time.perf_counter()
-        run_query(q.build(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            run_query(q.build(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

@@ -41,11 +41,31 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     real data sizes the input naturally exceeds the core count and this
     is a no-op — the shuffle is only paid when the input is small enough
     for it to be trivial."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_parts or sc.defaultParallelism
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect (no JVM-local rdd access) or any estimator
+        # failure: degrade to the unhinted frame, mirroring
+        # estimated_plan_bytes' None fallback.
+        return df
+    if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def cache_materialized(df: DataFrame) -> DataFrame:
+    """Cache df and force materialization so Catalyst's stats for the
+    InMemoryRelation reflect the REAL cached size. Plans built afterward
+    (e.g. `maybe_broadcast` of a key set derived from a micro-batch) then
+    gate on actual bytes instead of the unknown-relation default, which
+    would otherwise refuse the hint for every in-memory changelog. The
+    count is one cheap job; the scan it pays for would run anyway at the
+    first downstream action (and lands in the cache)."""
+    c = df.cache()
+    c.count()
+    return c
 
 
 def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:

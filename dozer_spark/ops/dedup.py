@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dozer_spark.operators.hints import ensure_min_partitions, maybe_broadcast
+from dozer_spark.operators.hints import (
+    cache_materialized,
+    ensure_min_partitions,
+    maybe_broadcast,
+)
 from dozer_spark.ops.text import tokens
 
 # default MinHash geometry: 16 hashes = 4 bands x 4 rows. The 4-row bands
@@ -98,6 +102,7 @@ def minhash_lsh_pairs(
     n_bands: int = MINHASH_BANDS,
     prefilter: bool = False,
     broadcast_gate_bytes: int | None = None,
+    hot_band_cap: int = 4096,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
 
@@ -111,6 +116,14 @@ def minhash_lsh_pairs(
     long (verify dominates); on short docs the wider signature rows
     through the candidate join cost more than they save (measured 1.6x
     SLOWER on the ~30-token corpus), hence default off.
+
+    hot_band_cap: band buckets with more rows than this split into
+    fragment-replicated sub-cells (see below) so no single join key owns
+    more than ~cap^2 pair work. The default is an ABSOLUTE bound — about
+    one task-second of pair enumeration — not a fraction of the corpus:
+    splitting smaller buckets costs more in replication and plan width
+    than the parallelism returns (measured 2.5x slower at sf0.1 with
+    cap=512, where the hottest bucket is 2.3k rows ~ 0.5s of work).
     """
     rows_per_band = n_hashes // n_bands
     # persist: the signature scan (16 md5 transforms per token) feeds both
@@ -147,22 +160,96 @@ def minhash_lsh_pairs(
         F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
     )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & size_compatible,
+
+    # SKEW PROBE. A band key covering a large slice of the corpus
+    # (boilerplate-heavy corpora) funnels n^2 pair work into ONE join
+    # partition — AQE cannot split a single key. One slim shuffle counts
+    # the buckets over the cap; the count also front-loads the signature
+    # materialization that every later stage reuses from cache.
+    hot = cache_materialized(
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_band_cap)
+        .select(
+            "band", "band_key",
+            F.ceil(F.col("__n") / hot_band_cap).cast("int").alias("__s"),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        # the distinct both dedups the ~n_bands-duplicated pair multiset
-        # and (deliberately) re-shuffles the slim pair rows to full
-        # parallelism for the verify stage — the band join itself runs on
-        # the input's few partitions under a broadcast plan
-        .distinct()
     )
+
+    if hot.count() == 0:
+        # no hot buckets: the plain self-join IS the optimal plan — any
+        # fragment machinery only widens the join key and replicates rows
+        a, b_ = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & size_compatible,
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            # the distinct both dedups the ~n_bands-duplicated pair
+            # multiset and (deliberately) re-shuffles the slim pair rows
+            # to full parallelism for the dominant verify stage
+            .distinct()
+        )
+    else:
+        # HOT-BAND FRAGMENT SPLIT (triangle decomposition): rows of a hot
+        # bucket get a deterministic fragment f in [0, s)
+        # (s = ceil(n / cap)); the left side replays each row into cells
+        # (f, j>=f), the right side into cells (i<=f, f), and the join
+        # key gains (ci, cj) — every unordered pair meets in EXACTLY one
+        # cell, so results are identical while each cell holds ~(n/s)^2
+        # of the work. Cold buckets (s=1) stay single-cell with zero
+        # replication. The hot list is provably <= corpus/cap rows;
+        # cache_materialized lets the broadcast gate see its real size —
+        # past the gate it degrades to a shuffled lookup join.
+        frag = bands.join(
+            maybe_broadcast(hot, broadcast_gate_bytes), ["band", "band_key"], "left"
+        ).select(
+            "*",
+            F.coalesce(F.col("__s"), F.lit(1)).alias("s"),
+        ).withColumn(
+            "f", F.pmod(F.crc32(F.col(id_col).cast("string")), F.col("s")).cast("int")
+        )
+        side_l = frag.withColumn(
+            "cj", F.explode(F.sequence(F.col("f"), F.col("s") - 1))
+        ).withColumnRenamed("f", "ci")
+        side_r = frag.withColumn(
+            "ci", F.explode(F.sequence(F.lit(0), F.col("f")))
+        ).withColumnRenamed("f", "cj")
+
+        # orientation: a row with fragment fx can meet a row with
+        # fragment fy >= fx at cell (fx, fy) — left role for the smaller
+        # fragment, right role for the larger. Same-fragment cells
+        # (ci == cj) would match both orientations, so the id order
+        # tie-breaks there; for ci < cj the single orientation already
+        # yields each pair once, and least/greatest canonicalizes the id
+        # order afterward.
+        a, b_ = side_l.alias("a"), side_r.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.ci") == F.col("b.ci"))
+                & (F.col("a.cj") == F.col("b.cj"))
+                & (
+                    (F.col("a.ci") < F.col("a.cj"))
+                    | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                )
+                & size_compatible,
+            )
+            .select(
+                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            )
+            .distinct()
+        )
 
     # verification: re-attach token sets to the (much larger) candidate
     # pair table. The doc->tokens side is one row per document — when its
@@ -216,8 +303,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> Data
 
     Implemented as explode + one groupBy(id) with n_bits conditional sums
     (single shuffle on id; at scale this is a map-side-combinable agg).
+
+    No input repartition here (unlike minhash_signatures): the per-token
+    work is a single md5, so an up-front full-text shuffle on a
+    few-split input costs more than the parallelism buys (measured:
+    +0.9s cold at sf0.1). The groupBy's own shuffle already spreads the
+    dominant aggregation across the cluster, and at real corpus sizes
+    the scan has enough splits anyway.
     """
-    tok = ensure_min_partitions(df).select(
+    tok = df.select(
         F.col(id_col), F.explode(_token_set(text_col)).alias("tok")
     )
     h = _md5_bits(F.col("tok"), n_bits).alias("h")

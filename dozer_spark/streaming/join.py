@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
+
 from dozer_spark.streaming.changelog import (
     CHANGELOG_COLS,
     apply_changelog,
@@ -92,7 +94,7 @@ class RetractingJoin:
             merged = batch_snap
         else:
             touched = changelog.select(*pk).distinct()
-            kept = prev.join(F.broadcast(touched), pk, "left_anti")
+            kept = prev.join(maybe_broadcast(touched), pk, "left_anti")
             merged = kept.unionByName(batch_snap)
         if self.ttl is not None and ts_col is not None:
             from dozer_spark.operators.ttl import ttl as apply_ttl
@@ -123,6 +125,13 @@ class RetractingJoin:
     ) -> DataFrame:
         lk = [l for l, _ in self.on]
         rk = [r for _, r in self.on]
+
+        # materialized caches: derived plans (dirty keys, touched-PK
+        # anti-joins) then gate broadcasts on the batch's REAL size
+        if left_changelog is not None:
+            left_changelog = cache_materialized(left_changelog)
+        if right_changelog is not None:
+            right_changelog = cache_materialized(right_changelog)
 
         dl = self._dirty_keys(left_changelog, self._left, self.left_pk, lk)
         dr_raw = self._dirty_keys(right_changelog, self._right, self.right_pk, rk)
@@ -206,6 +215,9 @@ class RetractingJoin:
             self._prev = self._ckpt("prev", kept.unionByName(new_out))
         if self._store is not None:
             self._store.commit()  # epoch commit: all three states together
+        for cl in (left_changelog, right_changelog):
+            if cl is not None:
+                cl.unpersist()
         return out
 
     def _prev_for_keys(self, dirty: DataFrame, how: str) -> DataFrame:

@@ -19,6 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
+
 
 def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str, pk: list[str],
                    delete_col: str | None = None) -> None:
@@ -27,6 +29,10 @@ def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str, pk: list[st
     If delete_col names a boolean column, rows with it true are deleted
     from the target instead of upserted (changelog 'D' handling).
     """
+    # materialized cache: the batch feeds the key anti-join AND the final
+    # union; caching avoids the double scan and lets the broadcast gate
+    # see its REAL size (first batch of a backfill can be corpus-sized)
+    batch = src = cache_materialized(batch)
     deletes = None
     if delete_col is not None:
         deletes = batch.filter(F.col(delete_col)).select(*pk)
@@ -38,7 +44,7 @@ def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str, pk: list[st
         keys = batch.select(*pk)
         if deletes is not None:
             keys = keys.unionByName(deletes)
-        kept = current.join(F.broadcast(keys), on=pk, how="left_anti")
+        kept = current.join(maybe_broadcast(keys), on=pk, how="left_anti")
         merged = kept.unionByName(batch)
     else:
         merged = batch
@@ -48,6 +54,7 @@ def upsert_parquet(spark: SparkSession, batch: DataFrame, path: str, pk: list[st
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+    src.unpersist()
 
 
 def foreach_batch_upsert(path: str, pk: list[str], delete_col: str | None = None):

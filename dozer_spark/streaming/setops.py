@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
+
 from dozer_spark.streaming.changelog import CHANGELOG_COLS, apply_changelog, keys_join
 
 
@@ -59,6 +61,12 @@ class RetractingUnion:
         if len(changelogs) != len(self.pks):
             raise ValueError(f"expected {len(self.pks)} changelogs")
 
+        # materialized caches: derived touched-PK sets then gate their
+        # broadcast on the batch's REAL size
+        changelogs = [
+            cache_materialized(cl) if cl is not None else None for cl in changelogs
+        ]
+
         # dirty values: new images + displaced old images, across inputs
         dirty = None
         for i, cl in enumerate(changelogs):
@@ -84,7 +92,7 @@ class RetractingUnion:
                 self._snaps[i] = self._ckpt(f"snap{i}", batch_snap)
             else:
                 touched = cl.select(*self.pks[i]).distinct()
-                kept = self._snaps[i].join(F.broadcast(touched), self.pks[i], "left_anti")
+                kept = self._snaps[i].join(maybe_broadcast(touched), self.pks[i], "left_anti")
                 self._snaps[i] = self._ckpt(f"snap{i}", kept.unionByName(batch_snap))
 
         # presence for dirty values = exists in ANY input snapshot
@@ -123,6 +131,9 @@ class RetractingUnion:
             self._present = self._ckpt("present", kept.unionByName(new_present))
         if self._store is not None:
             self._store.commit()
+        for cl in changelogs:
+            if cl is not None:
+                cl.unpersist()
         return out
 
     def current(self) -> DataFrame:

@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
+
 from dozer_spark.streaming.changelog import (
     CHANGELOG_COLS,
     apply_changelog,
@@ -96,7 +98,11 @@ class RetractingAggregation:
     def process_batch(self, changelog: DataFrame) -> DataFrame:
         """Consume one changelog micro-batch; return the output changelog of
         the aggregation (rows = aggregate records with __op I/U/D)."""
-        changelog = changelog.cache()
+        # materialized cache: every derived plan (touched keys, dirty
+        # groups) then carries the batch's REAL size, so the broadcast
+        # gate pins the anti-join hint for ordinary batches and refuses
+        # it for a corpus-sized backfill batch
+        changelog = cache_materialized(changelog)
 
         # 1. dirty group keys = keys of new images + keys of old images
         new_keys = changelog.select(*self.group_by)
@@ -115,7 +121,7 @@ class RetractingAggregation:
             merged = batch_snapshot
         else:
             touched = changelog.select(*self.pk).distinct()
-            kept = self._snapshot.join(F.broadcast(touched), self.pk, "left_anti")
+            kept = self._snapshot.join(maybe_broadcast(touched), self.pk, "left_anti")
             merged = kept.unionByName(batch_snapshot)
         # materialize to break lineage growth across batches
         merged = self._ckpt("snapshot", merged)

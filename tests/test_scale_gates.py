@@ -55,6 +55,18 @@ def test_minhash_large_corpus_plan_unhinted_same_result(spark):
     assert s == b and len(s) > 0
 
 
+def test_minhash_hot_band_fragment_split_same_result(spark):
+    """Forcing the skew path (tiny hot_band_cap splits every sizeable
+    band bucket into fragment cells) must yield exactly the plain plan's
+    pairs — the triangle decomposition covers each unordered pair once."""
+    d = _docs(spark)
+    plain = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+    split = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9, hot_band_cap=5)
+    p = sorted((r.id_a, r.id_b, r.jaccard) for r in plain.collect())
+    s = sorted((r.id_a, r.id_b, r.jaccard) for r in split.collect())
+    assert p == s and len(p) > 0
+
+
 def test_ngram_large_corpus_plan_unhinted_same_result(spark):
     d = _docs(spark)
     small = ngram_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.35)
@@ -65,6 +77,45 @@ def test_ngram_large_corpus_plan_unhinted_same_result(spark):
     s = sorted((r.id_a, r.id_b, r.jaccard) for r in small.collect())
     b = sorted((r.id_a, r.id_b, r.jaccard) for r in big.collect())
     assert s == b and len(s) > 0
+
+
+def test_streaming_snapshot_merge_broadcast_is_gated(spark, monkeypatch):
+    """The batch-touched-keys anti-join in the streaming operators must not
+    PIN a broadcast when the batch fails the size gate (first batch of a
+    backfill / snapshot replay is corpus-sized). Past the gate the merge
+    plan carries no broadcast hint; results are unchanged."""
+    from dozer_spark.operators import hints
+    from dozer_spark.streaming.stateful import RetractingAggregation
+
+    def run(gate_bytes):
+        ragg = RetractingAggregation(
+            spark, pk=["id"], group_by=["grp"],
+            aggs=[F.sum("amount").alias("s")],
+        )
+        plans = {}
+        orig = ragg._ckpt
+
+        def capture(name, df):
+            plans[name] = _optimized(df)
+            return orig(name, df)
+
+        ragg._ckpt = capture
+        cl = lambda rows: spark.createDataFrame(
+            rows, "__op string, __txid long, __seq long, id long, grp string, amount double"
+        )
+        ragg.process_batch(cl([("I", 1, 1, 1, "a", 5.0), ("I", 1, 2, 2, "b", 7.0)]))
+        monkeypatch.setattr(hints, "BROADCAST_GATE_BYTES", gate_bytes)
+        out = ragg.process_batch(
+            cl([("U", 2, 1, 1, "a", 9.0), ("I", 2, 2, 3, "a", 1.0)])
+        )
+        rows = sorted((r["__op"], r["grp"], r["s"]) for r in out.collect())
+        return plans["snapshot"], rows
+
+    plan_small, rows_small = run(256 << 20)  # small batch clears the gate
+    assert "strategy=broadcast" in plan_small
+    plan_big, rows_big = run(1)  # "corpus-sized" batch: estimate exceeds gate
+    assert "strategy=broadcast" not in plan_big
+    assert rows_small == rows_big and len(rows_small) > 0
 
 
 def test_batch_ttl_is_lazy_and_correct(spark):
