@@ -51,10 +51,15 @@ class ConcurrentWriteError(RuntimeError):
 
 class TransactionalTable:
     def __init__(self, spark: SparkSession, path: str, pk: list[str],
-                 n_buckets: int = 16):
+                 n_buckets: int = 16, change_retention: int | None = None):
+        """change_retention: number of trailing versions whose change-feed
+        dirs survive _vacuum (None = keep the full feed). Without a bound
+        the feed grows with every merge — set this on long-running CDC
+        sinks once downstream consumers are known to be caught up."""
         self.spark = spark
         self.path = path
         self.pk = pk
+        self.change_retention = change_retention
         os.makedirs(path, exist_ok=True)
         m = self._read_manifest()
         if m is not None:
@@ -64,11 +69,13 @@ class TransactionalTable:
             self.version = m["version"]
             self._buckets: dict[str, str] = dict(m["buckets"])  # bucket -> rel dir
             self._schema_json = m["schema"]
+            self._last_batch_id = m.get("last_batch_id")
         else:
             self.n_buckets = n_buckets
             self.version = 0
             self._buckets = {}
             self._schema_json = None
+            self._last_batch_id = None
 
     # -- manifest ------------------------------------------------------------
 
@@ -92,6 +99,9 @@ class TransactionalTable:
             "n_buckets": self.n_buckets,
             "buckets": self._buckets,
             "schema": self._schema_json,
+            # streaming idempotency: a foreachBatch retry of an
+            # already-merged batch_id is a no-op (see merge())
+            "last_batch_id": self._last_batch_id,
         }
         tmp = os.path.join(self.path, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
@@ -141,7 +151,14 @@ class TransactionalTable:
         )
         if not versions:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*versions)
+        # recursiveFileLookup: change dirs carry __b=K partition subdirs
+        # (an artifact of the combined data+changes write); the bucket id
+        # is not part of the CDF schema, so read plain files recursively
+        return (
+            self.spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*versions)
+        )
 
     def changes_as_changelog(self, since_version: int = 1) -> DataFrame:
         """CDF -> the engine's changelog convention (__op/__txid/__seq):
@@ -158,6 +175,9 @@ class TransactionalTable:
             .select(
                 op.alias("__op"),
                 F.col("_commit_version").alias("__txid"),
+                # INVARIANT: merge() dropDuplicates by PK per version, so
+                # each PK appears at most once per __txid and within-version
+                # order is immaterial (see sources/delta.py note).
                 F.monotonically_increasing_id().alias("__seq"),
                 *[c for c in ch.columns if not c.startswith("_")],
             )
@@ -165,16 +185,35 @@ class TransactionalTable:
 
     # -- merge ---------------------------------------------------------------
 
-    def merge(self, batch: DataFrame, delete_col: str | None = None) -> int:
+    def merge(self, batch: DataFrame, delete_col: str | None = None,
+              batch_id: int | None = None) -> int:
         """MERGE `batch` by PK: update when matched, insert when not;
         rows with `delete_col` true delete instead. Returns the new
         committed version. Only buckets containing batch keys are
-        rewritten; the rest carry forward untouched."""
+        rewritten; the rest carry forward untouched.
+
+        batch_id: streaming idempotency token. foreachBatch retries a
+        batch when the job dies between the sink commit and the
+        checkpoint advance; re-merging would append a duplicate version
+        and duplicate CDF rows. A batch_id at or below the last recorded
+        one is a NO-OP returning the current version.
+
+        Cost per merge is exactly TWO Spark jobs: the touched-bucket key
+        scan, and ONE combined write that produces both the new bucket
+        data and the change feed (partitioned by a __dest column, the
+        change half then renamed into changes/ — a metadata move, no
+        second pass over the rows).
+        """
+        if batch_id is not None and self._last_batch_id is not None \
+                and batch_id <= self._last_batch_id:
+            return self.version
         deletes = None
         if delete_col is not None:
             deletes = batch.filter(F.col(delete_col)).select(*self.pk)
             batch = batch.filter(~F.col(delete_col)).drop(delete_col)
-        batch = batch.dropDuplicates(self.pk)
+        # NO dropDuplicates here: last-writer-wins dedup folds into the
+        # merge join itself (groupBy PK below shares the join's shuffle
+        # partitioning, so the dedup costs no extra shuffle)
 
         if self._schema_json is None:
             self._schema_json = batch.schema.json()
@@ -182,8 +221,7 @@ class TransactionalTable:
 
         # buckets touched by this batch (one job over the slim key columns).
         # keyed/dk/cur are persisted for the duration of the merge: the
-        # data write and the change-feed write otherwise recompute the
-        # same join chain twice.
+        # combined write otherwise recomputes the join chain per branch.
         keyed = batch.withColumn("__b", self._bucket_col()).persist()
         key_src = keyed.select("__b")
         dk = None
@@ -202,51 +240,115 @@ class TransactionalTable:
         else:
             cur = self.spark.createDataFrame([], keyed.schema)
 
-        # set-based MERGE over all touched buckets at once
-        cur_keys = cur.select(*self.pk)
-        new_keys = keyed.select(*self.pk)
-        pre = cur.join(new_keys, self.pk, "semi")      # matched: old image
-        upd = keyed.join(cur_keys, self.pk, "semi")    # matched: new image
-        ins = keyed.join(cur_keys, self.pk, "anti")
-        kept = cur.join(new_keys, self.pk, "left_anti")
-        if dk is not None:
-            deld = kept.join(dk.select(*self.pk), self.pk, "semi")
-            kept = kept.join(dk.select(*self.pk), self.pk, "left_anti")
+        # set-based MERGE over all touched buckets in ONE pass: a single
+        # full-outer join on PK classifies every key (matched / new-only /
+        # old-only), and each joined row explodes into its 1-3 output
+        # rows — the new bucket row plus its CDF rows. One shuffle on PK,
+        # one write, instead of the previous 4 semi/anti-join branches.
+        data_cols = [c for c in keyed.columns]  # incl. __b
+        row_struct = F.struct(*[F.col(c) for c in data_cols])
+        # one-per-PK new images (last-writer-wins; any_value because
+        # intra-batch order is the transport's concern — callers that
+        # care pre-sort and dedup). The groupBy's hash partitioning on
+        # pk is exactly the join's, so Catalyst plans ONE shuffle.
+        n_side = (
+            keyed.select(row_struct.alias("__new"), *self.pk)
+            .groupBy(*self.pk)
+            .agg(F.any_value(F.col("__new")).alias("__new"))
+            .select("__new", *self.pk)
+        )
+        if old_rels:
+            o_side = cur.select(row_struct.alias("__old"), *self.pk)
+            joined = o_side.join(n_side, self.pk, "full_outer")
         else:
-            deld = None
-        merged = kept.unionByName(keyed)
+            # first write into these buckets: every batch row is an
+            # insert — no join, no shuffle beyond the batch's own
+            struct_t = T.StructType(
+                [keyed.schema[c] for c in data_cols]
+            )
+            joined = n_side.withColumn("__old", F.lit(None).cast(struct_t))
+        if dk is not None:
+            # distinct: duplicate delete keys must not fan out the join
+            joined = joined.join(
+                dk.select(*self.pk).distinct().withColumn("__d", F.lit(True)),
+                self.pk, "left",
+            )
+        else:
+            joined = joined.withColumn("__d", F.lit(False))
 
-        # ONE partitioned write for every touched bucket (b=K subdirs)
+        def role(dest: str, ct: str | None, img: F.Column) -> F.Column:
+            return F.struct(
+                F.lit(dest).alias("__dest"),
+                F.lit(ct).cast("string").alias("__ct"),
+                img.alias("__img"),
+            )
+
+        old_s, new_s = F.col("__old"), F.col("__new")
+        roles = (
+            F.when(
+                new_s.isNotNull() & old_s.isNotNull(),
+                F.array(
+                    role("data", None, new_s),
+                    role("changes", "update_preimage", old_s),
+                    role("changes", "update_postimage", new_s),
+                ),
+            )
+            .when(
+                new_s.isNotNull(),
+                F.array(role("data", None, new_s), role("changes", "insert", new_s)),
+            )
+            # old-only: delete only when flagged AND not re-upserted this
+            # batch (the new-image branches above win for matched PKs)
+            .when(
+                F.coalesce(F.col("__d"), F.lit(False)),
+                F.array(role("changes", "delete", old_s)),
+            )
+            .otherwise(F.array(role("data", None, old_s)))
+        )
+        combined = joined.select(F.explode(roles).alias("r")).select(
+            F.col("r.__img.*"),
+            F.col("r.__dest").alias("__dest"),
+            F.col("r.__ct").alias("_change_type"),
+            F.when(F.col("r.__ct").isNotNull(), F.lit(new_version))
+            .cast("long").alias("_commit_version"),
+        )
+
         vdir = os.path.join("buckets", f"v{new_version:06d}")
-        merged.write.mode("overwrite").partitionBy("__b").parquet(
+        combined.write.mode("overwrite").partitionBy("__dest", "__b").parquet(
             os.path.join(self.path, vdir)
         )
+
+        # early CAS check BEFORE mutating shared dirs: if another writer
+        # already committed our target version, fail loudly now instead
+        # of clobbering their change feed (the final _commit re-checks)
+        on_disk = self._read_manifest()
+        if on_disk is not None and on_disk["version"] != self.version:
+            raise ConcurrentWriteError(
+                f"manifest moved to v{on_disk['version']} during merge "
+                f"(expected v{self.version}): another writer committed"
+            )
+
+        # move the change half to its own dir (instant metadata rename;
+        # keeps the CDF outside the bucket dirs so bucket vacuum and
+        # change retention stay independent)
+        cdir = os.path.join(self.path, "changes")
+        os.makedirs(cdir, exist_ok=True)
+        src = os.path.join(self.path, vdir, "__dest=changes")
+        dst = os.path.join(cdir, f"v{new_version:06d}")
+        if os.path.isdir(dst):  # uncommitted leftover from a dead writer
+            shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        else:  # a batch with no effective changes still records the epoch
+            os.makedirs(dst, exist_ok=True)
+
+        ddir = os.path.join(vdir, "__dest=data")
         for b in touched:
-            rel = os.path.join(vdir, f"__b={b}")
+            rel = os.path.join(ddir, f"__b={b}")
             # partitionBy writes a dir only if the bucket has rows; an
             # all-deleted bucket becomes an empty entry
             self._buckets[str(b)] = rel
             os.makedirs(os.path.join(self.path, rel), exist_ok=True)
-
-        # change feed for this version, one write
-        def tag(df: DataFrame | None, t: str) -> DataFrame | None:
-            if df is None:
-                return None
-            return df.drop("__b").select(
-                "*",
-                F.lit(t).alias("_change_type"),
-                F.lit(new_version).cast("long").alias("_commit_version"),
-            )
-
-        parts = [p for p in (tag(ins, "insert"), tag(pre, "update_preimage"),
-                             tag(upd, "update_postimage"), tag(deld, "delete"))
-                 if p is not None]
-        changes = parts[0]
-        for p in parts[1:]:
-            changes = changes.unionByName(p)
-        changes.write.mode("overwrite").parquet(
-            os.path.join(self.path, "changes", f"v{new_version:06d}")
-        )
 
         keyed.unpersist()
         if dk is not None:
@@ -254,23 +356,32 @@ class TransactionalTable:
         if old_rels:
             cur.unpersist()
         self.version = new_version
+        if batch_id is not None:
+            self._last_batch_id = batch_id
         self._commit()
         self._vacuum()
         return new_version
 
     def _vacuum(self, keep_versions: int = 2) -> None:
-        """Drop bucket dirs not referenced by the manifest and older than
-        keep_versions (crash-rollback window)."""
+        """Drop bucket version dirs not referenced by the manifest and
+        older than keep_versions (crash-rollback window), and — when
+        change_retention is set — change-feed dirs older than the
+        retention window."""
         bd = os.path.join(self.path, "buckets")
-        if not os.path.isdir(bd):
-            return
-        live = {rel.split(os.sep)[1] for rel in self._buckets.values()}
-        floor = self.version - keep_versions + 1
-        for v in os.listdir(bd):
-            if not v.startswith("v"):
-                continue
-            if int(v[1:]) < floor and v not in live:
-                shutil.rmtree(os.path.join(bd, v), ignore_errors=True)
+        if os.path.isdir(bd):
+            live = {rel.split(os.sep)[1] for rel in self._buckets.values()}
+            floor = self.version - keep_versions + 1
+            for v in os.listdir(bd):
+                if not v.startswith("v"):
+                    continue
+                if int(v[1:]) < floor and v not in live:
+                    shutil.rmtree(os.path.join(bd, v), ignore_errors=True)
+        cd = os.path.join(self.path, "changes")
+        if self.change_retention is not None and os.path.isdir(cd):
+            cfloor = self.version - self.change_retention + 1
+            for v in os.listdir(cd):
+                if v.startswith("v") and int(v[1:]) < cfloor:
+                    shutil.rmtree(os.path.join(cd, v), ignore_errors=True)
 
 
 def foreach_batch_merge(path: str, pk: list[str], delete_col: str | None = None,
@@ -281,8 +392,10 @@ def foreach_batch_merge(path: str, pk: list[str], delete_col: str | None = None,
     def fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # batch_id makes a foreachBatch RETRY of an already-committed
+        # batch a no-op (crash between sink commit and checkpoint advance)
         TransactionalTable(batch.sparkSession, path, pk, n_buckets).merge(
-            batch, delete_col=delete_col
+            batch, delete_col=delete_col, batch_id=batch_id
         )
 
     return fn

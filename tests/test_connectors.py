@@ -97,6 +97,37 @@ class TestTransactionalTable:
         replayed = apply_changelog(t.changes_as_changelog(1), ["id"])
         assert _rows(replayed, "id", "v") == _rows(t.read(), "id", "v")
 
+    def test_batch_id_retry_is_idempotent(self, spark, tmp_path):
+        """A foreachBatch RETRY (crash between sink commit and checkpoint
+        advance) re-merges the same batch_id; it must be a no-op — no new
+        version, no duplicate CDF rows."""
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=2)
+        b = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        assert t.merge(b, batch_id=0) == 1
+        assert t.merge(b, batch_id=0) == 1  # retry: no-op
+        assert t.version == 1
+        assert t.read_changes(1).count() == 2
+        # survives reopen (manifest records last_batch_id)
+        t2 = TransactionalTable(spark, p, pk=["id"])
+        assert t2.merge(b, batch_id=0) == 1
+        assert t2.merge(b.withColumn("v", F.lit("c")), batch_id=1) == 2
+
+    def test_change_retention_vacuums_old_feed(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=2,
+                               change_retention=2)
+        for i in range(4):
+            t.merge(spark.createDataFrame([(i, f"v{i}")], ["id", "v"]))
+        vs = sorted(os.listdir(os.path.join(p, "changes")))
+        assert vs == ["v000003", "v000004"]  # only the retention window
+        # unbounded by default
+        p2 = str(tmp_path / "t2")
+        t2 = TransactionalTable(spark, p2, pk=["id"], n_buckets=2)
+        for i in range(4):
+            t2.merge(spark.createDataFrame([(i, f"v{i}")], ["id", "v"]))
+        assert len(os.listdir(os.path.join(p2, "changes"))) == 4
+
     def test_crash_before_commit_invisible(self, spark, tmp_path):
         p = str(tmp_path / "t")
         t = TransactionalTable(spark, p, pk=["id"], n_buckets=2)
@@ -136,6 +167,57 @@ def test_wal2json_changelog(spark):
     assert got == [("I", 1, "ann"), ("U", 1, "anne"), ("D", 1, None)]
     # replays to an empty table (insert -> update -> delete)
     assert apply_changelog(cl, ["id"]).count() == 0
+
+
+def test_wal2json_pk_changing_update_splits(spark):
+    """A PK-changing UPDATE (identity key != new key) must become
+    D(old PK) + I(new PK): a single U keyed by the new PK would strand
+    the old row in every downstream snapshot. LSN order drives __seq."""
+    from dozer_spark.sources.wal2json import wal2json_changelog
+
+    recs = [
+        {"action": "I", "table": "users", "xid": 100, "lsn": "0/10",
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "name", "type": "text", "value": "ann"}]},
+        # UPDATE users SET id = 2 WHERE id = 1
+        {"action": "U", "table": "users", "xid": 101, "lsn": "0/20",
+         "columns": [{"name": "id", "type": "integer", "value": "2"},
+                     {"name": "name", "type": "text", "value": "ann"}],
+         "identity": [{"name": "id", "value": "1"}]},
+    ]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in recs], ["value"])
+    cl = wal2json_changelog(raw, "value", "users",
+                            {"id": "bigint", "name": "string"}, pk=["id"])
+    got = [(r["__op"], r.id) for r in
+           sorted(cl.collect(), key=lambda r: (r["__txid"], r["__seq"]))]
+    assert got == [("I", 1), ("D", 1), ("I", 2)]
+    snap = apply_changelog(cl, ["id"])
+    assert _rows(snap, "id", "name") == [(2, "ann")]
+
+
+def test_wal2json_seq_is_lsn_ordered(spark):
+    """DELETE then re-INSERT of one PK inside one transaction must replay
+    in WAL order regardless of input row order (the
+    monotonically_increasing_id failure mode from ADVICE r2)."""
+    from dozer_spark.sources.wal2json import wal2json_changelog
+
+    recs = [  # deliberately listed re-insert FIRST
+        {"action": "I", "table": "t", "xid": 7, "lsn": "0/3F",
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "v", "type": "text", "value": "new"}]},
+        {"action": "D", "table": "t", "xid": 7, "lsn": "0/2A",
+         "identity": [{"name": "id", "value": "1"}]},
+        {"action": "I", "table": "t", "xid": 6, "lsn": "0/10",
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "v", "type": "text", "value": "old"}]},
+    ]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in recs], ["value"]) \
+        .repartition(3)  # spread so partition order != logical order
+    cl = wal2json_changelog(raw, "value", "t", {"id": "bigint", "v": "string"},
+                            pk=["id"])
+    seqs = {r["__op"]: r["__seq"] for r in cl.collect() if r["__txid"] == 7}
+    assert seqs["D"] < seqs["I"]  # WAL order, not partition order
+    assert _rows(apply_changelog(cl, ["id"]), "id", "v") == [(1, "new")]
 
 
 def test_mongo_change_stream_to_changelog(spark):
