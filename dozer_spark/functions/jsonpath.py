@@ -159,19 +159,16 @@ def json_query_str(json_text: str | None, path: str = "$") -> str | None:
     return None
 
 
-_REGISTERED: set[int] = set()
-
-
 def ensure_json_udfs(spark) -> None:
-    """Register json_value_full / json_query_full for SQL use (idempotent
-    per session). Plain Python UDFs are fine here: the engine routes only
-    wildcard/descent paths through them; hot simple paths stay on
-    get_json_object (JVM)."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return
+    """Register json_value_full / json_query_full for SQL use. Plain
+    Python UDFs are fine here: the engine routes only wildcard/descent
+    paths through them; hot simple paths stay on get_json_object (JVM).
+
+    Registration is UNCONDITIONAL: spark.udf.register is idempotent, and
+    memoizing by id(spark) was unsound — a garbage-collected session's id
+    can be reused by a new SparkSession, silently skipping registration
+    there and failing analysis of json_*_full calls."""
     from pyspark.sql import types as T
 
     spark.udf.register("json_value_full", json_value_str, T.StringType())
     spark.udf.register("json_query_full", json_query_str, T.StringType())
-    _REGISTERED.add(key)

@@ -57,6 +57,11 @@ def delta_cdf_changelog(spark: SparkSession, path: str,
         .select(
             op.alias("__op"),
             F.col("_commit_version").cast("long").alias("__txid"),
+            # INVARIANT: a Delta commit touches each PK at most once, so
+            # ordering WITHIN a version is immaterial — __seq only breaks
+            # ties across rows of different PKs. Do not reuse this for
+            # transports where one PK can appear twice per __txid (see
+            # wal2json._lsn_seq for the order-preserving pattern).
             F.monotonically_increasing_id().alias("__seq"),
             *data_cols,
         )

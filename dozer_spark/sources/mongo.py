@@ -59,12 +59,23 @@ def change_stream_to_changelog(events: DataFrame, event_col: str,
     events carry only documentKey; the document columns are NULL and the
     PK comes from the key — matching Operation::Delete{old} with a
     PK-only old image, which every downstream operator resolves by PK).
-    Ordering: clusterTime (txid) + a monotonic seq.
+
+    Ordering: __txid is clusterTime; __seq derives from the event's
+    RESUME TOKEN (`_id._data`): its leading bytes after the type tag are
+    the BSON timestamp (seconds + per-second ordinal) the server assigned,
+    so the token's hex prefix is a monotone key over the stream's real
+    order. monotonically_increasing_id would instead order by partition
+    layout — two ops on one PK in the same batch could replay reversed.
+    Events with no token (hand-built fixtures) fall back to seq 0 within
+    their clusterTime.
     """
     ev_schema = T.StructType(
         [
             T.StructField("operationType", T.StringType()),
             T.StructField("clusterTime", T.LongType()),
+            T.StructField(
+                "_id", T.StructType([T.StructField("_data", T.StringType())])
+            ),
             T.StructField("documentKey", doc_schema),  # subset: key fields
             T.StructField("fullDocument", doc_schema),
         ]
@@ -83,7 +94,12 @@ def change_stream_to_changelog(events: DataFrame, event_col: str,
         .select(
             op.alias("__op"),
             F.coalesce(F.col("e.clusterTime"), F.lit(0)).alias("__txid"),
-            F.monotonically_increasing_id().alias("__seq"),
+            # first 60 bits of the resume token's timestamp+ordinal field
+            # (chars 3.. after the '82' type tag): monotone in stream order
+            F.coalesce(
+                F.conv(F.substring(F.col("e._id._data"), 3, 15), 16, 10).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("__seq"),
             image.alias("__doc"),
         )
         .select("__op", "__txid", "__seq", "__doc.*")

@@ -65,8 +65,25 @@ def _col_value(arr_col: str, name: str) -> F.Column:
     )["value"]
 
 
+def _lsn_seq() -> F.Column:
+    """WAL position as an orderable BIGINT: 'X/Y' hex halves -> (X<<32)|Y.
+
+    This is the change's REAL log order (the reference resumes from
+    exactly this LSN). monotonically_increasing_id would order by
+    partition layout instead — two ops on the same PK inside one
+    transaction (DELETE then re-INSERT) could replay reversed and
+    last-op-wins would materialize the wrong image.
+    """
+    hi = F.conv(F.split(F.col("r.lsn"), "/")[0], 16, 10).cast("long")
+    lo = F.conv(F.split(F.col("r.lsn"), "/")[1], 16, 10).cast("long")
+    return F.coalesce(
+        F.shiftleft(hi, 32) + lo, F.lit(0).cast("long")
+    )
+
+
 def wal2json_changelog(raw: DataFrame, value_col: str, table: str,
-                       columns: dict[str, str]) -> DataFrame:
+                       columns: dict[str, str],
+                       pk: list[str] | None = None) -> DataFrame:
     """Parse wal2json v2 records for one table into the changelog.
 
     raw: DataFrame with a string column `value_col` holding one wal2json
@@ -79,21 +96,51 @@ def wal2json_changelog(raw: DataFrame, value_col: str, table: str,
     Delete records carry only the REPLICA IDENTITY columns; those are
     taken from `identity` and the remaining columns are NULL (PK-only
     old image, resolved downstream by PK like every delete).
+
+    pk: the table's key columns. A PK-CHANGING update (identity values
+    differ from the new image's key) is split into D(old identity image)
+    + I(new image) — a single U keyed by the new PK would strand the old
+    PK's row in every downstream snapshot forever. The reference builds
+    Operation::Update{old,new} from the replica identity for exactly
+    this case. __seq stays LSN-ordered; the D half sorts before the I
+    half at the same LSN.
     """
     p = raw.select(F.from_json(F.col(value_col), _W2J_SCHEMA).alias("r"))
     p = p.filter(
         (F.col("r.table") == table) & F.col("r.action").isin("I", "U", "D")
     )
 
+    pk_changed = F.lit(False)
+    for k in pk or []:
+        ident_k = _col_value("r.identity", k)
+        new_k = _col_value("r.columns", k)
+        pk_changed = pk_changed | (
+            ident_k.isNotNull() & ~ident_k.eqNullSafe(new_k)
+        )
+    pk_changed = (F.col("r.action") == "U") & pk_changed
+
+    # one output row per record, except PK-changing U -> two (D then I)
+    p = p.withColumn(
+        "__role",
+        F.explode(
+            F.when(pk_changed, F.array(F.lit("D"), F.lit("I")))
+            .otherwise(F.array(F.lit("_")))
+        ),
+    )
+    op = F.when(F.col("__role") == "_", F.col("r.action")).otherwise(F.col("__role"))
+    from_identity = (F.col("__role") == "D") | (F.col("r.action") == "D")
+
     def out_col(name: str, ddl: str) -> F.Column:
         ins = _col_value("r.columns", name)
         ident = _col_value("r.identity", name)
-        v = F.when(F.col("r.action") == "D", F.coalesce(ident, ins)).otherwise(ins)
+        v = F.when(from_identity, F.coalesce(ident, ins)).otherwise(ins)
         return v.cast(ddl).alias(name)
 
+    # 2*lsn so the split halves get distinct, correctly-ordered seqs
+    seq = _lsn_seq() * 2 + F.when(F.col("__role") == "I", 1).otherwise(0)
     return p.select(
-        F.col("r.action").alias("__op"),
+        op.alias("__op"),
         F.coalesce(F.col("r.xid"), F.lit(0)).alias("__txid"),
-        F.monotonically_increasing_id().alias("__seq"),
+        seq.alias("__seq"),
         *[out_col(n, d) for n, d in columns.items()],
     )
