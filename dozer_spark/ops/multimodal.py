@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (image/audio libraries are not available in
-this container) behind `register_decoder` — the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and tested
-with a deterministic fake decoder in tests/test_ops.py.
+METADATA extraction is REAL: probe_metadata parses PNG/JPEG/GIF
+dimensions and WAV audio properties from the raw bytes with the
+pure-stdlib codecs in ops/media_codecs.py (no media library needed).
+Only the pixel/sample DECODE (feature extraction) remains stubbed behind
+`register_decoder` — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested with a deterministic fake
+decoder in tests/test_ops.py.
 
 Design for 100 TB of media:
 - binary payloads stay opaque through shuffles; all filtering happens on
@@ -92,6 +95,46 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1000) -> DataFrame:
             yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def probe_metadata(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL metadata extraction from raw media bytes (no media library):
+    sniffs the container by magic bytes and parses PNG/JPEG/GIF
+    dimensions and WAV channels/sample-rate/duration with stdlib struct
+    (ops/media_codecs.py). Runs as Arrow-batched mapInPandas over the
+    two needed columns only — payloads never widen the shuffle, and at
+    scale the probe parallelizes with the scan."""
+    from dozer_spark.ops.media_codecs import probe_bytes
+
+    cols = [f.name for f in PROBE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = probe_bytes(bytes(payload) if payload is not None else None)
+                d["media_id"] = mid
+                out.append(d)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, PROBE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:

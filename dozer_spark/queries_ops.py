@@ -494,3 +494,65 @@ def dedup_final_corpus(spark, sf):
         F.col("id").alias("doc_id")
     )
     return d.join(losers, "doc_id", "anti").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata (real pure-stdlib codecs, ops/media_codecs.py)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_metadata_probe",
+    """
+    SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+           WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(16 + doc_id % 97 AS INT)
+           WHEN 1 THEN CAST(32 + doc_id % 211 AS INT) END AS width,
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN CAST(8 + doc_id % 53 AS INT)
+           WHEN 1 THEN CAST(16 + doc_id % 101 AS INT) END AS height,
+      CASE CAST(doc_id % 3 AS INT) WHEN 2
+           THEN CAST(100 * (1 + doc_id % 3) AS BIGINT) END AS duration_ms,
+      CASE CAST(doc_id % 3 AS INT) WHEN 2
+           THEN CAST(8000 + (doc_id % 5) * 4000 AS INT) END AS sample_rate,
+      CASE CAST(doc_id % 3 AS INT) WHEN 2
+           THEN CAST(1 + doc_id % 2 AS INT) END AS channels
+    FROM documents
+    """,
+)
+def multimodal_metadata_probe(spark, sf):
+    """End-to-end media metadata roundtrip: payload BYTES are built
+    per-doc from deterministic formulas (real PNG with CRCs + zlib IDAT,
+    JPEG SOF0 header stream, PCM WAV), then probe_metadata PARSES the
+    bytes back with the stdlib codecs (ops/media_codecs.py). The oracle
+    recomputes the expected metadata from the same formulas in SQL — any
+    builder or parser bug breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dozer_spark.ops.media_codecs import make_jpeg, make_png, make_wav
+    from dozer_spark.ops.multimodal import probe_metadata
+
+    # no type annotations: `from __future__ import annotations` turns them
+    # into strings pandas_udf cannot resolve at decoration time
+    def build(col):
+        out = []
+        for doc_id in col:
+            k = doc_id % 3
+            if k == 0:
+                out.append(make_png(16 + doc_id % 97, 8 + doc_id % 53))
+            elif k == 1:
+                out.append(make_jpeg(32 + doc_id % 211, 16 + doc_id % 101))
+            else:
+                rate = 8000 + (doc_id % 5) * 4000
+                n = (rate // 10) * (1 + doc_id % 3)
+                out.append(make_wav(rate, n, channels=1 + doc_id % 2))
+        return pd.Series(out)
+
+    build_udf = F.pandas_udf(build, T.BinaryType())
+    d = _cat(spark, sf).df("documents").select("doc_id")
+    media = d.withColumn("payload", build_udf(F.col("doc_id")))
+    return probe_metadata(media, id_col="doc_id", payload_col="payload").select(
+        F.col("media_id").alias("doc_id"), "mime", "width", "height",
+        "duration_ms", "sample_rate", "channels",
+    )

@@ -183,3 +183,61 @@ def test_repetition_ratio(spark):
     # doc 1: 7 trigrams, 3 distinct -> 1 - 3/7
     assert got[1] == round(1 - 3 / 7, 3)
     assert got[2] == 0.0
+
+
+class TestMediaCodecs:
+    """Pure-stdlib media metadata codecs (ops/media_codecs.py): builder ->
+    parser roundtrips plus malformed-input behavior."""
+
+    def test_png_roundtrip_and_validity(self):
+        from dozer_spark.ops.media_codecs import PNG_SIG, make_png, png_size, probe_bytes
+        b = make_png(257, 31)
+        assert b.startswith(PNG_SIG)
+        assert png_size(b) == (257, 31)
+        d = probe_bytes(b)
+        assert (d["mime"], d["width"], d["height"]) == ("image/png", 257, 31)
+        # zlib stream must actually decompress to H scanlines of W+1 bytes
+        import zlib
+        idat = b[8 + 25:]  # skip sig + IHDR chunk
+        assert idat[4:8] == b"IDAT"
+        ln = int.from_bytes(idat[:4], "big")
+        assert len(zlib.decompress(idat[8:8 + ln])) == 31 * 258
+
+    def test_jpeg_dimensions_after_many_segments(self):
+        from dozer_spark.ops.media_codecs import jpeg_size, make_jpeg
+        assert jpeg_size(make_jpeg(640, 480)) == (640, 480)
+        # SOF behind extra APPn/COM segments still found
+        import struct
+        com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+        b = make_jpeg(99, 77)
+        with_com = b[:2] + com + b[2:]
+        assert jpeg_size(with_com) == (99, 77)
+        assert jpeg_size(b"\xff\xd8\xff\xd9") is None  # no SOF
+
+    def test_wav_info_including_odd_chunk_padding(self):
+        import struct
+        from dozer_spark.ops.media_codecs import make_wav, wav_info
+        w = wav_info(make_wav(44100, 44100, channels=2, bits=16))
+        assert (w["sample_rate"], w["channels"], w["duration_ms"]) == (44100, 2, 1000)
+        # an odd-sized LIST chunk before fmt must not derail the walk
+        b = make_wav(8000, 800)
+        lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+        patched = b[:12] + lst + b[12:]
+        w2 = wav_info(patched)
+        assert w2 is not None and w2["duration_ms"] == 100
+
+    def test_probe_rejects_garbage(self):
+        from dozer_spark.ops.media_codecs import probe_bytes
+        for payload in (None, b"", b"garbage bytes not a container"):
+            d = probe_bytes(payload)
+            assert d["mime"] is None and d["width"] is None
+
+    def test_probe_metadata_dataframe(self, spark):
+        from dozer_spark.ops.media_codecs import make_png, make_wav
+        from dozer_spark.ops.multimodal import probe_metadata
+        rows = [(1, make_png(64, 32)), (2, make_wav(8000, 1600)), (3, b"junk")]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in probe_metadata(df).collect()}
+        assert (got[1].mime, got[1].width, got[1].height) == ("image/png", 64, 32)
+        assert (got[2].mime, got[2].duration_ms, got[2].sample_rate) == ("audio/wav", 200, 8000)
+        assert got[3].mime is None and got[3].n_bytes == 4
