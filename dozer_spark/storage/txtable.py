@@ -40,6 +40,13 @@ MANIFEST = "MANIFEST.json"
 CHANGE_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
 
 
+def _spark_str(v) -> str:
+    """Spark CAST(x AS STRING) equivalent for PK scalar types."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed since this instance loaded the manifest.
 
@@ -70,12 +77,14 @@ class TransactionalTable:
             self._buckets: dict[str, str] = dict(m["buckets"])  # bucket -> rel dir
             self._schema_json = m["schema"]
             self._last_batch_id = m.get("last_batch_id")
+            self._stats: dict[str, dict] = m.get("stats", {})
         else:
             self.n_buckets = n_buckets
             self.version = 0
             self._buckets = {}
             self._schema_json = None
             self._last_batch_id = None
+            self._stats = {}
 
     # -- manifest ------------------------------------------------------------
 
@@ -102,6 +111,9 @@ class TransactionalTable:
             # streaming idempotency: a foreachBatch retry of an
             # already-merged batch_id is a no-op (see merge())
             "last_batch_id": self._last_batch_id,
+            # per-bucket PK min/max (from parquet footers) for
+            # point-lookup pruning; absent entry = no claim
+            "stats": self._stats,
         }
         tmp = os.path.join(self.path, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
@@ -115,6 +127,52 @@ class TransactionalTable:
     def _bucket_col(self) -> F.Column:
         key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in self.pk])
         return F.pmod(F.crc32(key), F.lit(self.n_buckets)).cast("int")
+
+    def _bucket_of(self, pk_values: list) -> int:
+        """Driver-side replica of _bucket_col: same concat, same CRC32
+        (Spark's crc32 and zlib.crc32 share the polynomial), so a point
+        lookup can resolve its bucket without any Spark job."""
+        import zlib
+
+        key = "\x01".join(_spark_str(v) for v in pk_values).encode("utf-8")
+        return zlib.crc32(key) % self.n_buckets
+
+    def _footer_stats(self, rel: str) -> dict | None:
+        """Per-bucket min/max of the PK columns, read from the parquet
+        FOOTERS of the bucket's files (driver-side pyarrow — no Spark
+        job; row-group stats are already there)."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return None
+        d = os.path.join(self.path, rel)
+        mins: dict = {}
+        maxs: dict = {}
+        try:
+            for fn in os.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        if name not in self.pk:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None  # incomplete stats: claim nothing
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                        mins[name] = mn if name not in mins else min(mins[name], mn)
+                        maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+        except OSError:
+            return None
+        if not mins:
+            return {}  # empty bucket: matches nothing
+        return {c: [mins[c], maxs[c]] for c in mins}
 
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._schema_json))
@@ -134,6 +192,37 @@ class TransactionalTable:
             return self.spark.createDataFrame([], self._schema())
         paths = [os.path.join(self.path, rel) for rel in self._buckets.values()]
         return self.spark.read.schema(self._schema()).parquet(*paths)
+
+    def lookup_rel(self, pk_values: list) -> str | None:
+        """Resolve a PK point lookup to AT MOST ONE bucket dir, or None
+        when the manifest's footer stats prove the key cannot exist
+        (outside the bucket's [min, max] for any PK column) — zero IO in
+        that case. Falls back to the hash bucket when stats are absent."""
+        b = str(self._bucket_of(pk_values))
+        rel = self._buckets.get(b)
+        if rel is None:
+            return None
+        st = self._stats.get(b)
+        if st is not None:
+            if not st:
+                return None  # bucket exists but is empty
+            for c, v in zip(self.pk, pk_values):
+                if c in st:
+                    lo, hi = st[c]
+                    if v < lo or v > hi:
+                        return None
+        return rel
+
+    def lookup(self, pk_values: list) -> DataFrame:
+        """Point read by PK: reads only the one matching bucket (pruned
+        further to zero files by the manifest stats when possible)."""
+        rel = self.lookup_rel(pk_values)
+        if rel is None:
+            return self.spark.createDataFrame([], self._schema())
+        df = self._read_bucket(rel)
+        for c, v in zip(self.pk, pk_values):
+            df = df.filter(F.col(c) == F.lit(v))
+        return df
 
     def read_changes(self, since_version: int = 1) -> DataFrame:
         """Change data feed from `since_version` (inclusive) to the
@@ -349,6 +438,13 @@ class TransactionalTable:
             # all-deleted bucket becomes an empty entry
             self._buckets[str(b)] = rel
             os.makedirs(os.path.join(self.path, rel), exist_ok=True)
+            # refresh footer stats for the rewritten bucket (driver-side
+            # metadata read; untouched buckets keep their entries)
+            st = self._footer_stats(rel)
+            if st is None:
+                self._stats.pop(str(b), None)
+            else:
+                self._stats[str(b)] = st
 
         keyed.unpersist()
         if dk is not None:

@@ -128,6 +128,37 @@ class TestTransactionalTable:
             t2.merge(spark.createDataFrame([(i, f"v{i}")], ["id", "v"]))
         assert len(os.listdir(os.path.join(p2, "changes"))) == 4
 
+    def test_point_lookup_prunes_to_one_bucket(self, spark, tmp_path):
+        """Manifest footer stats: a point lookup touches at most ONE
+        bucket dir, and a key provably outside the bucket's PK range
+        reads ZERO files."""
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=8)
+        t.merge(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["id", "v"]))
+
+        # driver-side bucket function must agree with the Spark column
+        got = {
+            r.id: r.b for r in
+            spark.createDataFrame([(i,) for i in range(100)], ["id"])
+            .withColumn("b", t._bucket_col()).collect()
+        }
+        for i in range(100):
+            assert t._bucket_of([i]) == got[i], i
+
+        # present key: exactly the one matching bucket, correct row
+        rel = t.lookup_rel([42])
+        assert rel == t._buckets[str(t._bucket_of([42]))]
+        assert _rows(t.lookup([42]), "id", "v") == [(42, "v42")]
+
+        # absent key outside every bucket's [min, max]: no dir at all
+        assert t.lookup_rel([10_000_000]) is None
+        assert t.lookup([10_000_000]).count() == 0
+
+        # stats survive reopen via the manifest
+        t2 = TransactionalTable(spark, p, pk=["id"])
+        assert t2.lookup_rel([10_000_000]) is None
+        assert _rows(t2.lookup([7]), "v") == [("v7",)]
+
     def test_crash_before_commit_invisible(self, spark, tmp_path):
         p = str(tmp_path / "t")
         t = TransactionalTable(spark, p, pk=["id"], n_buckets=2)
