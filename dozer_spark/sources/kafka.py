@@ -78,3 +78,42 @@ def debezium_changelog(raw: DataFrame, row_schema: StructType) -> DataFrame:
         parsed.filter(F.col("e.__op").isNotNull())
         .select("e.__op", "e.__txid", "e.__seq", "e.row.*")
     )
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath (it is
+    not bundled with pyspark — clusters add the package)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_batch(spark: SparkSession, brokers: str, topic: str,
+                **options) -> DataFrame:
+    """Batch read of a topic's full retained log (backfill / testing
+    path; the streaming path is kafka_stream)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .options(**options)
+        .load()
+    )
+
+
+def kafka_write(df: DataFrame, brokers: str, topic: str) -> None:
+    """Batch produce: df must carry a string/binary `value` column
+    (and optionally `key`). Spark's own kafka sink — no client lib."""
+    (
+        df.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .save()
+    )

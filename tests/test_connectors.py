@@ -370,3 +370,51 @@ def test_concurrent_writer_detected(spark, tmp_path):
     a.merge(spark.createDataFrame([(2, "b")], ["id", "v"]))  # a is now v2
     with pytest.raises(ConcurrentWriteError, match="another writer"):
         b.merge(spark.createDataFrame([(3, "c")], ["id", "v"]))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="needs SPARK_GRAFT_KAFKA_BOOTSTRAP (broker + spark-sql-kafka package)",
+)
+def test_kafka_end_to_end_debezium(spark):
+    """Broker -> engine e2e: produce Debezium envelopes through Spark's
+    own kafka sink, consume them back (batch over the retained log),
+    parse to the changelog, run the retracting aggregation, and check
+    the final aggregate equals a direct replay — the same contract as
+    the Arrow-ingest e2e above, gated on a real broker."""
+    from dozer_spark.sources.kafka import (
+        debezium_changelog, kafka_available, kafka_batch, kafka_write,
+    )
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the classpath")
+    brokers = os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"]
+    topic = f"dozer_spark_e2e_{os.getpid()}"
+
+    def env(op, txid, seq, rid, grp, amt):
+        before = {"id": rid, "grp": grp, "amount": amt} if op == "d" else None
+        after = None if op == "d" else {"id": rid, "grp": grp, "amount": amt}
+        return json.dumps({"op": op, "ts_ms": txid, "before": before,
+                           "after": after,
+                           "source": {"txId": txid, "lsn": seq, "ts_ms": txid}})
+
+    msgs = [env("c", 1, 1, 1, "a", 5.0), env("c", 1, 2, 2, "a", 7.0),
+            env("u", 2, 3, 1, "a", 9.0), env("d", 3, 4, 2, "a", 0.0)]
+    kafka_write(
+        spark.createDataFrame([(m,) for m in msgs], ["value"]), brokers, topic
+    )
+
+    row_schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("grp", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    cl = debezium_changelog(kafka_batch(spark, brokers, topic), row_schema)
+
+    from dozer_spark.streaming.stateful import RetractingAggregation
+    ragg = RetractingAggregation(
+        spark, pk=["id"], group_by=["grp"],
+        aggs=[F.sum("amount").alias("s"), F.count(F.lit(1)).cast("long").alias("n")],
+    )
+    ragg.process_batch(cl)
+    got = [(r.grp, r.s, r.n) for r in ragg.current().collect()]
+    assert got == [("a", 9.0, 1)]  # id1 updated to 9.0, id2 deleted

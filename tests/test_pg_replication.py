@@ -1,0 +1,249 @@
+"""Native Postgres replication client tests.
+
+Protocol layers are tested with byte fixtures and against the public
+RFC 7677 SCRAM-SHA-256 test vector; the client end-to-end runs against
+an in-process FAKE server speaking the same wire protocol (trust auth,
+IDENTIFY_SYSTEM, START_REPLICATION with XLogData + keepalive frames).
+The live test gates on SPARK_GRAFT_PG_URL (real server,
+wal_level=logical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import threading
+
+import pytest
+
+from dozer_spark.sources.pg_replication import (
+    PGReplicationClient,
+    ScramClient,
+    build_standby_status,
+    build_startup,
+    int_to_lsn,
+    lsn_to_int,
+    md5_password,
+    parse_keepalive,
+    parse_pg_url,
+    parse_xlog_data,
+    tail_to_spool,
+)
+
+
+def test_lsn_roundtrip():
+    for s in ("0/0", "0/16B2D50", "A1/FF000000", "FFFFFFFF/FFFFFFFF"):
+        assert int_to_lsn(lsn_to_int(s)) == s
+    assert lsn_to_int("1/0") == 1 << 32
+
+
+def test_startup_message_layout():
+    b = build_startup("alice", "db1", replication=True)
+    (ln,) = struct.unpack(">I", b[:4])
+    assert ln == len(b)
+    assert struct.unpack(">I", b[4:8])[0] == 196608  # protocol 3.0
+    assert b"user\x00alice\x00" in b
+    assert b"replication\x00database\x00" in b
+    assert b.endswith(b"\x00")
+
+
+def test_md5_password_known_value():
+    # md5('secretalice') = concat hash per the documented scheme
+    import hashlib
+    inner = hashlib.md5(b"secretalice").hexdigest()
+    expected = "md5" + hashlib.md5(inner.encode() + b"\x01\x02\x03\x04").hexdigest()
+    assert md5_password("alice", "secret", b"\x01\x02\x03\x04") == expected
+
+
+def test_scram_sha256_rfc7677_vector():
+    """The published SCRAM-SHA-256 test vector (RFC 7677 §3)."""
+    c = ScramClient("user", "pencil", nonce="rOprNGfwEbeRWgbNEkqO",
+                    username="user")
+    assert c.client_first() == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = ("r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+                    "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    final = c.client_final(server_first)
+    assert final == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    assert c.verify_server_final(
+        "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+    assert not c.verify_server_final("v=bm90IHRoZSBzaWc=")
+
+
+def test_xlog_and_keepalive_frames():
+    payload = b'{"action":"I"}'
+    w = b"w" + struct.pack(">QQQ", 100, 200, 42) + payload
+    assert parse_xlog_data(w) == (100, 200, payload)
+    k = b"k" + struct.pack(">QQB", 300, 42, 1)
+    assert parse_keepalive(k) == (300, True)
+    # standby status roundtrip: CopyData('d') wrapping 'r' + 4 QWORDs + flag
+    msg = build_standby_status(lsn_to_int("1/AB"), reply_requested=True)
+    assert msg[:1] == b"d" and msg[5:6] == b"r"
+    written, flushed, applied, _clock, reply = struct.unpack(">QQQQB", msg[6:39])
+    assert written == flushed == applied == lsn_to_int("1/AB")
+    assert reply == 1
+
+
+def test_parse_pg_url():
+    d = parse_pg_url("postgres://u:pw@h:5444/mydb")
+    assert d == {"host": "h", "port": 5444, "user": "u", "password": "pw",
+                 "dbname": "mydb"}
+    assert parse_pg_url("postgres://localhost")["dbname"] == "postgres"
+
+
+# -- fake wire server --------------------------------------------------------
+
+
+def _m(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack(">I", len(body) + 4) + body
+
+
+class FakePG(threading.Thread):
+    """Just enough of the v3 protocol: trust auth, one canned simple
+    query, START_REPLICATION streaming two changes + a reply-requested
+    keepalive, then waits for the standby status update."""
+
+    def __init__(self, changes: list[bytes]):
+        super().__init__(daemon=True)
+        self.changes = changes
+        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self.srv.getsockname()[1]
+        self.got_status = threading.Event()
+        self.status_lsn: int | None = None
+
+    def run(self):
+        conn, _ = self.srv.accept()
+        buf = b""
+
+        def recv_exact(n):
+            nonlocal buf
+            while len(buf) < n:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    raise ConnectionError
+                buf += chunk
+            out, rest = buf[:n], buf[n:]
+            buf = rest
+            return out
+
+        # startup (untagged)
+        (ln,) = struct.unpack(">I", recv_exact(4))
+        recv_exact(ln - 4)
+        conn.sendall(_m(b"R", struct.pack(">I", 0)))        # AuthenticationOk
+        conn.sendall(_m(b"Z", b"I"))                        # ReadyForQuery
+        try:
+            while True:
+                head = recv_exact(5)
+                tag = head[:1]
+                (ln,) = struct.unpack(">I", head[1:5])
+                body = recv_exact(ln - 4)
+                if tag == b"X":
+                    break
+                if tag == b"Q" and body.startswith(b"IDENTIFY_SYSTEM"):
+                    cols = b"".join(
+                        name + b"\x00" + bytes(18)
+                        for name in (b"systemid", b"timeline", b"xlogpos")
+                    )
+                    conn.sendall(_m(b"T", struct.pack(">H", 3) + cols))
+                    vals = [b"fake-system", b"1", b"0/500"]
+                    row = struct.pack(">H", 3) + b"".join(
+                        struct.pack(">i", len(v)) + v for v in vals
+                    )
+                    conn.sendall(_m(b"D", row))
+                    conn.sendall(_m(b"C", b"IDENTIFY_SYSTEM\x00"))
+                    conn.sendall(_m(b"Z", b"I"))
+                elif tag == b"Q" and body.startswith(b"START_REPLICATION"):
+                    conn.sendall(_m(b"W", b"\x00\x00\x00"))
+                    lsn = lsn_to_int("0/100")
+                    for i, ch in enumerate(self.changes):
+                        frame = b"w" + struct.pack(
+                            ">QQQ", lsn + i, lsn + i + 1, 0) + ch
+                        conn.sendall(_m(b"d", frame))
+                    ka = b"k" + struct.pack(">QQB", lsn + len(self.changes), 0, 1)
+                    conn.sendall(_m(b"d", ka))
+                elif tag == b"d" and body[:1] == b"r":
+                    (self.status_lsn,) = struct.unpack(">Q", body[9:17])
+                    self.got_status.set()
+        except ConnectionError:
+            pass
+        conn.close()
+        self.srv.close()
+
+
+def test_client_against_fake_server(spark, tmp_path):
+    """Full client path over a real socket: connect, simple query,
+    START_REPLICATION, consume XLogData, acknowledge via standby status;
+    then the spooled records parse through wal2json_changelog."""
+    changes = [
+        json.dumps({"action": "I", "table": "t", "xid": 1, "lsn": "0/101",
+                    "columns": [{"name": "id", "type": "integer", "value": "1"},
+                                {"name": "v", "type": "text", "value": "a"}]}).encode(),
+        json.dumps({"action": "U", "table": "t", "xid": 2, "lsn": "0/102",
+                    "columns": [{"name": "id", "type": "integer", "value": "1"},
+                                {"name": "v", "type": "text", "value": "b"}],
+                    "identity": [{"name": "id", "value": "1"}]}).encode(),
+    ]
+    srv = FakePG(changes)
+    srv.start()
+
+    cli = PGReplicationClient("127.0.0.1", srv.port, "u", "", "db",
+                              replication=True).connect()
+    rows = cli.query("IDENTIFY_SYSTEM")
+    assert rows == [{"systemid": "fake-system", "timeline": "1",
+                     "xlogpos": "0/500"}]
+    got = list(cli.stream("slot1", "0/0", idle_timeout=1.5))
+    cli.close()
+    assert [p for _, p in got] == changes
+    assert srv.got_status.wait(5.0)
+    assert srv.status_lsn >= lsn_to_int("0/100")
+
+    # records -> engine changelog
+    from dozer_spark.sources.wal2json import wal2json_changelog
+    raw = spark.createDataFrame([(c.decode(),) for c in changes], ["v"])
+    cl = wal2json_changelog(raw, "v", "t", {"id": "bigint", "v": "string"},
+                            pk=["id"])
+    from dozer_spark.streaming.changelog import apply_changelog
+    snap = apply_changelog(cl, ["id"])
+    assert [(r.id, r.v) for r in snap.collect()] == [(1, "b")]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_PG_URL"),
+    reason="needs SPARK_GRAFT_PG_URL (live Postgres, wal_level=logical)",
+)
+def test_live_postgres_snapshot_then_tail(spark, tmp_path):
+    """Against a real server: create table + slot, insert/update/delete
+    through the SAME client's simple-query path, tail the slot to a
+    spool, parse, replay, and check the final snapshot. Re-runs resume
+    from the stored LSN."""
+    url = os.environ["SPARK_GRAFT_PG_URL"]
+    cfg = parse_pg_url(url)
+    admin = PGReplicationClient(**cfg).connect()
+    admin.query("DROP TABLE IF EXISTS dozer_spark_live")
+    admin.query("CREATE TABLE dozer_spark_live (id int PRIMARY KEY, v text)")
+    repl = PGReplicationClient(**cfg, replication=True).connect()
+    repl.create_slot("dozer_spark_slot")
+    admin.query("INSERT INTO dozer_spark_live VALUES (1, 'a'), (2, 'b')")
+    admin.query("UPDATE dozer_spark_live SET v = 'a2' WHERE id = 1")
+    admin.query("DELETE FROM dozer_spark_live WHERE id = 2")
+    repl.close()
+
+    spool = str(tmp_path / "spool")
+    n = tail_to_spool(url, "dozer_spark_slot", spool)
+    assert n > 0
+    from dozer_spark.sources.pg_replication import spool_changelog
+    cl = spool_changelog(spark, spool, "dozer_spark_live",
+                         {"id": "bigint", "v": "string"}, pk=["id"])
+    from dozer_spark.streaming.changelog import apply_changelog
+    snap = apply_changelog(cl, ["id"])
+    assert sorted((r.id, r.v) for r in snap.collect()) == [(1, "a2")]
+    # LSN stored for resume
+    assert os.path.exists(os.path.join(spool, "_lsn"))
+    admin.query("SELECT pg_drop_replication_slot('dozer_spark_slot')")
+    admin.query("DROP TABLE dozer_spark_live")
+    admin.close()
