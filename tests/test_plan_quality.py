@@ -67,3 +67,19 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     back = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
     plan = _plan(back)
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_subquery_shapes_decorrelate(spark):
+    """The wave-4 subquery queries must decorrelate: the physical plan
+    runs semi/anti/aggregate JOINS, never a per-row subquery, and no
+    CartesianProduct appears."""
+    for name in ("q4_order_priority_exists", "q21_waiting_supplier_exists_chain",
+                 "q22_global_sales_opportunity", "q18_large_volume_in_having"):
+        df = registry()[name].build(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "LeftSemi" in plan or "LeftAnti" in plan or "Join" in plan, name
+    # the EXISTS/NOT EXISTS chain specifically becomes semi + anti joins
+    p21 = _plan(registry()["q21_waiting_supplier_exists_chain"].build(
+        spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
