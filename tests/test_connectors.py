@@ -418,3 +418,56 @@ def test_kafka_end_to_end_debezium(spark):
     ragg.process_batch(cl)
     got = [(r.grp, r.s, r.n) for r in ragg.current().collect()]
     assert got == [("a", 9.0, 1)]  # id1 updated to 9.0, id2 deleted
+
+
+def test_webhook_ingest_end_to_end(spark, tmp_path):
+    """HTTP -> spool -> engine: post plain rows and changelog envelopes,
+    read both back, replay the changelog. Same landing contract as the
+    Arrow ingest e2e (atomic files, ack-after-rename)."""
+    import urllib.request
+
+    from dozer_spark.sources.webhook import (
+        WebhookServer, webhook_changelog, webhook_rows,
+    )
+
+    spool = str(tmp_path / "hook")
+    srv = WebhookServer(spool).start()
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 200
+
+        post("/", {"id": 1, "v": "a"})
+        post("/", [{"id": 2, "v": "b"}, {"id": 3, "v": "c"}])
+        post("/changelog", [
+            {"op": "I", "txid": 1, "data": {"id": 1, "v": "x"}},
+            {"op": "U", "txid": 2, "data": {"id": 1, "v": "y"}},
+        ])
+        post("/changelog", {"op": "D", "txid": 3, "data": {"id": 1}})
+        # malformed posts are rejected and land nothing
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/", data=b"not json")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert srv.requests_landed == 4
+    finally:
+        srv.stop()
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    rows = webhook_rows(spark, spool, schema)
+    assert _rows(rows, "id", "v") == [(1, "a"), (2, "b"), (3, "c")]
+
+    cl = webhook_changelog(spark, spool, schema)
+    got = [(r["__op"], r.id, r.v) for r in
+           sorted(cl.collect(), key=lambda r: r["__seq"])]
+    assert got == [("I", 1, "x"), ("U", 1, "y"), ("D", 1, None)]
+    assert apply_changelog(cl, ["id"]).count() == 0  # I -> U -> D replays empty
