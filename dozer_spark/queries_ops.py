@@ -254,7 +254,56 @@ def ann_brute_force_topk(spark, sf):
     return brute_force_topk(e, q, "embedding", "vec_id", k=5)
 
 
-@_q("ann_lsh_topk", None)  # approximate — rows-only check; recall tested in pytest
+def _lsh_ann_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """EXACT oracle for hyperplane-LSH ANN: the planes are deterministic
+    md5 constants (similarity._hyperplanes), so the oracle embeds them as
+    literals and replays bucket assignment + in-bucket cosine top-k in
+    SQL. The sign threshold is ulp-sensitive in principle; the plane
+    values are exact dyadic rationals and both engines evaluate the same
+    sequential sum, so buckets agree in practice (parity-gated)."""
+    from dozer_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+
+    def dot(vcol: str, plane: list[float]) -> str:
+        vals = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vcol}[i] AS DOUBLE) * ([{vals}])[i]))"
+        )
+
+    def bucket(vcol: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(vcol, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cos = """
+        list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))"""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {bucket("embedding")} AS bucket
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {bucket("embedding")} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_raw
+      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= {k}
+    """
+
+
+@_q("ann_lsh_topk", _lsh_ann_oracle())  # deterministic md5 planes -> exact oracle
 def ann_lsh_topk(spark, sf):
     e = _cat(spark, sf).df("embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
