@@ -86,6 +86,35 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
         if fmt == "parquet":
             # ns-timestamp-safe path (see registry._nanos_ts_cols)
             df = load_parquet(spark, src["path"], name)
+        elif fmt == "webhook":
+            # rows spooled by sources/webhook.WebhookServer; `schema` is
+            # a DDL string ("id long, v string")
+            from pyspark.sql.types import _parse_datatype_string
+
+            from dozer_spark.sources.webhook import webhook_rows
+
+            df = webhook_rows(spark, src["path"],
+                              _parse_datatype_string(src["schema"]))
+        elif fmt == "wal2json_spool":
+            # changelog spooled by sources/pg_replication.tail_to_spool;
+            # resolves to the CURRENT snapshot (changelog replayed by PK)
+            from dozer_spark.sources.pg_replication import spool_changelog
+            from dozer_spark.streaming.changelog import apply_changelog
+
+            pk = src.get("pk")
+            if not pk:
+                raise ValueError(f"source {name!r}: wal2json_spool needs pk")
+            cl = spool_changelog(spark, src["path"], src.get("table", name),
+                                 dict(src["columns"]), pk=list(pk))
+            df = apply_changelog(cl, list(pk))
+        elif fmt == "transactional":
+            # read back a TransactionalTable sink as a source
+            from dozer_spark.storage import TransactionalTable
+
+            pk = src.get("pk")
+            if not pk:
+                raise ValueError(f"source {name!r}: transactional needs pk")
+            df = TransactionalTable(spark, src["path"], pk=list(pk)).read()
         else:
             df = read_table(spark, src["path"], fmt)
         cat.register(name, df, pk=src.get("pk"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from dozer_spark.app import run_app, _split_statements
@@ -108,3 +110,79 @@ def test_run_app_transactional_sink(spark, tmp_path):
     got = sorted((r.id, r.doubled) for r in t.read().collect())
     assert got == [(1, 200.0), (2, 40.0), (3, 60.0)]
     assert t.version == 2
+
+
+def test_run_app_webhook_and_transactional_sources(spark, tmp_path):
+    """New source formats: 'webhook' (ndjson spool) and 'transactional'
+    (read a TransactionalTable back as an input)."""
+    import json as _json
+    import urllib.request
+
+    from dozer_spark.app import run_app
+    from dozer_spark.sources.webhook import WebhookServer
+    from dozer_spark.storage import TransactionalTable
+
+    hook = str(tmp_path / "hook")
+    srv = WebhookServer(hook).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/",
+            data=_json.dumps([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]).encode(),
+        )
+        urllib.request.urlopen(req).read()
+    finally:
+        srv.stop()
+
+    tx = str(tmp_path / "tx")
+    TransactionalTable(spark, tx, pk=["id"]).merge(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "amount"])
+    )
+
+    config = {
+        "sources": {
+            "hooked": {"format": "webhook", "path": hook,
+                       "schema": "id long, v string"},
+            "amounts": {"format": "transactional", "path": tx, "pk": ["id"]},
+        },
+        "sql": ("SELECT h.id, h.v, a.amount FROM hooked h "
+                "JOIN amounts a ON h.id = a.id"),
+    }
+    out = run_app(spark, config).outputs["__result__"]
+    assert sorted((r.id, r.v, r.amount) for r in out.collect()) == [
+        (1, "a", 10.0), (2, "b", 20.0)]
+
+
+def test_run_app_wal2json_spool_source(spark, tmp_path):
+    """'wal2json_spool' source: a pg_replication spool dir resolves to
+    the replayed current snapshot."""
+    import json as _json
+
+    from dozer_spark.app import run_app
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    recs = [
+        {"action": "I", "table": "t", "xid": 1, "lsn": "0/10",
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "v", "type": "text", "value": "a"}]},
+        {"action": "U", "table": "t", "xid": 2, "lsn": "0/20",
+         "columns": [{"name": "id", "type": "integer", "value": "1"},
+                     {"name": "v", "type": "text", "value": "b"}],
+         "identity": [{"name": "id", "value": "1"}]},
+        {"action": "I", "table": "t", "xid": 2, "lsn": "0/30",
+         "columns": [{"name": "id", "type": "integer", "value": "2"},
+                     {"name": "v", "type": "text", "value": "c"}]},
+    ]
+    with open(os.path.join(spool, "wal-0.jsonl"), "w") as f:
+        for r in recs:
+            f.write(_json.dumps(r) + "\n")
+
+    config = {
+        "sources": {
+            "t": {"format": "wal2json_spool", "path": spool, "pk": ["id"],
+                  "table": "t", "columns": {"id": "bigint", "v": "string"}},
+        },
+        "sql": "SELECT id, v FROM t",
+    }
+    out = run_app(spark, config).outputs["__result__"]
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, "b"), (2, "c")]

@@ -183,3 +183,62 @@ def test_retracting_join_equals_snapshot_join(spark, batches):
         (r.uid, r.name, r.jk, r.rid, r.rjk, r.rname) for r in j.current().collect()
     }
     assert got == expected
+
+
+# -- TransactionalTable model check ------------------------------------------
+
+merge_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),          # key
+            st.integers(min_value=0, max_value=99),          # value
+            st.booleans(),                                   # delete?
+        ),
+        min_size=1, max_size=6,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=merge_batches)
+def test_txtable_merge_matches_dict_model(spark, tmp_path_factory, batches):
+    """Random merge sequences vs a plain dict model: the snapshot after
+    every merge and the full CDF replay must both match last-op-wins
+    semantics (delete applies only when the key is not re-upserted in
+    the same batch — merge() contract)."""
+    import shutil
+    import tempfile
+
+    from dozer_spark.storage import TransactionalTable
+    from dozer_spark.streaming.changelog import apply_changelog
+
+    path = tempfile.mkdtemp(prefix="txprop_")
+    try:
+        t = TransactionalTable(spark, path, pk=["id"], n_buckets=4)
+        model: dict[int, int] = {}
+        for batch in batches:
+            rows = [(k, v, d) for (k, v, d) in batch]
+            upserts = {k: v for (k, v, d) in rows if not d}
+            deletes = {k for (k, v, d) in rows if d}
+            t.merge(
+                spark.createDataFrame(rows, "id long, v long, is_del boolean"),
+                delete_col="is_del",
+            )
+            for k in deletes - set(upserts):
+                model.pop(k, None)
+            for k, v in upserts.items():
+                model[k] = v
+            got = {r.id: r.v for r in t.read().collect()}
+            # any_value picks an arbitrary duplicate winner; compare keys
+            # exactly and values only for keys with a unique upsert
+            assert set(got) == set(model)
+            uniq = {k for k in upserts
+                    if sum(1 for (k2, _, d) in rows if k2 == k and not d) == 1}
+            for k in uniq:
+                assert got[k] == upserts[k]
+        replayed = {r.id: r.v for r in
+                    apply_changelog(t.changes_as_changelog(1), ["id"]).collect()}
+        assert set(replayed) == set(model)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
