@@ -128,12 +128,18 @@ def wal2json_changelog(raw: DataFrame, value_col: str, table: str,
         ),
     )
     op = F.when(F.col("__role") == "_", F.col("r.action")).otherwise(F.col("__role"))
-    from_identity = (F.col("__role") == "D") | (F.col("r.action") == "D")
 
     def out_col(name: str, ddl: str) -> F.Column:
         ins = _col_value("r.columns", name)
         ident = _col_value("r.identity", name)
-        v = F.when(from_identity, F.coalesce(ident, ins)).otherwise(ins)
+        v = (
+            # split-off D half of a PK-changing U: the OLD image is the
+            # replica identity only — new-image values must not leak
+            # into non-identity columns of the delete row
+            F.when(F.col("__role") == "D", ident)
+            .when(F.col("r.action") == "D", F.coalesce(ident, ins))
+            .otherwise(ins)
+        )
         return v.cast(ddl).alias(name)
 
     # 2*lsn so the split halves get distinct, correctly-ordered seqs
