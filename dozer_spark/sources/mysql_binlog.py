@@ -232,11 +232,57 @@ def _decode_value(t: int, meta: int, b: bytes, i: int):
         s = raw & 0x3F
         return f"{y:04d}-{mo:02d}-{day:02d} {h:02d}:{mi:02d}:{s:02d}", i
     if t == T_NEWDECIMAL:
-        # decode to string via the packed BCD-ish format is involved;
-        # surface loudly instead of risking silent corruption
-        raise NotImplementedError("NEWDECIMAL decode not supported; "
-                                  "cast the column or extend _decode_value")
+        precision, scale = meta >> 8, meta & 0xFF
+        s, nxt = decode_newdecimal(b, i, precision, scale)
+        return s, nxt
     raise NotImplementedError(f"unsupported column type {t}")
+
+
+# bytes needed for a partial group of N leading/trailing decimal digits
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def decode_newdecimal(b: bytes, i: int, precision: int, scale: int
+                      ) -> tuple[str, int]:
+    """MySQL packed DECIMAL: big-endian groups of 9 digits per 4 bytes,
+    partial groups in _DIG2BYTES[n] bytes, sign in the first bit
+    (0 = negative, all bytes complemented). Returns the exact decimal
+    STRING (no float roundtrip). Reference vector from the public
+    internals docs: DECIMAL(14,4) 1234567890.1234 <->
+    81 0D FB 38 D2 04 D2."""
+    intg = precision - scale
+    intg0, intgx = divmod(intg, 9)
+    frac0, fracx = divmod(scale, 9)
+    total = intg0 * 4 + _DIG2BYTES[intgx] + frac0 * 4 + _DIG2BYTES[fracx]
+    raw = bytearray(b[i:i + total])
+    negative = not (raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if negative:
+        raw = bytearray(x ^ 0xFF for x in raw)
+    pos = 0
+    int_digits = ""
+    if intgx:
+        n = _DIG2BYTES[intgx]
+        int_digits += str(int.from_bytes(raw[pos:pos + n], "big"))
+        pos += n
+    for _ in range(intg0):
+        g = int.from_bytes(raw[pos:pos + 4], "big")
+        int_digits += f"{g:09d}" if int_digits else str(g)
+        pos += 4
+    frac_digits = ""
+    for _ in range(frac0):
+        frac_digits += f"{int.from_bytes(raw[pos:pos + 4], 'big'):09d}"
+        pos += 4
+    if fracx:
+        n = _DIG2BYTES[fracx]
+        frac_digits += f"{int.from_bytes(raw[pos:pos + n], 'big'):0{fracx}d}"
+        pos += n
+    out = (int_digits or "0").lstrip("0") or "0"
+    if frac_digits:
+        out += "." + frac_digits
+    if negative and (out.strip("0.") != ""):
+        out = "-" + out
+    return out, i + total
 
 
 def parse_rows_event(body: bytes, tmap: TableMap, event_type: int) -> list[dict]:

@@ -274,3 +274,21 @@ def test_live_mysql_binlog_tail(spark):
         assert n_rows >= 0
     finally:
         cli.close()
+
+
+def test_newdecimal_decode():
+    """Public internals-doc vector: DECIMAL(14,4) 1234567890.1234 is
+    81 0D FB 38 D2 04 D2; negative values complement every byte."""
+    from dozer_spark.sources.mysql_binlog import decode_newdecimal
+
+    pos = bytes.fromhex("810dfb38d204d2")
+    s, nxt = decode_newdecimal(pos, 0, 14, 4)
+    assert (s, nxt) == ("1234567890.1234", 7)
+    neg = bytes(x ^ 0xFF for x in pos)
+    s2, _ = decode_newdecimal(neg, 0, 14, 4)
+    assert s2 == "-1234567890.1234"
+    # integer-only and fraction-only shapes
+    five = bytes.fromhex("80000005")  # DECIMAL(9,0) value 5
+    assert decode_newdecimal(five, 0, 9, 0)[0] == "5"
+    frac = bytes.fromhex("8000000c")  # DECIMAL(9,9) .000000012
+    assert decode_newdecimal(frac, 0, 9, 9)[0] == "0.000000012"
