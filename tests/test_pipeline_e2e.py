@@ -104,3 +104,70 @@ def test_cdc_pipeline_survives_restart(spark, tmp_path):
 
     replayed = apply_changelog(t2.changes_as_changelog(1), ["grp"])
     assert sorted((r.grp, r.total, r.n) for r in replayed.collect()) == got2
+
+
+def test_webhook_to_streaming_to_transactional_table(spark, tmp_path):
+    """Round-3 composition: webhook HTTP ingest -> ndjson spool ->
+    Structured Streaming -> retracting aggregation -> TransactionalTable
+    MERGE with idempotent batch ids; final table equals the from-scratch
+    aggregate over the posted changelog."""
+    import json
+    import urllib.request
+
+    from dozer_spark.sources.webhook import WebhookServer
+
+    spool = str(tmp_path / "hook")
+    srv = WebhookServer(spool).start()
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}/changelog",
+                data=json.dumps(payload).encode(),
+            )
+            urllib.request.urlopen(req).read()
+
+        post([{"op": "I", "txid": 1, "data": {"id": 1, "grp": "a", "amount": 5.0}},
+              {"op": "I", "txid": 1, "data": {"id": 2, "grp": "b", "amount": 7.0}}])
+        post([{"op": "U", "txid": 2, "data": {"id": 1, "grp": "a", "amount": 9.0}},
+              {"op": "I", "txid": 2, "data": {"id": 3, "grp": "a", "amount": 1.0}}])
+        post([{"op": "D", "txid": 3, "data": {"id": 2, "grp": "b"}}])
+    finally:
+        srv.stop()
+
+    env = ("op string, txid long, _landed_seq long, "
+           "data struct<id: bigint, grp: string, amount: double>")
+    table_path = str(tmp_path / "table")
+    ragg = RetractingAggregation(
+        spark, pk=["id"], group_by=["grp"],
+        aggs=[F.sum("amount").alias("total"),
+              F.count(F.lit(1)).cast("long").alias("n")],
+    )
+
+    def on_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        cl = batch.filter(F.col("op").isin("I", "U", "D")).select(
+            F.col("op").alias("__op"),
+            F.coalesce("txid", F.lit(0)).alias("__txid"),
+            F.col("_landed_seq").alias("__seq"),
+            F.col("data.*"),
+        )
+        out_cl = ragg.process_batch(cl)
+        sink = out_cl.withColumn("__del", F.col("__op") == "D").drop("__op")
+        TransactionalTable(batch.sparkSession, table_path, pk=["grp"]).merge(
+            sink, delete_col="__del", batch_id=batch_id
+        )
+
+    q = (
+        spark.readStream.schema(env).json(spool + "/changelog-*.jsonl")
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    t = TransactionalTable(spark, table_path, pk=["grp"])
+    got = sorted((r.grp, r.total, r.n) for r in t.read().collect())
+    # final state: a = {id1: 9.0, id3: 1.0} -> (10.0, 2); b deleted
+    assert got == [("a", 10.0, 2)]
