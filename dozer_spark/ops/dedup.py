@@ -80,8 +80,19 @@ def minhash_signatures(
         F.col(id_col),
         toks.alias("toks"),
     ).withColumn("__digests", F.transform("toks", lambda t: F.md5(t)))
+    # toksh: 60-bit md5-prefix token hashes. Verification intersects
+    # THESE instead of the token strings — long-array array_intersect
+    # measured ~1.6x the string version over ~1M candidate pairs.
+    # Deterministic md5 means the DuckDB oracle replays the identical
+    # hash sets, so results stay exactly comparable (a within-pair
+    # 60-bit collision would change jaccard identically on both
+    # engines; probability is ~1e-15 per pair).
+    toksh = F.array_distinct(
+        F.transform("__digests", lambda d: F.conv(F.substring(d, 1, 15), 16, 10).cast("long"))
+    )
     return base.select(
-        F.col(id_col), F.col("toks"), *[mh(i) for i in range(n_hashes)]
+        F.col(id_col), F.col("toks"), toksh.alias("toksh"),
+        *[mh(i) for i in range(n_hashes)]
     )
 
 
@@ -144,7 +155,7 @@ def minhash_lsh_pairs(
     for b in range(n_bands):
         one = sigs.select(
             F.col(id_col),
-            F.size("toks").alias("sz"),
+            F.size("toksh").alias("sz"),
             F.lit(b).alias("band"),
             band_key(b).alias("band_key"),
         )
@@ -260,12 +271,12 @@ def minhash_lsh_pairs(
     mh_cols = [f"mh{i}" for i in range(n_hashes)] if prefilter else []
     side_a = sigs.select(
         F.col(id_col).alias("id_a"),
-        F.col("toks").alias("toks_a"),
+        F.col("toksh").alias("toks_a"),
         *[F.col(c).alias(f"a_{c}") for c in mh_cols],
     )
     side_b = sigs.select(
         F.col(id_col).alias("id_b"),
-        F.col("toks").alias("toks_b"),
+        F.col("toksh").alias("toks_b"),
         *[F.col(c).alias(f"b_{c}") for c in mh_cols],
     )
     # size-gated broadcast: one row per doc vs 10^6+ candidate pairs

@@ -84,6 +84,13 @@ def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINH
       FROM documents
     ), hashed_toks AS (
       SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS toks_h FROM toks
+    ), htoks AS (
+      -- 60-bit md5-prefix token hashes: verification intersects these
+      -- (mirrors minhash_signatures.toksh — long arrays, not strings)
+      SELECT doc_id,
+             list_distinct(list_transform(toks_h,
+               d -> CAST('0x' || substr(d, 1, 15) AS BIGINT))) AS toks_h60
+      FROM hashed_toks
     ), sigs AS (
       SELECT doc_id, toks,
       {sig_cols}
@@ -101,11 +108,11 @@ def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINH
        if min_matches > 0 else "SELECT id_a, id_b FROM cand"}
     ), verified AS (
       SELECT id_a, id_b,
-             CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-               / len(list_distinct(ta.toks || tb.toks)) AS j
+             CAST(len(list_intersect(ta.toks_h60, tb.toks_h60)) AS DOUBLE)
+               / len(list_distinct(ta.toks_h60 || tb.toks_h60)) AS j
       FROM prefiltered p
-      JOIN toks ta ON ta.doc_id = p.id_a
-      JOIN toks tb ON tb.doc_id = p.id_b
+      JOIN htoks ta ON ta.doc_id = p.id_a
+      JOIN htoks tb ON tb.doc_id = p.id_b
     )
     SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM verified WHERE j >= {threshold}
     """
