@@ -5,10 +5,14 @@
 |---------------------------|---------------------------------------------|
 | S3/LocalStorage (parquet, | files.py batch + streaming file sources     |
 |   CSV via DataFusion)     |                                             |
-| Postgres snapshot + WAL   | jdbc.py snapshot (partitioned) + wal2json.py|
-|   CDC                     |   logical-decoding parse; kafka.py Debezium |
-| MySQL binlog              | kafka.py Debezium envelope path             |
-| Kafka                     | kafka.py readStream builder                 |
+| Postgres snapshot + WAL   | jdbc.py snapshot (partitioned) +            |
+|   CDC                     |   pg_replication.py NATIVE wire client      |
+|                           |   (SCRAM, wal2json slot, LSN resume) +      |
+|                           |   wal2json.py parse; kafka.py Debezium      |
+| MySQL binlog              | mysql_binlog.py NATIVE client (handshake +  |
+|                           |   ROW-event decode); kafka.py Debezium too  |
+| Kafka                     | kafka.py readStream/batch/write builders    |
+| Webhook                   | webhook.py HTTP -> atomic ndjson spool      |
 | MongoDB                   | mongo.py snapshot builder + change-stream   |
 |                           |   event normalization (tested)              |
 | DeltaLake (+CDF)          | delta.py (gated on delta-spark); the        |
@@ -28,6 +32,9 @@ from dozer_spark.sources.kafka import kafka_stream, parse_debezium
 from dozer_spark.sources.wal2json import wal2json_changelog
 from dozer_spark.sources.mongo import change_stream_to_changelog
 from dozer_spark.sources.ingest_server import ArrowIngestServer, send_arrow
+from dozer_spark.sources.pg_replication import PGReplicationClient, tail_to_spool
+from dozer_spark.sources.mysql_binlog import MySQLBinlogClient
+from dozer_spark.sources.webhook import WebhookServer, webhook_changelog
 
 __all__ = [
     "read_table",
@@ -38,6 +45,11 @@ __all__ = [
     "parse_debezium",
     "wal2json_changelog",
     "change_stream_to_changelog",
+    "PGReplicationClient",
+    "tail_to_spool",
+    "MySQLBinlogClient",
+    "WebhookServer",
+    "webhook_changelog",
     "ArrowIngestServer",
     "send_arrow",
 ]
