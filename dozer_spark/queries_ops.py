@@ -559,7 +559,8 @@ def dedup_final_corpus(spark, sf):
 
 @_q(
     "multimodal_metadata_probe",
-    """
+    headline=True,
+    oracle="""
     SELECT doc_id,
       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
            WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,

@@ -128,7 +128,7 @@ GROUP BY s.s_name
 """
 
 
-@_q("q21_waiting_supplier_exists_chain", Q21_SHAPE)
+@_q("q21_waiting_supplier_exists_chain", Q21_SHAPE, headline=True)
 def q21_waiting_supplier_exists_chain(spark, sf):
     """TPC-H q21: EXISTS + NOT EXISTS over the same fact table — the
     hardest decorrelation shape in the suite (semi + anti join against
