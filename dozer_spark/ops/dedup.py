@@ -139,8 +139,11 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // n_bands
     # persist: the signature scan (16 md5 transforms per token) feeds both
     # the band branch and the verification branch — without this Catalyst
-    # recomputes it twice
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes).persist()
+    # recomputes it twice. The string token arrays are dropped BEFORE the
+    # persist: banding and verification both run on the hashed arrays, so
+    # caching the strings would only inflate the cache (they are the bulk
+    # of each row).
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes).drop("toks").persist()
 
     # per-doc band keys, truncated to 16 hex chars (64 bits — collision
     # probability negligible at any corpus size, half the shuffle width)
