@@ -122,3 +122,29 @@ def fingerprint(c) -> Column:
     """
     norm = F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
     return F.md5(norm)
+
+
+# PII patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret IDENTICALLY: character classes, +, {n,m}, literals. No \b
+# (word-boundary semantics differ), no lookaround (RE2 lacks it).
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_counts(c) -> dict[str, Column]:
+    """Match counts per PII class (native regexp_count — JVM-side)."""
+    col = _col(c)
+    return {k: F.regexp_count(col, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(c, token: str = "[PII]") -> Column:
+    """Replace every PII match with a fixed token. Order matters: SSN
+    before phone (an SSN also matches no phone pattern here, but a
+    stable order keeps the output deterministic if patterns evolve)."""
+    col = _col(c)
+    for k in ("email", "ssn", "phone"):
+        col = F.regexp_replace(col, PII_PATTERNS[k], token)
+    return col

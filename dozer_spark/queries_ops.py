@@ -613,3 +613,58 @@ def multimodal_metadata_probe(spark, sf):
         F.col("media_id").alias("doc_id"), "mime", "width", "height",
         "duration_ms", "sample_rate", "channels",
     )
+
+
+@_q(
+    "text_pii_scan_redact",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+        text || CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' call 555-867-5309 today'
+          WHEN 2 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(t, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn,
+      length(regexp_replace(regexp_replace(regexp_replace(t,
+        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[PII]', 'g'),
+        '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[PII]', 'g'),
+        '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PII]', 'g')) AS redacted_len
+    FROM seeded
+    """,
+)
+def text_pii_scan_redact(spark, sf):
+    """PII detection + redaction (training-data hygiene): emails, phones,
+    SSNs seeded deterministically per doc_id, counted with regexp_count
+    and redacted with regexp_replace — all JVM-side. Patterns restricted
+    to the Java-regex/RE2 common subset so the DuckDB oracle evaluates
+    the IDENTICAL semantics; the redacted length proves the replacement
+    spans match exactly."""
+    from dozer_spark.ops.text import PII_PATTERNS, pii_counts, redact_pii
+
+    d = _cat(spark, sf).df("documents")
+    seed = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call 555-867-5309 today"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" ssn 123-45-"),
+                       F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit(""))
+    )
+    s = d.select("doc_id", F.concat(F.col("text"), seed).alias("t"))
+    counts = pii_counts(F.col("t"))
+    return s.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ssn"].cast("int").alias("n_ssn"),
+        F.length(redact_pii(F.col("t"))).alias("redacted_len"),
+    )

@@ -241,3 +241,22 @@ class TestMediaCodecs:
         assert (got[1].mime, got[1].width, got[1].height) == ("image/png", 64, 32)
         assert (got[2].mime, got[2].duration_ms, got[2].sample_rate) == ("audio/wav", 200, 8000)
         assert got[3].mime is None and got[3].n_bytes == 4
+
+
+def test_pii_counts_and_redaction(spark):
+    from dozer_spark.ops.text import pii_counts, redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c@x.io or call 555-123-4567; ssn 078-05-1120"),
+         (2, "no pii here"),
+         (3, "two mails x@y.com z@w.org")],
+        ["id", "t"])
+    c = pii_counts(F.col("t"))
+    out = df.select("id", c["email"].alias("e"), c["phone"].alias("p"),
+                    c["ssn"].alias("s"),
+                    redact_pii(F.col("t")).alias("r")).collect()
+    rows = {r.id: r for r in out}
+    assert (rows[1].e, rows[1].p, rows[1].s) == (1, 1, 1)
+    assert "[PII]" in rows[1].r and "078-05" not in rows[1].r \
+        and "a.b-c@x.io" not in rows[1].r
+    assert (rows[2].e, rows[2].p, rows[2].s) == (0, 0, 0)
+    assert rows[3].e == 2 and rows[3].r.count("[PII]") == 2
