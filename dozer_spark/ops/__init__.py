@@ -13,7 +13,11 @@ from dozer_spark.ops.text import (
     quality_score,
     lang_id,
     fingerprint,
+    pii_counts,
+    redact_pii,
 )
+from dozer_spark.ops.media_codecs import probe_bytes
+from dozer_spark.ops.multimodal import extract_features, frame_sample, probe_metadata
 from dozer_spark.ops.dedup import (
     exact_dedup,
     dedup_clusters,
@@ -44,4 +48,10 @@ __all__ = [
     "brute_force_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pii_counts",
+    "redact_pii",
+    "probe_bytes",
+    "probe_metadata",
+    "extract_features",
+    "frame_sample",
 ]
