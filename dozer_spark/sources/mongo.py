@@ -94,10 +94,13 @@ def change_stream_to_changelog(events: DataFrame, event_col: str,
         .select(
             op.alias("__op"),
             F.coalesce(F.col("e.clusterTime"), F.lit(0)).alias("__txid"),
-            # first 60 bits of the resume token's timestamp+ordinal field
-            # (chars 3.. after the '82' type tag): monotone in stream order
+            # the resume token's FULL 64-bit timestamp+ordinal field
+            # (16 hex chars after the '82' type tag): monotone in stream
+            # order. All 16 chars matter — truncating drops low ordinal
+            # bits and collides events within one second. Seconds' top
+            # bit stays 0 until 2038, so the value fits a signed long.
             F.coalesce(
-                F.conv(F.substring(F.col("e._id._data"), 3, 15), 16, 10).cast("long"),
+                F.conv(F.substring(F.col("e._id._data"), 3, 16), 16, 10).cast("long"),
                 F.lit(0).cast("long"),
             ).alias("__seq"),
             image.alias("__doc"),

@@ -124,6 +124,7 @@ T_LONGLONG, T_INT24, T_DATE = 8, 9, 10
 T_DATETIME2, T_NEWDECIMAL = 18, 246
 T_VARCHAR, T_BLOB, T_VAR_STRING, T_STRING = 15, 252, 253, 254
 
+EV_FORMAT_DESCRIPTION = 15
 EV_TABLE_MAP = 19
 EV_WRITE_ROWS_V1, EV_UPDATE_ROWS_V1, EV_DELETE_ROWS_V1 = 23, 24, 25
 EV_WRITE_ROWS_V2, EV_UPDATE_ROWS_V2, EV_DELETE_ROWS_V2 = 30, 31, 32
@@ -207,9 +208,17 @@ def _decode_value(t: int, meta: int, b: bytes, i: int):
             i += 1
         return b[i:i + ln].decode("utf-8", "replace"), i + ln
     if t == T_STRING:
-        # meta encodes real type<<8|len for CHAR; treat as short string
-        ln = b[i]
-        i += 1
+        # meta byte0 packs the real type and the high bits of the max
+        # length: max_len = ((byte0 & 0x30) ^ 0x30) << 4 | byte1. CHAR
+        # columns over 255 bytes use a 2-byte length prefix.
+        b0, b1 = meta >> 8, meta & 0xFF
+        max_len = (((b0 & 0x30) ^ 0x30) << 4) | b1 if b0 else b1
+        if max_len > 255:
+            ln = struct.unpack_from("<H", b, i)[0]
+            i += 2
+        else:
+            ln = b[i]
+            i += 1
         return b[i:i + ln].decode("utf-8", "replace"), i + ln
     if t == T_BLOB:
         ln = int.from_bytes(b[i:i + meta], "little")
@@ -400,6 +409,13 @@ class MySQLBinlogClient:
             code = struct.unpack_from("<H", reply, 1)[0]
             raise RuntimeError(f"auth failed ({code}): "
                                f"{reply[9:].decode('utf-8', 'replace')}")
+        if reply[0] == 0xFE:  # AuthSwitchRequest (e.g. caching_sha2_password)
+            plugin = reply[1:reply.index(b"\x00", 1)].decode("utf-8", "replace")
+            raise RuntimeError(
+                f"server requires auth plugin {plugin!r}; only "
+                "mysql_native_password is implemented - create the "
+                "replication user WITH mysql_native_password"
+            )
         return self
 
     def query(self, sql: str) -> None:
@@ -415,12 +431,23 @@ class MySQLBinlogClient:
                 raise RuntimeError("query error in result stream")
 
     def binlog_dump(self, filename: str, position: int = 4):
-        """COM_BINLOG_DUMP generator yielding (event_type, event_body).
-        Caller tracks TableMaps and decodes rows events."""
-        self.query(f"SET @master_binlog_checksum = 'NONE'")
+        """COM_BINLOG_DUMP generator yielding (event_type, event_body)
+        with any CRC32 checksum trailer STRIPPED. Caller tracks
+        TableMaps and decodes rows events.
+
+        binlog_checksum=CRC32 is the server default since 5.6.6 and the
+        dump thread sends logged events WITH their stored 4-byte
+        trailer; setting @master_binlog_checksum only declares that this
+        client can handle them. The FORMAT_DESCRIPTION event announces
+        the algorithm (its last 5 bytes are alg + its own CRC), and
+        every subsequent event is trimmed accordingly — without this,
+        the rows decoder would misparse the trailer as another row.
+        """
+        self.query("SET @master_binlog_checksum = @@global.binlog_checksum")
         payload = (b"\x12" + struct.pack("<IHI", position, 0, self.server_id)
                    + filename.encode())
         write_packet(self.sock, payload, 0)
+        checksum_len = 0
         while True:
             pkt = read_packet(self._recv)
             if pkt[0] == 0xFF:
@@ -430,6 +457,13 @@ class MySQLBinlogClient:
             ev = pkt[1:]  # strip OK byte
             event_type = ev[4]
             body = ev[19:]  # common header is 19 bytes
+            if event_type == EV_FORMAT_DESCRIPTION and len(body) >= 5:
+                alg = body[-5]
+                checksum_len = 4 if alg == 1 else 0
+                if checksum_len:  # the FDE carries its own trailer too
+                    body = body[:-5] + body[-5:-4]  # keep alg byte, drop CRC
+            elif checksum_len:
+                body = body[:-checksum_len]
             yield event_type, body
 
     def close(self) -> None:

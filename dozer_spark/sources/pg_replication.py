@@ -193,20 +193,31 @@ class PGReplicationClient:
             self.sock.close()
             self.sock = None
 
-    def _recv_exact(self, n: int) -> bytes:
+    def _fill(self, n: int) -> None:
+        """Grow the buffer to >= n bytes WITHOUT consuming — a timeout
+        mid-message leaves the partial bytes buffered so the stream
+        stays frame-aligned for re-entry."""
         while len(self._buf) < n:
             chunk = self.sock.recv(65536)
             if not chunk:
                 raise ConnectionError("server closed connection")
             self._buf += chunk
+
+    def _recv_exact(self, n: int) -> bytes:
+        self._fill(n)
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
     def _recv_msg(self) -> tuple[bytes, bytes]:
-        head = self._recv_exact(5)
-        tag = head[:1]
-        (length,) = struct.unpack(">I", head[1:5])
-        return tag, self._recv_exact(length - 4)
+        # transactional: the header and body are consumed together only
+        # once the WHOLE message is buffered (see _fill)
+        self._fill(5)
+        (length,) = struct.unpack(">I", self._buf[1:5])
+        self._fill(5 + length - 4)
+        tag = self._buf[:1]
+        body = self._buf[5:5 + length - 4]
+        self._buf = self._buf[5 + length - 4:]
+        return tag, body
 
     # -- auth ---------------------------------------------------------------
 
@@ -278,27 +289,50 @@ class PGReplicationClient:
                 return None
             raise
 
+    def confirm(self, lsn: str) -> None:
+        """Record (and send) the consumer's DURABLY-PERSISTED position.
+        Only confirmed LSNs are ever reported as flushed — the server
+        must not recycle WAL the spool hasn't made durable yet."""
+        self._confirmed = max(getattr(self, "_confirmed", 0), lsn_to_int(lsn))
+        if self.sock is not None:
+            try:
+                self.sock.sendall(build_standby_status(self._confirmed))
+            except OSError:
+                pass
+
     def stream(self, slot: str, start_lsn: str,
                options: dict[str, str] | None = None,
                idle_timeout: float = 5.0):
         """START_REPLICATION generator yielding (wal_end_lsn, payload
-        bytes) per change; sends standby status updates as it goes.
-        Stops after idle_timeout with no traffic (caller loops/re-enters
-        as its scheduling allows)."""
-        opts = {"format-version": "2"}
+        bytes) per change. Stops after idle_timeout with no traffic
+        (caller loops/re-enters as its scheduling allows; partial frames
+        stay buffered so re-entry is frame-aligned).
+
+        AT-LEAST-ONCE CONTRACT: standby status updates report only the
+        position the caller has confirm()ed after durable persistence —
+        never the raw receive position. A crash between receive and
+        persist therefore replays from the last confirmed LSN instead of
+        losing the acked-but-unspooled tail.
+
+        Default options request lsn + xid on every change — the
+        wal2json fields the engine's __seq/__txid ordering derives from
+        (both default OFF in wal2json).
+        """
+        opts = {"format-version": "2", "include-lsn": "true",
+                "include-xids": "true"}
         opts.update(options or {})
         opt_sql = ", ".join(f'"{k}" \'{v}\'' for k, v in opts.items())
         self.sock.sendall(build_query(
             f"START_REPLICATION SLOT {slot} LOGICAL {start_lsn} ({opt_sql})"
         ))
         self.sock.settimeout(idle_timeout)
-        flushed = lsn_to_int(start_lsn)
+        self._confirmed = max(getattr(self, "_confirmed", 0), lsn_to_int(start_lsn))
         try:
             while True:
                 try:
                     tag, body = self._recv_msg()
                 except (socket.timeout, TimeoutError):
-                    self.sock.sendall(build_standby_status(flushed))
+                    self.sock.sendall(build_standby_status(self._confirmed))
                     return
                 if tag == b"E":
                     raise RuntimeError(f"replication error: {_parse_error(body)}")
@@ -309,13 +343,11 @@ class PGReplicationClient:
                 kind = body[:1]
                 if kind == b"w":
                     _, wal_end, payload = parse_xlog_data(body)
-                    flushed = max(flushed, wal_end)
-                    yield int_to_lsn(flushed), payload
+                    yield int_to_lsn(wal_end), payload
                 elif kind == b"k":
-                    wal_end, reply = parse_keepalive(body)
-                    flushed = max(flushed, wal_end)
+                    _, reply = parse_keepalive(body)
                     if reply:
-                        self.sock.sendall(build_standby_status(flushed))
+                        self.sock.sendall(build_standby_status(self._confirmed))
         finally:
             self.sock.settimeout(self.timeout)
 
@@ -409,6 +441,10 @@ def tail_to_spool(url: str, slot: str, spool_dir: str,
                 spool_dir, f"wal-{int(time.time()*1000)}.jsonl"))
             with open(lsn_path, "w") as f:
                 f.write(last_lsn)
+            # only NOW tell the server the position is flushed — the
+            # spool file and LSN are durable, so WAL up to here may be
+            # recycled (at-least-once: a crash before this line replays)
+            cli.confirm(last_lsn)
         return n
     finally:
         cli.close()

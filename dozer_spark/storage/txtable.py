@@ -76,14 +76,20 @@ class TransactionalTable:
             self.version = m["version"]
             self._buckets: dict[str, str] = dict(m["buckets"])  # bucket -> rel dir
             self._schema_json = m["schema"]
-            self._last_batch_id = m.get("last_batch_id")
+            # batch-id idempotency tokens are SCOPED per app/query id
+            # (Delta's txn (appId, version) contract): a different query
+            # restarting from batch 0 must not silently no-op. Old
+            # manifests' unscoped value migrates to the default scope.
+            self._last_batch_ids = m.get("last_batch_ids")
+            if self._last_batch_ids is None and m.get("last_batch_id") is not None:
+                self._last_batch_ids = {"default": m["last_batch_id"]}
             self._stats: dict[str, dict] = m.get("stats", {})
         else:
             self.n_buckets = n_buckets
             self.version = 0
             self._buckets = {}
             self._schema_json = None
-            self._last_batch_id = None
+            self._last_batch_ids = None
             self._stats = {}
 
     # -- manifest ------------------------------------------------------------
@@ -109,8 +115,8 @@ class TransactionalTable:
             "buckets": self._buckets,
             "schema": self._schema_json,
             # streaming idempotency: a foreachBatch retry of an
-            # already-merged batch_id is a no-op (see merge())
-            "last_batch_id": self._last_batch_id,
+            # already-merged (app_id, batch_id) is a no-op (see merge())
+            "last_batch_ids": self._last_batch_ids,
             # per-bucket PK min/max (from parquet footers) for
             # point-lookup pruning; absent entry = no claim
             "stats": self._stats,
@@ -166,6 +172,11 @@ class TransactionalTable:
                         mn, mx = st.min, st.max
                         if isinstance(mn, bytes):
                             mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                        # JSON-serializability gate: date/timestamp/decimal
+                        # stats would crash the manifest dump and compare
+                        # unsafely after a JSON roundtrip - claim nothing
+                        if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                            return None
                         mins[name] = mn if name not in mins else min(mins[name], mn)
                         maxs[name] = mx if name not in maxs else max(maxs[name], mx)
         except OSError:
@@ -209,13 +220,18 @@ class TransactionalTable:
             for c, v in zip(self.pk, pk_values):
                 if c in st:
                     lo, hi = st[c]
-                    if v < lo or v > hi:
-                        return None
+                    # compare only like-typed values (stats did a JSON
+                    # roundtrip; a mismatch means no pruning claim)
+                    if isinstance(v, (int, float)) == isinstance(lo, (int, float)):
+                        if v < lo or v > hi:
+                            return None
         return rel
 
     def lookup(self, pk_values: list) -> DataFrame:
         """Point read by PK: reads only the one matching bucket (pruned
         further to zero files by the manifest stats when possible)."""
+        if self._schema_json is None:
+            raise ValueError("table is empty and has no schema yet")
         rel = self.lookup_rel(pk_values)
         if rel is None:
             return self.spark.createDataFrame([], self._schema())
@@ -275,7 +291,7 @@ class TransactionalTable:
     # -- merge ---------------------------------------------------------------
 
     def merge(self, batch: DataFrame, delete_col: str | None = None,
-              batch_id: int | None = None) -> int:
+              batch_id: int | None = None, app_id: str = "default") -> int:
         """MERGE `batch` by PK: update when matched, insert when not;
         rows with `delete_col` true delete instead. Returns the new
         committed version. Only buckets containing batch keys are
@@ -293,9 +309,10 @@ class TransactionalTable:
         change half then renamed into changes/ — a metadata move, no
         second pass over the rows).
         """
-        if batch_id is not None and self._last_batch_id is not None \
-                and batch_id <= self._last_batch_id:
-            return self.version
+        if batch_id is not None:
+            seen = (self._last_batch_ids or {}).get(app_id)
+            if seen is not None and batch_id <= seen:
+                return self.version
         deletes = None
         if delete_col is not None:
             deletes = batch.filter(F.col(delete_col)).select(*self.pk)
@@ -402,6 +419,19 @@ class TransactionalTable:
             .cast("long").alias("_commit_version"),
         )
 
+        # CAS check BEFORE writing into the shared version dir: if another
+        # writer already committed our target version, the overwrite below
+        # would delete THEIR committed files before the later check fires.
+        # (Window between check and write remains — the table is
+        # single-writer by contract; this makes the common race loud and
+        # harmless instead of destructive.)
+        on_disk = self._read_manifest()
+        if on_disk is not None and on_disk["version"] != self.version:
+            raise ConcurrentWriteError(
+                f"manifest moved to v{on_disk['version']} before write "
+                f"(expected v{self.version}): another writer committed"
+            )
+
         vdir = os.path.join("buckets", f"v{new_version:06d}")
         combined.write.mode("overwrite").partitionBy("__dest", "__b").parquet(
             os.path.join(self.path, vdir)
@@ -453,7 +483,8 @@ class TransactionalTable:
             cur.unpersist()
         self.version = new_version
         if batch_id is not None:
-            self._last_batch_id = batch_id
+            self._last_batch_ids = dict(self._last_batch_ids or {})
+            self._last_batch_ids[app_id] = batch_id
         self._commit()
         self._vacuum()
         return new_version
@@ -481,7 +512,7 @@ class TransactionalTable:
 
 
 def foreach_batch_merge(path: str, pk: list[str], delete_col: str | None = None,
-                        n_buckets: int = 16):
+                        n_buckets: int = 16, app_id: str = "default"):
     """writeStream.foreachBatch factory backed by TransactionalTable —
     the epoch-committed MERGE sink (atomic, bucket-pruned)."""
 
@@ -491,7 +522,7 @@ def foreach_batch_merge(path: str, pk: list[str], delete_col: str | None = None,
         # batch_id makes a foreachBatch RETRY of an already-committed
         # batch a no-op (crash between sink commit and checkpoint advance)
         TransactionalTable(batch.sparkSession, path, pk, n_buckets).merge(
-            batch, delete_col=delete_col, batch_id=batch_id
+            batch, delete_col=delete_col, batch_id=batch_id, app_id=app_id
         )
 
     return fn

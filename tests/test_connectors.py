@@ -113,6 +113,20 @@ class TestTransactionalTable:
         assert t2.merge(b, batch_id=0) == 1
         assert t2.merge(b.withColumn("v", F.lit("c")), batch_id=1) == 2
 
+    def test_batch_id_scoped_per_app(self, spark, tmp_path):
+        """Idempotency tokens are per app/query id (Delta txn contract):
+        a NEW query restarting from batch 0 must merge, not no-op."""
+        p = str(tmp_path / "t")
+        t = TransactionalTable(spark, p, pk=["id"], n_buckets=2)
+        b1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+        assert t.merge(b1, batch_id=5, app_id="query1") == 1
+        # same app, replayed batch: no-op
+        assert t.merge(b1, batch_id=5, app_id="query1") == 1
+        # DIFFERENT app restarting at batch 0: must apply
+        b2 = spark.createDataFrame([(1, "b")], ["id", "v"])
+        assert t.merge(b2, batch_id=0, app_id="query2") == 2
+        assert _rows(t.read(), "v") == [("b",)]
+
     def test_change_retention_vacuums_old_feed(self, spark, tmp_path):
         p = str(tmp_path / "t")
         t = TransactionalTable(spark, p, pk=["id"], n_buckets=2,
@@ -471,3 +485,27 @@ def test_webhook_ingest_end_to_end(spark, tmp_path):
            sorted(cl.collect(), key=lambda r: r["__seq"])]
     assert got == [("I", 1, "x"), ("U", 1, "y"), ("D", 1, None)]
     assert apply_changelog(cl, ["id"]).count() == 0  # I -> U -> D replays empty
+
+
+def test_mongo_seq_orders_same_second_events(spark):
+    """Two ops on one PK within the same clusterTime second must keep
+    resume-token order (full 16-hex ordinal — truncation collided
+    adjacent ordinals)."""
+    from dozer_spark.sources.mongo import change_stream_to_changelog
+
+    doc_schema = T.StructType([T.StructField("_id", T.LongType()),
+                               T.StructField("v", T.StringType())])
+    # same second (0x68000000), ordinals 1 and 2: delete then re-insert
+    events = [
+        {"operationType": "insert", "clusterTime": 100,
+         "_id": {"_data": "826800000000000002AA"},
+         "documentKey": {"_id": 1}, "fullDocument": {"_id": 1, "v": "new"}},
+        {"operationType": "delete", "clusterTime": 100,
+         "_id": {"_data": "826800000000000001AA"},
+         "documentKey": {"_id": 1}},
+    ]
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    cl = change_stream_to_changelog(raw, "value", doc_schema)
+    seqs = {r["__op"]: r["__seq"] for r in cl.collect()}
+    assert seqs["D"] < seqs["I"]
+    assert apply_changelog(cl, ["_id"]).count() == 1  # re-insert survives

@@ -292,3 +292,51 @@ def test_newdecimal_decode():
     assert decode_newdecimal(five, 0, 9, 0)[0] == "5"
     frac = bytes.fromhex("8000000c")  # DECIMAL(9,9) .000000012
     assert decode_newdecimal(frac, 0, 9, 9)[0] == "0.000000012"
+
+
+def test_checksum_trailer_stripped():
+    """A CRC32-checksummed dump (the 5.6.6+ default): the FDE announces
+    alg=1 and every event loses its 4-byte trailer before decoding."""
+    import struct as _s
+
+    from dozer_spark.sources.mysql_binlog import EV_FORMAT_DESCRIPTION
+
+    # FDE body: version(2) + server-version(50) + ts(4) + header_len(1)
+    # + type-lens + alg byte + its own CRC
+    fde = (_s.pack("<H", 4) + b"8.0.99".ljust(50, b"\x00")
+           + bytes(4) + bytes([19]) + bytes(40) + bytes([1]) + b"CRCX")
+    tmap = _table_map_body() + b"\xaa\xbb\xcc\xdd"      # + fake CRC
+    wrote = _rows_event_body([_row((5, "eve", 1))], False) + b"\x11\x22\x33\x44"
+    srv = FakeMySQL([(EV_FORMAT_DESCRIPTION, fde),
+                     (EV_TABLE_MAP, tmap),
+                     (EV_WRITE_ROWS_V2, wrote)])
+    srv.start()
+    cli = MySQLBinlogClient("127.0.0.1", srv.port, "root", "pw").connect()
+    got = list(cli.binlog_dump("binlog.000001"))
+    cli.close()
+    types = [t for t, _ in got]
+    assert types == [EV_FORMAT_DESCRIPTION, EV_TABLE_MAP, EV_WRITE_ROWS_V2]
+    tm = parse_table_map(got[1][1])        # CRC stripped -> parses clean
+    rows = parse_rows_event(got[2][1], tm, EV_WRITE_ROWS_V2)
+    assert rows == [{"op": "I", "after": {0: 5, 1: "eve", 2: 1}}]
+
+
+def test_char_over_255_bytes_two_byte_length():
+    """CHAR columns whose max byte length exceeds 255 use a 2-byte
+    length prefix (meta high bits carry the length's high nibble)."""
+    import struct as _s
+
+    from dozer_spark.sources.mysql_binlog import T_STRING, _decode_value
+
+    # meta byte0: 0x30 bits cleared appropriately for max_len=340
+    # max_len = ((b0 & 0x30) ^ 0x30) << 4 | b1 -> choose b0=0x20, b1=0x54:
+    # ((0x20 & 0x30) ^ 0x30) << 4 = 0x100; 0x100 | 0x54 = 0x154 = 340
+    meta = (0x20 << 8) | 0x54
+    s = "x" * 300
+    buf = _s.pack("<H", len(s)) + s.encode()
+    v, nxt = _decode_value(T_STRING, meta, buf, 0)
+    assert v == s and nxt == 2 + 300
+    # short CHAR still uses the 1-byte prefix
+    meta_short = (0x30 << 8) | 40   # max_len 40
+    buf2 = bytes([3]) + b"abc"
+    assert _decode_value(T_STRING, meta_short, buf2, 0) == ("abc", 4)

@@ -14,6 +14,7 @@ import json
 import os
 import socket
 import struct
+import time
 import threading
 
 import pytest
@@ -197,9 +198,17 @@ def test_client_against_fake_server(spark, tmp_path):
     assert rows == [{"systemid": "fake-system", "timeline": "1",
                      "xlogpos": "0/500"}]
     got = list(cli.stream("slot1", "0/0", idle_timeout=1.5))
-    cli.close()
     assert [p for _, p in got] == changes
+    # at-least-once: statuses so far must NOT have advanced past the
+    # confirmed position (nothing persisted yet)
     assert srv.got_status.wait(5.0)
+    assert (srv.status_lsn or 0) == 0
+    # after the consumer persists, confirm() advances the flushed LSN
+    cli.confirm(got[-1][0])
+    deadline = time.time() + 5.0
+    while time.time() < deadline and (srv.status_lsn or 0) < lsn_to_int("0/100"):
+        time.sleep(0.05)
+    cli.close()
     assert srv.status_lsn >= lsn_to_int("0/100")
 
     # records -> engine changelog
