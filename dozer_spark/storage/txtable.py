@@ -137,9 +137,20 @@ class TransactionalTable:
     def _bucket_of(self, pk_values: list) -> int:
         """Driver-side replica of _bucket_col: same concat, same CRC32
         (Spark's crc32 and zlib.crc32 share the polynomial), so a point
-        lookup can resolve its bucket without any Spark job."""
+        lookup can resolve its bucket without any Spark job. int/str/bool
+        PK values only — float string-casts differ between Python and
+        Spark ('1e+20' vs '1.0E20'), so they are rejected rather than
+        silently routed to the wrong bucket."""
         import zlib
 
+        for v in pk_values:
+            if v is None:
+                raise ValueError("point lookup requires non-NULL PK values")
+            if isinstance(v, float):
+                raise NotImplementedError(
+                    "float PK point lookups are unsupported (Python/Spark "
+                    "string casts diverge); use read() + filter"
+                )
         key = "\x01".join(_spark_str(v) for v in pk_values).encode("utf-8")
         return zlib.crc32(key) % self.n_buckets
 
