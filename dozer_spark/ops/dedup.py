@@ -104,6 +104,122 @@ def prefilter_min_matches(threshold: float, n_hashes: int) -> int:
     return max(0, int(n_hashes * threshold * 0.7))
 
 
+def _blocked_self_join_pairs(
+    blocked: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    hot_cap: int,
+    broadcast_gate_bytes: int | None = None,
+    extra_pred: Column | None = None,
+    carry: tuple[tuple[str, str, str], ...] = (),
+) -> DataFrame:
+    """Self-join `blocked` on key_cols -> unordered candidate pairs
+    (id_a < id_b), with HOT-BUCKET TRIANGLE-FRAGMENT SPLITTING shared by
+    the MinHash band join and the SimHash chunk join.
+
+    A blocking key covering a large slice of the corpus funnels n^2 pair
+    work into ONE join partition — AQE cannot split a single key. One
+    slim shuffle counts the buckets over `hot_cap`; rows of a hot bucket
+    get a deterministic fragment f in [0, s) (s = ceil(n / cap)); the
+    left side replays each row into cells (f, j>=f), the right side into
+    cells (i<=f, f), and the join key gains (ci, cj) — every unordered
+    pair meets in EXACTLY one cell, so results are identical while each
+    cell holds ~(n/s)^2 of the work. Cold buckets (s=1) stay single-cell
+    with zero replication; a corpus with no hot bucket keeps the plain
+    self-join plan (fragment machinery only widens the join key).
+
+    extra_pred: extra join predicate over aliases "a"/"b" (e.g. the
+    MinHash size-ratio prefilter). carry: (out_a, out_b, src) triples —
+    src is carried from the smaller-id side into out_a and the larger-id
+    side into out_b.
+    """
+    hot = cache_materialized(
+        blocked.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_cap)
+        .select(
+            *key_cols,
+            F.ceil(F.col("__n") / hot_cap).cast("int").alias("__s"),
+        )
+    )
+    key_eq = None
+    for k in key_cols:
+        e = F.col(f"a.{k}") == F.col(f"b.{k}")
+        key_eq = e if key_eq is None else key_eq & e
+
+    if hot.count() == 0:
+        a, b_ = blocked.alias("a"), blocked.alias("b")
+        cond = key_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        if extra_pred is not None:
+            cond = cond & extra_pred
+        return (
+            a.join(b_, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *[F.col(f"a.{src}").alias(oa) for (oa, _, src) in carry],
+                *[F.col(f"b.{src}").alias(ob) for (_, ob, src) in carry],
+            )
+            # the distinct both dedups the per-key-duplicated pair
+            # multiset and (deliberately) re-shuffles the slim pair rows
+            # to full parallelism for the downstream verify stage
+            .distinct()
+        )
+
+    # The hot list is provably <= corpus/cap rows; cache_materialized
+    # lets the broadcast gate see its real size — past the gate it
+    # degrades to a shuffled lookup join.
+    frag = (
+        blocked.join(maybe_broadcast(hot, broadcast_gate_bytes), key_cols, "left")
+        .select("*", F.coalesce(F.col("__s"), F.lit(1)).alias("s"))
+        .withColumn(
+            "f", F.pmod(F.crc32(F.col(id_col).cast("string")), F.col("s")).cast("int")
+        )
+    )
+    side_l = frag.withColumn(
+        "cj", F.explode(F.sequence(F.col("f"), F.col("s") - 1))
+    ).withColumnRenamed("f", "ci")
+    side_r = frag.withColumn(
+        "ci", F.explode(F.sequence(F.lit(0), F.col("f")))
+    ).withColumnRenamed("f", "cj")
+
+    # orientation: a row with fragment fx can meet a row with fragment
+    # fy >= fx at cell (fx, fy) — left role for the smaller fragment,
+    # right role for the larger. Same-fragment cells (ci == cj) would
+    # match both orientations, so the id order tie-breaks there; for
+    # ci < cj the single orientation already yields each pair once, and
+    # least/greatest canonicalizes the id order afterward.
+    a, b_ = side_l.alias("a"), side_r.alias("b")
+    cond = (
+        key_eq
+        & (F.col("a.ci") == F.col("b.ci"))
+        & (F.col("a.cj") == F.col("b.cj"))
+        & (
+            (F.col("a.ci") < F.col("a.cj"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    )
+    if extra_pred is not None:
+        cond = cond & extra_pred
+    a_first = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    return (
+        a.join(b_, cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            *[
+                F.when(a_first, F.col(f"a.{src}")).otherwise(F.col(f"b.{src}")).alias(oa)
+                for (oa, _, src) in carry
+            ],
+            *[
+                F.when(a_first, F.col(f"b.{src}")).otherwise(F.col(f"a.{src}")).alias(ob)
+                for (_, ob, src) in carry
+            ],
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -175,95 +291,17 @@ def minhash_lsh_pairs(
         >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
     )
 
-    # SKEW PROBE. A band key covering a large slice of the corpus
-    # (boilerplate-heavy corpora) funnels n^2 pair work into ONE join
-    # partition — AQE cannot split a single key. One slim shuffle counts
-    # the buckets over the cap; the count also front-loads the signature
-    # materialization that every later stage reuses from cache.
-    hot = cache_materialized(
-        bands.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > hot_band_cap)
-        .select(
-            "band", "band_key",
-            F.ceil(F.col("__n") / hot_band_cap).cast("int").alias("__s"),
-        )
+    # SKEW PROBE + HOT-BAND FRAGMENT SPLIT (shared helper). The probe's
+    # count also front-loads the signature materialization that every
+    # later stage reuses from cache.
+    cand = _blocked_self_join_pairs(
+        bands,
+        ["band", "band_key"],
+        id_col,
+        hot_cap=hot_band_cap,
+        broadcast_gate_bytes=broadcast_gate_bytes,
+        extra_pred=size_compatible,
     )
-
-    if hot.count() == 0:
-        # no hot buckets: the plain self-join IS the optimal plan — any
-        # fragment machinery only widens the join key and replicates rows
-        a, b_ = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b_,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                & size_compatible,
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            # the distinct both dedups the ~n_bands-duplicated pair
-            # multiset and (deliberately) re-shuffles the slim pair rows
-            # to full parallelism for the dominant verify stage
-            .distinct()
-        )
-    else:
-        # HOT-BAND FRAGMENT SPLIT (triangle decomposition): rows of a hot
-        # bucket get a deterministic fragment f in [0, s)
-        # (s = ceil(n / cap)); the left side replays each row into cells
-        # (f, j>=f), the right side into cells (i<=f, f), and the join
-        # key gains (ci, cj) — every unordered pair meets in EXACTLY one
-        # cell, so results are identical while each cell holds ~(n/s)^2
-        # of the work. Cold buckets (s=1) stay single-cell with zero
-        # replication. The hot list is provably <= corpus/cap rows;
-        # cache_materialized lets the broadcast gate see its real size —
-        # past the gate it degrades to a shuffled lookup join.
-        frag = bands.join(
-            maybe_broadcast(hot, broadcast_gate_bytes), ["band", "band_key"], "left"
-        ).select(
-            "*",
-            F.coalesce(F.col("__s"), F.lit(1)).alias("s"),
-        ).withColumn(
-            "f", F.pmod(F.crc32(F.col(id_col).cast("string")), F.col("s")).cast("int")
-        )
-        side_l = frag.withColumn(
-            "cj", F.explode(F.sequence(F.col("f"), F.col("s") - 1))
-        ).withColumnRenamed("f", "ci")
-        side_r = frag.withColumn(
-            "ci", F.explode(F.sequence(F.lit(0), F.col("f")))
-        ).withColumnRenamed("f", "cj")
-
-        # orientation: a row with fragment fx can meet a row with
-        # fragment fy >= fx at cell (fx, fy) — left role for the smaller
-        # fragment, right role for the larger. Same-fragment cells
-        # (ci == cj) would match both orientations, so the id order
-        # tie-breaks there; for ci < cj the single orientation already
-        # yields each pair once, and least/greatest canonicalizes the id
-        # order afterward.
-        a, b_ = side_l.alias("a"), side_r.alias("b")
-        cand = (
-            a.join(
-                b_,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.ci") == F.col("b.ci"))
-                & (F.col("a.cj") == F.col("b.cj"))
-                & (
-                    (F.col("a.ci") < F.col("a.cj"))
-                    | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                )
-                & size_compatible,
-            )
-            .select(
-                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-            )
-            .distinct()
-        )
 
     # verification: re-attach token sets to the (much larger) candidate
     # pair table. The doc->tokens side is one row per document — when its
@@ -345,12 +383,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> Data
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n_bits: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 32,
+    hot_chunk_cap: int = 4096,
+    broadcast_gate_bytes: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Blocking: two docs within hamming<=k share at least one of k+1 equal
     signature chunks (pigeonhole) — join per chunk, then verify hamming.
+
+    The (chunk, chunk_val) key space is SMALL (k+1 chunks x 2^chunk_bits
+    values — 4x256 at the 32-bit default), so at corpus scale every
+    bucket holds ~n/256 docs and the plain self-join does ~n^2/256 pair
+    work in single join partitions. hot_chunk_cap routes buckets over
+    the cap through the same triangle-fragment split the MinHash band
+    join uses — identical pairs, bounded per-cell work (~cap^2). For
+    higher-entropy blocking, n_bits up to 60 widens chunk_bits (15-bit
+    chunks -> 32k buckets) at the cost of proportionally more vote
+    aggregation.
     """
     # persist: the signature table feeds n_chunks union branches AND both
     # sides of the self-join — without it the explode+groupBy recomputes
@@ -369,21 +423,13 @@ def simhash_pairs(
             .alias("chunk_val"),
         )
         chunks = c if chunks is None else chunks.unionByName(c)
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    cand = _blocked_self_join_pairs(
+        chunks,
+        ["chunk", "chunk_val"],
+        id_col,
+        hot_cap=hot_chunk_cap,
+        broadcast_gate_bytes=broadcast_gate_bytes,
+        carry=(("sig_a", "sig_b", "simhash"),),
     )
     return (
         cand.withColumn(

@@ -8,7 +8,9 @@
 | Postgres snapshot + WAL   | jdbc.py snapshot (partitioned) +            |
 |   CDC                     |   pg_replication.py NATIVE wire client      |
 |                           |   (SCRAM, wal2json slot, LSN resume) +      |
-|                           |   wal2json.py parse; kafka.py Debezium      |
+|                           |   wal2json.py parse + pgoutput.py binary    |
+|                           |   decoder (stock server, no extension);     |
+|                           |   kafka.py Debezium                         |
 | MySQL binlog              | mysql_binlog.py NATIVE client (handshake +  |
 |                           |   ROW-event decode); kafka.py Debezium too  |
 | Kafka                     | kafka.py readStream/batch/write builders    |
@@ -33,6 +35,7 @@ from dozer_spark.sources.wal2json import wal2json_changelog
 from dozer_spark.sources.mongo import change_stream_to_changelog
 from dozer_spark.sources.ingest_server import ArrowIngestServer, send_arrow
 from dozer_spark.sources.pg_replication import PGReplicationClient, tail_to_spool
+from dozer_spark.sources.pgoutput import PgOutputDecoder, tail_pgoutput_to_spool
 from dozer_spark.sources.mysql_binlog import MySQLBinlogClient
 from dozer_spark.sources.webhook import WebhookServer, webhook_changelog
 
@@ -47,6 +50,8 @@ __all__ = [
     "change_stream_to_changelog",
     "PGReplicationClient",
     "tail_to_spool",
+    "PgOutputDecoder",
+    "tail_pgoutput_to_spool",
     "MySQLBinlogClient",
     "WebhookServer",
     "webhook_changelog",

@@ -314,13 +314,17 @@ class PGReplicationClient:
         persist therefore replays from the last confirmed LSN instead of
         losing the acked-but-unspooled tail.
 
-        Default options request lsn + xid on every change — the
-        wal2json fields the engine's __seq/__txid ordering derives from
-        (both default OFF in wal2json).
+        When options is None, wal2json defaults are used (lsn + xid on
+        every change — the fields the engine's __seq/__txid ordering
+        derives from; both default OFF in wal2json). An explicit options
+        dict REPLACES the defaults entirely: other plugins (pgoutput)
+        reject unknown option names, so defaults must not leak in.
         """
-        opts = {"format-version": "2", "include-lsn": "true",
-                "include-xids": "true"}
-        opts.update(options or {})
+        if options is None:
+            opts = {"format-version": "2", "include-lsn": "true",
+                    "include-xids": "true"}
+        else:
+            opts = dict(options)
         opt_sql = ", ".join(f'"{k}" \'{v}\'' for k, v in opts.items())
         self.sock.sendall(build_query(
             f"START_REPLICATION SLOT {slot} LOGICAL {start_lsn} ({opt_sql})"

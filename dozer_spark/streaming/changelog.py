@@ -15,13 +15,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import maybe_broadcast
+
 CHANGELOG_COLS = ["__op", "__txid", "__seq"]
 
 _NULL_MARK = "\x00NULL\x00"
 
 
 def keys_join(df: DataFrame, keys: DataFrame, how: str,
-              broadcast: bool = True) -> DataFrame:
+              gate_bytes: int | None = None) -> DataFrame:
     """Null-safe semi/anti/inner join of df against a small key table
     (columns of `keys` must exist in df under the same names).
 
@@ -31,11 +33,19 @@ def keys_join(df: DataFrame, keys: DataFrame, how: str,
     operator state forever. Key columns are renamed before joining:
     `keys` often derives from the same lineage as `df`, and same-name
     column references would resolve as trivially-true self comparisons.
+
+    The broadcast hint on the key side is SIZE-GATED, not pinned: the
+    dirty-key set is bounded by the micro-batch in steady state, but a
+    first backfill batch is corpus-sized — an unconditional hint would
+    OOM the build side at scale. Callers materialize the changelog
+    (cache_materialized) before deriving key sets, so Catalyst's stats
+    are real and the gate decides per batch; when the gate refuses, AQE
+    still picks a broadcast at runtime if the actual size allows.
     """
     renamed = keys.select(
         *[F.col(c).alias(f"__k_{c}") for c in keys.columns]
     ).distinct()
-    kdf = F.broadcast(renamed) if broadcast else renamed
+    kdf = maybe_broadcast(renamed, gate_bytes)
     c = None
     for kc in keys.columns:
         e = df[kc].eqNullSafe(kdf[f"__k_{kc}"])

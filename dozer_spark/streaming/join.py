@@ -141,7 +141,11 @@ class RetractingJoin:
         dirty = dl if dr is None else (dr if dl is None else dl.unionByName(dr).distinct())
         if dirty is None:
             raise ValueError("process_batch needs at least one side's changelog")
-        dirty = dirty.distinct().localCheckpoint(eager=True)
+        # materialized cache, not localCheckpoint: a LogicalRDD reports
+        # unknown stats (defaultSizeInBytes), which would make the size
+        # gate refuse the dirty-key semi-join broadcast hint even for a
+        # one-row batch; a materialized cache reports real bytes
+        dirty = cache_materialized(dirty.distinct())
 
         if left_changelog is not None:
             self._left = self._merge("left", self._left, left_changelog,
@@ -218,6 +222,7 @@ class RetractingJoin:
         for cl in (left_changelog, right_changelog):
             if cl is not None:
                 cl.unpersist()
+        dirty.unpersist()
         return out
 
     def _prev_for_keys(self, dirty: DataFrame, how: str) -> DataFrame:

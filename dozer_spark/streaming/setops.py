@@ -81,7 +81,9 @@ class RetractingUnion:
             dirty = vals if dirty is None else dirty.unionByName(vals)
         if dirty is None:
             raise ValueError("process_batch needs at least one changelog")
-        dirty = dirty.distinct().localCheckpoint(eager=True)
+        # materialized cache (real stats) so the dirty-value semi/anti
+        # joins below can gate their broadcast hint per batch
+        dirty = cache_materialized(dirty.distinct())
 
         # advance per-input snapshots
         for i, cl in enumerate(changelogs):
@@ -105,8 +107,9 @@ class RetractingUnion:
             # silently drop any value row containing a NULL column.
             sub = keys_join(snap.select(*self.value_cols), dirty, "semi")
             new_present = sub if new_present is None else new_present.unionByName(sub)
-        new_present = (new_present.distinct() if new_present is not None
-                       else dirty.limit(0)).localCheckpoint(eager=True)
+        new_present = cache_materialized(
+            new_present.distinct() if new_present is not None else dirty.limit(0)
+        )
 
         old_present = (
             keys_join(self._present, dirty, "semi")
@@ -134,6 +137,8 @@ class RetractingUnion:
         for cl in changelogs:
             if cl is not None:
                 cl.unpersist()
+        dirty.unpersist()
+        new_present.unpersist()
         return out
 
     def current(self) -> DataFrame:

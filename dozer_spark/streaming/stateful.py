@@ -113,7 +113,11 @@ class RetractingAggregation:
             dirty = new_keys.unionByName(old_keys).distinct()
         else:
             dirty = new_keys.distinct()
-        dirty = dirty.cache()
+        # materialized cache (not just .cache()): the dirty-key semi/anti
+        # joins below gate their broadcast hint on this frame's stats, and
+        # only a materialized InMemoryRelation reports REAL bytes — a lazy
+        # cache inherits the snapshot-join child's unknown estimate
+        dirty = cache_materialized(dirty)
 
         # 2. update the input snapshot (replay semantics of record_store.rs)
         batch_snapshot = apply_changelog(changelog, self.pk)

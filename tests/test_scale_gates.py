@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 
 from dozer_spark.operators.hints import estimated_plan_bytes, maybe_broadcast
 from dozer_spark.operators.ttl import ttl
-from dozer_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from dozer_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from dozer_spark.registry import Catalog
 
 SF = "/root/testdata/sf0.001"
@@ -67,6 +67,19 @@ def test_minhash_hot_band_fragment_split_same_result(spark):
     assert p == s and len(p) > 0
 
 
+def test_simhash_hot_chunk_fragment_split_same_result(spark):
+    """The SimHash chunk join blocks on a SMALL key space (4x256 buckets
+    at 32 bits) — forcing the hot-bucket path (tiny cap) must yield
+    exactly the plain plan's pairs via the shared triangle split, with
+    the carried signatures following the canonical id order."""
+    d = _docs(spark)
+    plain = simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    split = simhash_pairs(d, "text", "doc_id", max_hamming=3, hot_chunk_cap=5)
+    p = sorted((r.id_a, r.id_b, r.hamming) for r in plain.collect())
+    s = sorted((r.id_a, r.id_b, r.hamming) for r in split.collect())
+    assert p == s and len(p) > 0
+
+
 def test_ngram_large_corpus_plan_unhinted_same_result(spark):
     d = _docs(spark)
     small = ngram_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.35)
@@ -115,6 +128,120 @@ def test_streaming_snapshot_merge_broadcast_is_gated(spark, monkeypatch):
     assert "strategy=broadcast" in plan_small
     plan_big, rows_big = run(1)  # "corpus-sized" batch: estimate exceeds gate
     assert "strategy=broadcast" not in plan_big
+    assert rows_small == rows_big and len(rows_small) > 0
+
+
+def _capture_keys_join(monkeypatch, module, attr="keys_join"):
+    """Wrap a module's keys_join binding so every call records the
+    optimized plan of its result."""
+    from dozer_spark.streaming import changelog as cl_mod
+
+    plans = []
+    orig = cl_mod.keys_join
+
+    def capture(df, keys, how, gate_bytes=None):
+        out = orig(df, keys, how, gate_bytes)
+        plans.append(_optimized(out))
+        return out
+
+    monkeypatch.setattr(module, attr, capture)
+    return plans
+
+
+def test_dirty_key_semi_join_broadcast_is_gated_aggregation(spark, monkeypatch):
+    """The dirty-key semi/anti joins in RetractingAggregation must pin a
+    broadcast only under the size gate: a corpus-sized backfill batch
+    (simulated by a 1-byte gate) must leave every keys_join plan
+    unhinted, with identical results."""
+    from dozer_spark.operators import hints
+    from dozer_spark.streaming import stateful as st
+
+    def run(gate_bytes):
+        monkeypatch.setattr(hints, "BROADCAST_GATE_BYTES", gate_bytes)
+        plans = _capture_keys_join(monkeypatch, st)
+        ragg = st.RetractingAggregation(
+            spark, pk=["id"], group_by=["grp"],
+            aggs=[F.sum("amount").alias("s")],
+        )
+        cl = lambda rows: spark.createDataFrame(
+            rows, "__op string, __txid long, __seq long, id long, grp string, amount double"
+        )
+        ragg.process_batch(cl([("I", 1, 1, 1, "a", 5.0), ("I", 1, 2, 2, "b", 7.0)]))
+        out = ragg.process_batch(
+            cl([("U", 2, 1, 1, "a", 9.0), ("I", 2, 2, 3, "a", 1.0)])
+        )
+        rows = sorted((r["__op"], r["grp"], r["s"]) for r in out.collect())
+        return plans, rows
+
+    plans_small, rows_small = run(256 << 20)
+    assert any("strategy=broadcast" in p for p in plans_small)
+    plans_big, rows_big = run(1)
+    assert all("strategy=broadcast" not in p for p in plans_big)
+    assert rows_small == rows_big and len(rows_small) > 0
+
+
+def test_dirty_key_semi_join_broadcast_is_gated_join(spark, monkeypatch):
+    from dozer_spark.operators import hints
+    from dozer_spark.streaming import join as sj
+
+    def run(gate_bytes):
+        monkeypatch.setattr(hints, "BROADCAST_GATE_BYTES", gate_bytes)
+        plans = _capture_keys_join(monkeypatch, sj, "_keys_join")
+        j = sj.RetractingJoin(
+            spark, left_pk=["lid"], right_pk=["rid"], on=[("k", "k2")],
+        )
+        lcl = lambda rows: spark.createDataFrame(
+            rows, "__op string, __txid long, __seq long, lid long, k string, lv double"
+        )
+        rcl = lambda rows: spark.createDataFrame(
+            rows, "__op string, __txid long, __seq long, rid long, k2 string, rv double"
+        )
+        j.process_batch(
+            lcl([("I", 1, 1, 1, "a", 1.0), ("I", 1, 2, 2, "b", 2.0)]),
+            rcl([("I", 1, 1, 10, "a", 9.0)]),
+        )
+        out = j.process_batch(
+            lcl([("I", 2, 1, 3, "a", 3.0)]),
+            rcl([("I", 2, 1, 11, "b", 8.0)]),
+        )
+        rows = sorted(
+            (r["__op"], r["lid"], r["rid"]) for r in out.collect()
+        )
+        return plans, rows
+
+    plans_small, rows_small = run(256 << 20)
+    assert any("strategy=broadcast" in p for p in plans_small)
+    plans_big, rows_big = run(1)
+    assert all("strategy=broadcast" not in p for p in plans_big)
+    assert rows_small == rows_big and len(rows_small) > 0
+
+
+def test_dirty_key_semi_join_broadcast_is_gated_union(spark, monkeypatch):
+    from dozer_spark.operators import hints
+    from dozer_spark.streaming import setops as so
+
+    def run(gate_bytes):
+        monkeypatch.setattr(hints, "BROADCAST_GATE_BYTES", gate_bytes)
+        plans = _capture_keys_join(monkeypatch, so)
+        u = so.RetractingUnion(spark, pks=[["a_id"], ["b_id"]], value_cols=["v"])
+        acl = lambda rows: spark.createDataFrame(
+            rows, "__op string, __txid long, __seq long, a_id long, v string"
+        )
+        bcl = lambda rows: spark.createDataFrame(
+            rows, "__op string, __txid long, __seq long, b_id long, v string"
+        )
+        u.process_batch([acl([("I", 1, 1, 1, "x")]), bcl([("I", 1, 1, 1, "y")])])
+        # batch 2 keeps new_present non-empty: a 0-byte (empty) relation
+        # legitimately clears ANY gate — broadcasting nothing is safe —
+        # which would defeat the tiny-gate simulation below
+        out = u.process_batch([acl([("D", 2, 1, 1, "x"), ("I", 2, 2, 2, "z")]), None])
+        rows = sorted((r["__op"], r["v"]) for r in out.collect())
+        return plans, rows
+
+    plans_small, rows_small = run(256 << 20)
+    assert any("strategy=broadcast" in p for p in plans_small)
+    plans_big, rows_big = run(1)
+    assert all("strategy=broadcast" not in p for p in plans_big)
     assert rows_small == rows_big and len(rows_small) > 0
 
 
