@@ -84,6 +84,7 @@ def brute_force_topk_fast(
     id_col: str,
     k: int = 5,
     query_id_col: str | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Vectorized exact top-k: queries collected to a numpy matrix
     (broadcast in the UDF closure), corpus streamed through mapInPandas
@@ -95,12 +96,28 @@ def brute_force_topk_fast(
     fold version remains the oracle-gated baseline. The per-batch
     pre-reduction means the global window only sees
     n_batches*k*n_queries rows, not the full n*q score matrix.
+
+    The query set is collected to the DRIVER — that is the design (the
+    matmul broadcast needs the full matrix) and the contract is that
+    queries are small. max_query_rows ENFORCES the contract: past it the
+    call fails fast with a pointer to the distributed fold version
+    instead of OOMing the driver mid-collect.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     qid = query_id_col or id_col
+    # limit(max+1).count() probes the bound without scanning the full
+    # frame when it is oversized
+    probed = queries.limit(max_query_rows + 1).count()
+    if probed > max_query_rows:
+        raise ValueError(
+            f"query set exceeds max_query_rows={max_query_rows}: "
+            "brute_force_topk_fast collects queries to the driver by "
+            "design; for large query sets use brute_force_topk (fully "
+            "distributed fold) or raise max_query_rows deliberately"
+        )
     qrows = queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("qv")).collect()
     if not qrows:
         raise ValueError("empty query set")

@@ -110,8 +110,10 @@ class RetractingJoin:
             return None
         new_keys = changelog.select(*key_cols)
         if snap_before is not None:
+            # gated broadcast of the batch's PK set (see stateful.py):
+            # ordinary batches probe the snapshot without shuffling it
             old_keys = snap_before.join(
-                changelog.select(*pk).distinct(), pk
+                maybe_broadcast(changelog.select(*pk).distinct()), pk
             ).select(*key_cols)
             new_keys = new_keys.unionByName(old_keys)
         return new_keys.distinct()
@@ -208,7 +210,10 @@ class RetractingJoin:
             .filter(F.col("__op").isNotNull())
             .withColumn("__img", img)
             .select("__op", *[F.col(f"__img.{c}").alias(c) for c in data_cols])
-            .localCheckpoint(eager=True)
+            # lazy: lineage is pinned frames (new_out checkpoint, prev
+            # checkpoint) — callers that discard the output changelog
+            # skip its materialization job entirely
+            .localCheckpoint(eager=False)
         )
 
         # advance emitted-output state

@@ -74,8 +74,10 @@ class RetractingUnion:
                 continue
             vals = cl.select(*self.value_cols)
             if self._snaps[i] is not None:
+                # gated broadcast of the batch's PK set (see stateful.py)
                 old = self._snaps[i].join(
-                    cl.select(*self.pks[i]).distinct(), self.pks[i]
+                    maybe_broadcast(cl.select(*self.pks[i]).distinct()),
+                    self.pks[i],
                 ).select(*self.value_cols)
                 vals = vals.unionByName(old)
             dirty = vals if dirty is None else dirty.unionByName(vals)
@@ -124,7 +126,8 @@ class RetractingUnion:
         deletes = keys_join(old_present, new_present, "anti").select(
             F.lit("D").alias("__op"), *self.value_cols
         )
-        out = inserts.unionByName(deletes).localCheckpoint(eager=True)
+        # lazy (see join.py): discarded output changelogs cost nothing
+        out = inserts.unionByName(deletes).localCheckpoint(eager=False)
 
         # advance union state
         if self._present is None:

@@ -107,8 +107,11 @@ class RetractingAggregation:
         # 1. dirty group keys = keys of new images + keys of old images
         new_keys = changelog.select(*self.group_by)
         if self._snapshot is not None:
+            # gated broadcast of the batch's PK set: an ordinary batch
+            # probes the snapshot without shuffling it; a corpus-sized
+            # backfill batch fails the gate and AQE plans the join
             old_keys = self._snapshot.join(
-                changelog.select(*self.pk).distinct(), self.pk
+                maybe_broadcast(changelog.select(*self.pk).distinct()), self.pk
             ).select(*self.group_by)
             dirty = new_keys.unionByName(old_keys).distinct()
         else:
@@ -131,8 +134,12 @@ class RetractingAggregation:
         merged = self._ckpt("snapshot", merged)
         self._snapshot = merged
 
-        # 3. recompute aggregates for dirty groups only
-        new_agg = self._agg_for(merged, dirty).localCheckpoint(eager=True)
+        # 3. recompute aggregates for dirty groups only. Lazy cache, not
+        # an eager checkpoint: the frame is consumed by the diff AND the
+        # state advance below — the cache deduplicates the recompute, and
+        # the state advance's own _ckpt breaks lineage for the next
+        # batch, so an extra materialization job here buys nothing
+        new_agg = self._agg_for(merged, dirty).cache()
 
         # 4. diff vs previous state for those groups -> I/U/D changelog
         agg_cols = [c for c in new_agg.columns if c not in self.group_by]
@@ -173,7 +180,11 @@ class RetractingAggregation:
                 *[F.col(f"__img.{c}").alias(c) for c in agg_cols],
             )
         )
-        out = out.localCheckpoint(eager=True)
+        # the output changelog stays LAZY: its whole lineage is pinned
+        # frames (the staged snapshot, the cached new_agg, the previous
+        # state's checkpoint), so collecting it later is safe and batches
+        # that discard their output changelog pay nothing for it
+        out = out.localCheckpoint(eager=False)
 
         # 5. advance aggregate state
         if self._state is None:
@@ -185,6 +196,7 @@ class RetractingAggregation:
             self._store.commit()  # epoch commit: both states become visible
         changelog.unpersist()
         dirty.unpersist()
+        new_agg.unpersist()
         return out
 
     def current(self) -> DataFrame:

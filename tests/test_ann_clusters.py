@@ -78,6 +78,20 @@ def test_streaming_hop_agg(spark, tmp_path):
     assert got == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
 
 
+def test_brute_force_fast_oversized_query_set_fails_fast(catalog):
+    """The driver-collect contract is enforced, not just documented: an
+    oversized query set must fail BEFORE the collect, pointing at the
+    distributed fold version."""
+    import pytest
+
+    from dozer_spark.ops.similarity import brute_force_topk_fast
+
+    e = catalog.df("embeddings")
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        brute_force_topk_fast(e, e, "embedding", "vec_id", k=5,
+                              max_query_rows=3)
+
+
 def test_brute_force_fast_matches_exact(catalog):
     from dozer_spark.ops.similarity import brute_force_topk_fast
 
