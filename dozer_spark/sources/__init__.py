@@ -16,7 +16,9 @@
 | Kafka                     | kafka.py readStream/batch/write builders    |
 | Webhook                   | webhook.py HTTP -> atomic ndjson spool      |
 | MongoDB                   | mongo.py snapshot builder + change-stream   |
-|                           |   event normalization (tested)              |
+|                           |   normalization + mongo_wire.py NATIVE      |
+|                           |   OP_MSG/BSON client (SCRAM, $changeStream, |
+|                           |   resume tokens)                            |
 | DeltaLake (+CDF)          | delta.py (gated on delta-spark); the        |
 |                           |   parquet-native twin is storage/txtable.py |
 | Snowflake                 | snowflake.py options + watermark increments |
@@ -33,6 +35,7 @@ from dozer_spark.sources.cdc import replay_changelog, changelog_batches
 from dozer_spark.sources.kafka import kafka_stream, parse_debezium
 from dozer_spark.sources.wal2json import wal2json_changelog
 from dozer_spark.sources.mongo import change_stream_to_changelog
+from dozer_spark.sources.mongo_wire import MongoWireClient, tail_mongo_to_spool
 from dozer_spark.sources.ingest_server import ArrowIngestServer, send_arrow
 from dozer_spark.sources.pg_replication import PGReplicationClient, tail_to_spool
 from dozer_spark.sources.pgoutput import PgOutputDecoder, tail_pgoutput_to_spool
@@ -48,6 +51,8 @@ __all__ = [
     "parse_debezium",
     "wal2json_changelog",
     "change_stream_to_changelog",
+    "MongoWireClient",
+    "tail_mongo_to_spool",
     "PGReplicationClient",
     "tail_to_spool",
     "PgOutputDecoder",

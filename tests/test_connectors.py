@@ -487,6 +487,55 @@ def test_webhook_ingest_end_to_end(spark, tmp_path):
     assert apply_changelog(cl, ["id"]).count() == 0  # I -> U -> D replays empty
 
 
+def test_two_spool_composition_ordering(spark, tmp_path):
+    """SCALE.md's spool-sharding contract, proven: two independent
+    tailers (one spool each, private cursors, zero coordination) compose
+    by a single glob read. A key's changes land in ONE spool in source
+    order (__seq is per-source), so per-key replay order is correct in
+    the union; adding a source partition is adding a directory."""
+    import urllib.request
+
+    from dozer_spark.sources.webhook import WebhookServer, webhook_changelog
+
+    servers = [WebhookServer(str(tmp_path / f"hook-{i}")).start()
+               for i in range(2)]
+
+    def post(srv, payload):
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/changelog",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+
+    try:
+        # source 0 owns key 1; source 1 owns keys 2 and 3
+        post(servers[0], [
+            {"op": "I", "txid": 1, "data": {"id": 1, "v": "a"}},
+            {"op": "U", "txid": 2, "data": {"id": 1, "v": "a2"}},
+        ])
+        post(servers[1], [
+            {"op": "I", "txid": 1, "data": {"id": 2, "v": "b"}},
+            {"op": "I", "txid": 1, "data": {"id": 3, "v": "c"}},
+        ])
+        post(servers[1], {"op": "D", "txid": 2, "data": {"id": 2}})
+    finally:
+        for s in servers:
+            s.stop()
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    # ONE glob read over both spools — no per-source plumbing
+    cl = webhook_changelog(spark, str(tmp_path / "hook-*"), schema)
+    assert cl.count() == 5
+    snap = apply_changelog(cl, ["id"])
+    assert sorted((r.id, r.v) for r in snap.collect()) == [(1, "a2"), (3, "c")]
+    # each spool also still reads alone (a tailer can be drained solo)
+    solo = webhook_changelog(spark, str(tmp_path / "hook-0"), schema)
+    assert apply_changelog(solo, ["id"]).count() == 1
+
+
 def test_mongo_seq_orders_same_second_events(spark):
     """Two ops on one PK within the same clusterTime second must keep
     resume-token order (full 16-hex ordinal — truncation collided
