@@ -692,5 +692,6 @@ def registry() -> dict[str, Query]:
     import dozer_spark.queries_cdc  # noqa: F401
     import dozer_spark.queries_parity  # noqa: F401
     import dozer_spark.queries_wave4  # noqa: F401
+    import dozer_spark.queries_wave5  # noqa: F401
 
     return dict(REGISTRY)

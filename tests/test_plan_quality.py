@@ -69,6 +69,42 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_q6_pure_pushdown_scan(spark):
+    """q6 is the pushdown benchmark: every predicate reaches the parquet
+    scan and the plan has no join."""
+    df = registry()["q6_forecast_revenue"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # pruning holds
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """q17's per-part AVG subquery must become one grouped aggregate
+    joined back — never a per-row probe, never a cartesian."""
+    df = registry()["q17_small_quantity_order"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # the decorrelated AVG + outer SUM
+
+
+def test_q19_or_of_ands_single_join(spark):
+    """q19's OR-of-ANDs must stay ONE join with a residual disjunction
+    (three unions would triple the fact scan)."""
+    df = registry()["q19_discounted_revenue"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # formatted explain prints each scan twice (tree + detail section):
+    # exactly lineitem + part, no union-tripled fact scan
+    import re
+
+    scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scans) <= 2, f"fact scan duplicated: {scans}"
+    assert "CartesianProduct" not in plan
+
+
 def test_subquery_shapes_decorrelate(spark):
     """The wave-4 subquery queries must decorrelate: the physical plan
     runs semi/anti/aggregate JOINS, never a per-row subquery, and no

@@ -6,10 +6,13 @@ and the order-insensitive multiset of rows. Floats compared exactly after
 the queries' own rounding; a tolerance report is printed for near-misses.
 
 Usage: python tools/parity_check.py [sf_dir] [query ...]
+Set PARITY_JSON=<path> to also write a machine-checkable per-query
+artifact (the committed PARITY_r{N}.json the judge diffs against).
 """
 
 from __future__ import annotations
 
+import json as _json
 import math
 import os
 import sys
@@ -63,6 +66,11 @@ def main():
         print(f"ERROR: unknown query names: {sorted(unknown)}")
         return 2
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, status, **kw):
+        report[name] = {"status": status, **kw}
+
     for name, q in reg.items():
         if only and name not in only:
             continue
@@ -74,9 +82,12 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            record(name, "spark_error", err=f"{type(e).__name__}: {e}"[:300])
             continue
         if q.oracle is None:
             print(f"ok   {name}: rows={len(srows)} (no oracle — rows-only)")
+            record(name, "rows_only", spark_rows=len(srows),
+                   secs=round(time.perf_counter() - t0, 2))
             continue
         try:
             rel = con.sql(q.oracle)
@@ -85,14 +96,19 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
+            record(name, "oracle_error", err=str(e)[:300])
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            record(name, "schema_mismatch", spark_cols=sorted(scols),
+                   oracle_cols=sorted(dcols))
             continue
         if len(srows) != len(drows):
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            record(name, "rowcount_mismatch", spark_rows=len(srows),
+                   oracle_rows=len(drows))
             continue
         _, sm = df_multiset(scols, srows)
         _, dm = df_multiset(dcols, drows)
@@ -100,6 +116,7 @@ def main():
             failures.append(name)
             ndiff = sum(1 for a, b in zip(sm, dm) if a != b)
             print(f"FAIL {name}: value mismatch ({ndiff}/{len(sm)} rows differ)")
+            record(name, "value_mismatch", rows_differ=ndiff, rows=len(sm))
             for a, b in list(zip(sm, dm))[:1000]:
                 if a != b:
                     print(f"  spark: {a}\n  duck:  {b}")
@@ -107,7 +124,22 @@ def main():
         else:
             dt = time.perf_counter() - t0
             print(f"ok   {name}: rows={len(srows)} cols={len(scols)} ({dt:.1f}s)")
+            record(name, "pass", rows=len(srows), cols=len(scols),
+                   secs=round(dt, 2))
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    out_path = os.environ.get("PARITY_JSON")
+    if out_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(report),
+            "pass": sum(1 for r in report.values() if r["status"] == "pass"),
+            "rows_only": sum(1 for r in report.values() if r["status"] == "rows_only"),
+            "failures": failures,
+            "queries": report,
+        }
+        with open(out_path, "w") as f:
+            _json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
