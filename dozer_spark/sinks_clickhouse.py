@@ -1,0 +1,167 @@
+"""Native ClickHouse sink over the PUBLIC HTTP interface — pure stdlib,
+no JDBC driver jar needed.
+
+Reference parity: dozer-sink-clickhouse/src/sink.rs creates the target
+table from the pipeline schema and inserts row batches per epoch. This
+sink does the same over ClickHouse's documented HTTP endpoint
+(https://clickhouse.com/docs/en/interfaces/http): DDL and INSERT ...
+FORMAT JSONEachRow posted to `http://host:8123/`, auth via
+X-ClickHouse-* headers.
+
+Scale design:
+- INSERTs run ON THE EXECUTORS (foreachPartition) — every partition
+  posts its own rows straight to ClickHouse, so ingest bandwidth scales
+  with the cluster instead of funneling through the driver.
+- Epoch idempotency: each partition's POST carries an
+  `insert_deduplication_token` derived from (app, batch_id, partition).
+  A replayed micro-batch (crash between sink write and checkpoint
+  commit) re-sends byte-identical blocks with the SAME tokens, which
+  ClickHouse deduplicates — the reference's epoch-commit contract
+  (node.rs:111-147) mapped onto CH's native dedup.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from urllib.parse import quote
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_CH_TYPES = {
+    T.LongType: "Int64",
+    T.IntegerType: "Int32",
+    T.ShortType: "Int16",
+    T.ByteType: "Int8",
+    T.DoubleType: "Float64",
+    T.FloatType: "Float32",
+    T.StringType: "String",
+    T.BooleanType: "Bool",
+    T.DateType: "Date32",
+    T.BinaryType: "String",
+}
+
+
+def spark_type_to_clickhouse(dt: T.DataType, nullable: bool) -> str:
+    if isinstance(dt, T.DecimalType):
+        ch = f"Decimal({dt.precision}, {dt.scale})"
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ch = "DateTime64(6)"
+    elif isinstance(dt, T.ArrayType):
+        # CH arrays cannot be Nullable; element nullability is preserved
+        return f"Array({spark_type_to_clickhouse(dt.elementType, dt.containsNull)})"
+    else:
+        ch = _CH_TYPES.get(type(dt))
+        if ch is None:
+            raise TypeError(
+                f"no ClickHouse mapping for Spark type {dt.simpleString()} "
+                "(extend _CH_TYPES; failing loud beats a silently-wrong DDL)"
+            )
+    return f"Nullable({ch})" if nullable else ch
+
+
+def _jsonable(v):
+    if hasattr(v, "isoformat"):  # datetime/date -> CH-parsable text
+        s = v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        return s
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def _http_post(endpoint: str, query: str, body: bytes, user: str,
+               password: str, params: dict[str, str] | None = None) -> None:
+    import urllib.request
+
+    qs = f"query={quote(query)}"
+    for k, v in (params or {}).items():
+        qs += f"&{k}={quote(v)}"
+    req = urllib.request.Request(
+        f"{endpoint}/?{qs}", data=body, method="POST",
+        headers={
+            "X-ClickHouse-User": user,
+            "X-ClickHouse-Key": password,
+            "Content-Type": "application/x-ndjson",
+        },
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"ClickHouse HTTP {resp.status}: {resp.read()[:500]}")
+
+
+@dataclass
+class ClickHouseHttpSink:
+    """Epoch-committing ClickHouse sink over HTTP.
+
+    endpoint: http://host:8123 ; order_by: MergeTree ORDER BY columns
+    (the reference derives them from the pipeline PK — same idea).
+    app_id scopes the deduplication tokens, mirroring
+    TransactionalTable.merge's batch_id scoping.
+    """
+
+    endpoint: str
+    database: str
+    table: str
+    user: str = "default"
+    password: str = ""
+    order_by: list[str] = field(default_factory=list)
+    app_id: str = "dozer_spark"
+
+    def _full_table(self) -> str:
+        return f"{self.database}.{self.table}"
+
+    def ddl(self, schema: T.StructType) -> str:
+        cols = ", ".join(
+            f"`{f.name}` {spark_type_to_clickhouse(f.dataType, f.nullable)}"
+            for f in schema.fields
+        )
+        order = ", ".join(f"`{c}`" for c in self.order_by) or "tuple()"
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self._full_table()} ({cols}) "
+            f"ENGINE = MergeTree ORDER BY ({order})"
+        )
+
+    def create_table(self, schema: T.StructType) -> None:
+        _http_post(self.endpoint, self.ddl(schema), b"", self.user, self.password)
+
+    def write(self, df: DataFrame, batch_id: int | None = None) -> None:
+        """Distributed insert: every partition posts its rows directly
+        (JSONEachRow). With batch_id set, each partition's block carries
+        a deterministic dedup token so micro-batch replays are no-ops."""
+        cols = df.columns
+        endpoint, user, password = self.endpoint, self.user, self.password
+        insert = f"INSERT INTO {self._full_table()} FORMAT JSONEachRow"
+        app = self.app_id
+
+        def post_partition(pid_rows):
+            pid, rows = pid_rows
+            lines = [
+                json.dumps({c: _jsonable(r[c]) for c in cols},
+                           separators=(",", ":")).encode()
+                for r in rows
+            ]
+            if not lines:
+                return
+            params = {}
+            if batch_id is not None:
+                params["insert_deduplication_token"] = f"{app}-{batch_id}-{pid}"
+            _http_post(endpoint, insert, b"\n".join(lines) + b"\n",
+                       user, password, params)
+
+        # mapPartitionsWithIndex gives the stable partition id the dedup
+        # token needs; the count() forces execution on executors
+        df.rdd.mapPartitionsWithIndex(
+            lambda pid, it: iter([post_partition((pid, list(it)))])
+        ).count()
+
+    def foreach_batch(self):
+        """writeStream.foreachBatch adapter — the epoch-commit shape with
+        replay idempotency via the dedup token."""
+
+        def fn(batch: DataFrame, batch_id: int) -> None:
+            self.write(batch, batch_id=batch_id)
+
+        return fn

@@ -444,6 +444,15 @@ class TransactionalTable:
             )
 
         vdir = os.path.join("buckets", f"v{new_version:06d}")
+        # cluster the write by bucket: without this every post-join task
+        # (spark.sql.shuffle.partitions of them) opens a file in EVERY
+        # (__dest, __b) partition dir — tasks x buckets tiny files, which
+        # slows the write AND every later footer-stats/bucket read. One
+        # task per touched bucket writes one file per dir; parallelism at
+        # scale comes from n_buckets (the deployment's sizing lever),
+        # exactly as for any bucketed table. The clustering shuffle moves
+        # only the touched buckets' rows.
+        combined = combined.repartition(max(len(touched), 1), "__b")
         combined.write.mode("overwrite").partitionBy("__dest", "__b").parquet(
             os.path.join(self.path, vdir)
         )

@@ -128,12 +128,13 @@ class RetractingJoin:
         lk = [l for l, _ in self.on]
         rk = [r for _, r in self.on]
 
-        # materialized caches: derived plans (dirty keys, touched-PK
-        # anti-joins) then gate broadcasts on the batch's REAL size
+        # lazy caches: the dirty-set materialization below scans both
+        # changelogs and populates these as a side effect (see
+        # stateful.py); derived plans then gate broadcasts on REAL sizes
         if left_changelog is not None:
-            left_changelog = cache_materialized(left_changelog)
+            left_changelog = left_changelog.cache()
         if right_changelog is not None:
-            right_changelog = cache_materialized(right_changelog)
+            right_changelog = right_changelog.cache()
 
         dl = self._dirty_keys(left_changelog, self._left, self.left_pk, lk)
         dr_raw = self._dirty_keys(right_changelog, self._right, self.right_pk, rk)

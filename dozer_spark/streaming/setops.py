@@ -61,10 +61,11 @@ class RetractingUnion:
         if len(changelogs) != len(self.pks):
             raise ValueError(f"expected {len(self.pks)} changelogs")
 
-        # materialized caches: derived touched-PK sets then gate their
-        # broadcast on the batch's REAL size
+        # lazy caches: the dirty-set materialization below scans every
+        # changelog and populates these as a side effect (see
+        # stateful.py); derived plans then gate broadcasts on REAL sizes
         changelogs = [
-            cache_materialized(cl) if cl is not None else None for cl in changelogs
+            cl.cache() if cl is not None else None for cl in changelogs
         ]
 
         # dirty values: new images + displaced old images, across inputs

@@ -39,6 +39,7 @@ from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
 
 from dozer_spark.streaming.changelog import (
     CHANGELOG_COLS,
+    _latest_per_pk,
     apply_changelog,
     keys_join,
     row_digest,
@@ -58,21 +59,36 @@ class RetractingAggregation:
     group_by: list[str]
     aggs: list[Column]
     having: Column | None = None
-    # durable state (StateStore): set to resume across restarts; None
-    # keeps the fast localCheckpoint path for ephemeral pipelines
+    # durable state: set to resume across restarts; None keeps the fast
+    # localCheckpoint path for ephemeral pipelines. The INPUT SNAPSHOT is
+    # backed by a TransactionalTable (bucket-pruned incremental MERGE —
+    # each epoch rewrites only the PK buckets the batch touched, not the
+    # whole state; at scale the snapshot is the corpus and a full parquet
+    # rewrite per epoch is the difference between O(batch) and O(corpus)
+    # IO). The small aggregate table stays in the StateStore manifest.
     state_dir: str | None = None
+    snapshot_buckets: int = 16
 
     _snapshot: DataFrame | None = field(default=None, init=False)
     _state: DataFrame | None = field(default=None, init=False)  # aggregate rows
     _store: object = field(default=None, init=False)
+    _txtable: object = field(default=None, init=False)
 
     def __post_init__(self):
         if self.state_dir is not None:
+            import os
+
+            from dozer_spark.storage import TransactionalTable
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(self.spark, self.state_dir)
+            self._txtable = TransactionalTable(
+                self.spark, os.path.join(self.state_dir, "snapshot_tx"),
+                pk=self.pk, n_buckets=self.snapshot_buckets,
+            )
             if self._store.epoch > 0:  # resume from the last committed epoch
-                self._snapshot = self._store.load("snapshot")
+                if self._txtable.version > 0:
+                    self._snapshot = self._txtable.read()
                 self._state = self._store.load("aggstate")
 
     # -- helpers ------------------------------------------------------------
@@ -98,11 +114,13 @@ class RetractingAggregation:
     def process_batch(self, changelog: DataFrame) -> DataFrame:
         """Consume one changelog micro-batch; return the output changelog of
         the aggregation (rows = aggregate records with __op I/U/D)."""
-        # materialized cache: every derived plan (touched keys, dirty
-        # groups) then carries the batch's REAL size, so the broadcast
-        # gate pins the anti-join hint for ordinary batches and refuses
-        # it for a corpus-sized backfill batch
-        changelog = cache_materialized(changelog)
+        # lazy cache: the dirty-set materialization below (one count)
+        # scans the changelog and populates this cache as a side effect —
+        # after that every derived plan (touched keys, batch images)
+        # carries the batch's REAL size, so the broadcast gate pins the
+        # hint for ordinary batches and refuses it for a corpus-sized
+        # backfill batch. A second eager count here would be a wasted job.
+        changelog = changelog.cache()
 
         # 1. dirty group keys = keys of new images + keys of old images
         new_keys = changelog.select(*self.group_by)
@@ -123,15 +141,29 @@ class RetractingAggregation:
         dirty = cache_materialized(dirty)
 
         # 2. update the input snapshot (replay semantics of record_store.rs)
-        batch_snapshot = apply_changelog(changelog, self.pk)
-        if self._snapshot is None:
-            merged = batch_snapshot
+        if self._store is not None:
+            # durable path: MERGE the batch's final per-PK images into the
+            # bucketed TransactionalTable — only touched buckets are
+            # rewritten (O(batch) write IO, not O(state)), and the
+            # batch_id token makes a crash-replayed epoch a no-op
+            latest = _latest_per_pk(changelog, self.pk)
+            upsert = latest.withColumn(
+                "__del", F.col("__op") == "D"
+            ).drop(*CHANGELOG_COLS)
+            self._txtable.merge(upsert, delete_col="__del",
+                                batch_id=self._store.epoch + 1, app_id="ragg")
+            merged = self._txtable.read()  # parquet scan: lineage-free
         else:
-            touched = changelog.select(*self.pk).distinct()
-            kept = self._snapshot.join(maybe_broadcast(touched), self.pk, "left_anti")
-            merged = kept.unionByName(batch_snapshot)
-        # materialize to break lineage growth across batches
-        merged = self._ckpt("snapshot", merged)
+            batch_snapshot = apply_changelog(changelog, self.pk)
+            if self._snapshot is None:
+                merged = batch_snapshot
+            else:
+                touched = changelog.select(*self.pk).distinct()
+                kept = self._snapshot.join(
+                    maybe_broadcast(touched), self.pk, "left_anti")
+                merged = kept.unionByName(batch_snapshot)
+            # materialize to break lineage growth across batches
+            merged = self._ckpt("snapshot", merged)
         self._snapshot = merged
 
         # 3. recompute aggregates for dirty groups only. Lazy cache, not
