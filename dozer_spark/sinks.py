@@ -7,7 +7,9 @@ commits on epoch, and persists source resume state
 
 Mapping:
 - Dummy           -> noop format (used by bench.py to force execution)
-- ClickHouse      -> JDBC writer config (driver not bundled; config-only)
+- ClickHouse      -> NATIVE HTTP sink (sinks_clickhouse.py: executor-side
+                     JSONEachRow inserts, dedup-token epochs) or this
+                     JDBC writer config when a driver jar is present
 - any upsert sink -> streaming/merge.py foreachBatch MERGE by PK
 - epoch commit    -> micro-batch + checkpointLocation (built-in)
 - batch files     -> parquet/csv/json writers with partitioning control

@@ -68,16 +68,37 @@ class RetractingJoin:
     _prev: DataFrame | None = field(default=None, init=False)  # emitted output rows
     _store: object = field(default=None, init=False)
 
+    _txtables: dict = field(default_factory=dict, init=False)
+
     def __post_init__(self):
         if self.how not in ("inner", "left", "right"):
             raise ValueError(f"unsupported join type {self.how!r} (factory.rs:120)")
         if self.state_dir is not None:
+            import os
+
+            from dozer_spark.storage import TransactionalTable
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(self.spark, self.state_dir)
+            # side snapshots are bucketed TransactionalTables (see
+            # stateful.py: O(batch) epoch IO, not O(state)). TTL sides
+            # keep the staged path — eviction rewrites rows by time, not
+            # by PK, which a keyed MERGE cannot express incrementally.
+            if self.ttl is None:
+                for name, pk in (("left", self.left_pk), ("right", self.right_pk)):
+                    self._txtables[name] = TransactionalTable(
+                        self.spark, os.path.join(self.state_dir, f"{name}_tx"),
+                        pk=pk,
+                    )
             if self._store.epoch > 0:
-                self._left = self._store.load("left")
-                self._right = self._store.load("right")
+                if self.ttl is None:
+                    self._left = (self._txtables["left"].read()
+                                  if self._txtables["left"].version > 0 else None)
+                    self._right = (self._txtables["right"].read()
+                                   if self._txtables["right"].version > 0 else None)
+                else:
+                    self._left = self._store.load("left")
+                    self._right = self._store.load("right")
                 self._prev = self._store.load("prev")
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
@@ -89,6 +110,19 @@ class RetractingJoin:
 
     def _merge(self, name: str, prev: DataFrame | None, changelog: DataFrame,
                pk: list[str], ts_col: str | None = None) -> DataFrame:
+        if self._store is not None and self.ttl is None:
+            # durable non-TTL side: bucket-pruned incremental MERGE with
+            # batch_id idempotency (see stateful.py)
+            from dozer_spark.streaming.changelog import _latest_per_pk
+
+            latest = _latest_per_pk(changelog, pk)
+            upsert = latest.withColumn(
+                "__del", F.col("__op") == "D"
+            ).drop(*CHANGELOG_COLS)
+            self._txtables[name].merge(upsert, delete_col="__del",
+                                       batch_id=self._store.epoch + 1,
+                                       app_id=name)
+            return self._txtables[name].read()
         batch_snap = apply_changelog(changelog, pk)
         if prev is None:
             merged = batch_snap
