@@ -42,14 +42,31 @@ class RetractingUnion:
     _present: DataFrame | None = field(default=None, init=False)
     _store: object = field(default=None, init=False)
 
+    _txtables: list = field(default=None, init=False)
+
     def __post_init__(self):
         self._snaps = [None] * len(self.pks)
         if self.state_dir is not None:
+            import os
+
+            from dozer_spark.storage import TransactionalTable
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(self.spark, self.state_dir)
+            # per-input snapshots: bucketed incremental MERGE (see
+            # stateful.py — O(batch) epoch IO). The present set stays in
+            # the StateStore: its rows are replaced per dirty VALUE, not
+            # per PK, which a keyed MERGE does not express.
+            self._txtables = [
+                TransactionalTable(self.spark,
+                                   os.path.join(self.state_dir, f"snap{i}_tx"),
+                                   pk=pk)
+                for i, pk in enumerate(self.pks)
+            ]
             if self._store.epoch > 0:
-                self._snaps = [self._store.load(f"snap{i}") for i in range(len(self.pks))]
+                self._snaps = [
+                    t.read() if t.version > 0 else None for t in self._txtables
+                ]
                 self._present = self._store.load("present")
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
@@ -91,6 +108,18 @@ class RetractingUnion:
         # advance per-input snapshots
         for i, cl in enumerate(changelogs):
             if cl is None:
+                continue
+            if self._store is not None:
+                from dozer_spark.streaming.changelog import _latest_per_pk
+
+                latest = _latest_per_pk(cl, self.pks[i])
+                upsert = latest.withColumn(
+                    "__del", F.col("__op") == "D"
+                ).drop(*CHANGELOG_COLS)
+                self._txtables[i].merge(upsert, delete_col="__del",
+                                        batch_id=self._store.epoch + 1,
+                                        app_id=f"snap{i}")
+                self._snaps[i] = self._txtables[i].read()
                 continue
             batch_snap = apply_changelog(cl, self.pks[i])
             if self._snaps[i] is None:

@@ -126,6 +126,35 @@ def test_empty_partitions_post_nothing(spark):
         srv.stop()
 
 
+def test_foreach_batch_streaming_epochs(spark, tmp_path):
+    """The writeStream.foreachBatch shape end-to-end: a rate-limited file
+    stream drains through the sink; every micro-batch posts with its own
+    batch-scoped dedup tokens (the epoch-commit contract)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .write.mode("overwrite").parquet(src)
+
+    srv = FakeCH()
+    srv.start()
+    try:
+        sink = ClickHouseHttpSink(f"http://127.0.0.1:{srv.port}", "db", "t",
+                                  app_id="stream1")
+        stream = spark.readStream.schema("id long, v string").parquet(src)
+        q = stream.writeStream.foreachBatch(sink.foreach_batch()) \
+            .option("checkpointLocation", str(tmp_path / "ckpt")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        inserts = [r for r in srv.requests if r[0].startswith("INSERT")]
+        assert inserts
+        rows = [json.loads(l) for _, _, b in inserts for l in b.splitlines()]
+        assert sorted(r["id"] for r in rows) == [1, 2]
+        assert all(p["insert_deduplication_token"].startswith("stream1-0-")
+                   for _, p, _ in inserts)
+    finally:
+        srv.stop()
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_CLICKHOUSE_HTTP"),
     reason="needs SPARK_GRAFT_CLICKHOUSE_HTTP (live ClickHouse HTTP endpoint)",
