@@ -13,7 +13,10 @@
 |                           |   kafka.py Debezium                         |
 | MySQL binlog              | mysql_binlog.py NATIVE client (handshake +  |
 |                           |   ROW-event decode); kafka.py Debezium too  |
-| Kafka                     | kafka.py readStream/batch/write builders    |
+| Kafka                     | kafka.py readStream/batch/write builders +  |
+|                           |   kafka_wire.py NATIVE consumer (wire       |
+|                           |   protocol, v2 record batches, CRC32C,      |
+|                           |   gzip, offset-cursor spool)                |
 | Webhook                   | webhook.py HTTP -> atomic ndjson spool      |
 | MongoDB                   | mongo.py snapshot builder + change-stream   |
 |                           |   normalization + mongo_wire.py NATIVE      |
@@ -33,6 +36,7 @@ the reference's SQLite-changelog replay (dozer-tests logic_test.rs:81-94).
 from dozer_spark.sources.files import read_table, stream_table
 from dozer_spark.sources.cdc import replay_changelog, changelog_batches
 from dozer_spark.sources.kafka import kafka_stream, parse_debezium
+from dozer_spark.sources.kafka_wire import KafkaWireClient, tail_kafka_to_spool
 from dozer_spark.sources.wal2json import wal2json_changelog
 from dozer_spark.sources.mongo import change_stream_to_changelog
 from dozer_spark.sources.mongo_wire import MongoWireClient, tail_mongo_to_spool
@@ -49,6 +53,8 @@ __all__ = [
     "changelog_batches",
     "kafka_stream",
     "parse_debezium",
+    "KafkaWireClient",
+    "tail_kafka_to_spool",
     "wal2json_changelog",
     "change_stream_to_changelog",
     "MongoWireClient",
