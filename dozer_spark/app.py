@@ -107,6 +107,24 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
             cl = spool_changelog(spark, src["path"], src.get("table", name),
                                  dict(src["columns"]), pk=list(pk))
             df = apply_changelog(cl, list(pk))
+        elif fmt == "kafka_debezium_spool":
+            # snapshot of a Debezium CDC topic tailed by the native
+            # Kafka consumer (sources/kafka_wire.py tail_kafka_to_spool)
+            from pyspark.sql import types as T
+
+            from dozer_spark.sources.kafka import debezium_changelog
+            from dozer_spark.sources.kafka_wire import spool_kafka_frame
+            from dozer_spark.streaming.changelog import apply_changelog
+
+            pk = src.get("pk")
+            if not pk:
+                raise ValueError(f"source {name!r}: kafka_debezium_spool needs pk")
+            row_schema = T.StructType.fromDDL(
+                ", ".join(f"{c} {t}" for c, t in dict(src["columns"]).items())
+            )
+            cl = debezium_changelog(spool_kafka_frame(spark, src["path"]),
+                                    row_schema)
+            df = apply_changelog(cl, list(pk))
         elif fmt == "transactional":
             # read back a TransactionalTable sink as a source
             from dozer_spark.storage import TransactionalTable
@@ -152,6 +170,21 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
                     spark, sink["path"], pk=list(pk),
                     n_buckets=int(sink.get("n_buckets", 16)),
                 ).merge(df)
+            elif sink.get("format") == "clickhouse":
+                # native HTTP sink (sinks_clickhouse.py): DDL from the
+                # output schema, executor-side JSONEachRow inserts — the
+                # reference's SinkConfig::Clickhouse path
+                from dozer_spark.sinks_clickhouse import ClickHouseHttpSink
+
+                ch = ClickHouseHttpSink(
+                    sink["endpoint"], sink.get("database", "default"),
+                    sink.get("table", into),
+                    user=sink.get("user", "default"),
+                    password=sink.get("password", ""),
+                    order_by=list(sink.get("order_by") or []),
+                )
+                ch.create_table(df.schema)
+                ch.write(df)
             else:
                 write_table(
                     df,
@@ -160,7 +193,7 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
                     mode=sink.get("mode", "overwrite"),
                     partition_by=sink.get("partition_by"),
                 )
-            result.written[into] = sink["path"]
+            result.written[into] = sink.get("path") or sink.get("endpoint", "")
     unknown_sinks = set(sinks) - set(result.outputs)
     if unknown_sinks:
         raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")

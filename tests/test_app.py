@@ -186,3 +186,75 @@ def test_run_app_wal2json_spool_source(spark, tmp_path):
     }
     out = run_app(spark, config).outputs["__result__"]
     assert sorted((r.id, r.v) for r in out.collect()) == [(1, "b"), (2, "c")]
+
+
+def test_run_app_clickhouse_sink(spark, tmp_path):
+    """YAML app -> INTO output -> native ClickHouse HTTP sink: the
+    SinkConfig::Clickhouse path of the reference's orchestrator, e2e
+    against the fake HTTP server."""
+    import json as _json
+
+    from tests.test_clickhouse_http import FakeCH
+
+    src = str(tmp_path / "orders")
+    spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "A", 5.0)],
+        "id long, grp string, amount double",
+    ).write.mode("overwrite").parquet(src)
+
+    srv = FakeCH()
+    srv.start()
+    try:
+        config = {
+            "sources": {"orders": {"path": src, "format": "parquet"}},
+            "sql": "SELECT grp, COUNT(*) AS n FROM orders GROUP BY grp INTO per_grp;"
+                   "SELECT * FROM per_grp",
+            "sinks": {"per_grp": {
+                "format": "clickhouse",
+                "endpoint": f"http://127.0.0.1:{srv.port}",
+                "database": "db", "order_by": ["grp"],
+            }},
+        }
+        res = run_app(spark, config)
+        assert res.outputs["__result__"].count() == 2
+        ddl = [q for q, _, _ in srv.requests if q.startswith("CREATE TABLE")]
+        assert ddl == ["CREATE TABLE IF NOT EXISTS db.per_grp "
+                       "(`grp` Nullable(String), `n` Int64) "
+                       "ENGINE = MergeTree ORDER BY (`grp`)"]
+        rows = [_json.loads(l) for q, _, b in srv.requests
+                if q.startswith("INSERT") for l in b.splitlines()]
+        assert sorted((r["grp"], r["n"]) for r in rows) == [("A", 2), ("B", 1)]
+    finally:
+        srv.stop()
+
+
+def test_run_app_kafka_debezium_spool_source(spark, tmp_path):
+    """Native-Kafka-tailed Debezium spool as a YAML source: the app sees
+    the topic's current snapshot (changelog replayed by PK)."""
+    import json as _json
+    import os
+
+    spool = str(tmp_path / "kspool")
+    os.makedirs(spool)
+    events = [
+        {"offset": 0, "timestamp": 1, "key": "1", "value": _json.dumps(
+            {"op": "c", "ts_ms": 1, "after": {"id": 1, "v": "a"},
+             "source": {"txId": 1, "lsn": 10}})},
+        {"offset": 1, "timestamp": 2, "key": "1", "value": _json.dumps(
+            {"op": "u", "ts_ms": 2, "after": {"id": 1, "v": "a2"},
+             "source": {"txId": 2, "lsn": 20}})},
+        {"offset": 2, "timestamp": 3, "key": "2", "value": _json.dumps(
+            {"op": "c", "ts_ms": 3, "after": {"id": 2, "v": "b"},
+             "source": {"txId": 3, "lsn": 30}})},
+    ]
+    with open(os.path.join(spool, "kafka-p0-1.jsonl"), "w") as f:
+        f.write("\n".join(_json.dumps(e) for e in events) + "\n")
+
+    config = {
+        "sources": {"t": {"format": "kafka_debezium_spool", "path": spool,
+                          "pk": ["id"],
+                          "columns": {"id": "bigint", "v": "string"}}},
+        "sql": "SELECT id, v FROM t",
+    }
+    out = run_app(spark, config).outputs["__result__"]
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, "a2"), (2, "b")]
