@@ -18,12 +18,10 @@ topics) or plain row parsing, so everything downstream is shared.
 from __future__ import annotations
 
 import gzip
-import io
 import json
 import os
 import socket
 import struct
-import time
 
 API_FETCH, API_LIST_OFFSETS, API_METADATA, API_VERSIONS = 1, 2, 3, 18
 
@@ -298,22 +296,24 @@ class KafkaWireClient:
 
 def tail_kafka_to_spool(bootstrap: str, topic: str, partition: int,
                         spool_dir: str, max_records: int | None = None,
-                        idle_rounds: int = 3) -> int:
+                        idle_rounds: int = 3,
+                        flush_every: int = 50_000) -> int:
     """Tail one topic-partition into JSON-line spool files (key/value
-    utf-8, offset + timestamp preserved) with a durable offset cursor —
-    the same contract as the PG/Mongo tails. At scale: one tailer per
-    partition, one spool each (SCALE.md spool sharding)."""
+    utf-8, offset + timestamp preserved) with a chunked durable offset
+    cursor — the same contract as the PG/Mongo tails. At scale: one
+    tailer per partition, one spool each (SCALE.md spool sharding)."""
+    from dozer_spark.sources.spool import SpoolWriter
+
     host, _, port = bootstrap.partition(":")
-    os.makedirs(spool_dir, exist_ok=True)
-    off_path = os.path.join(spool_dir, f"_offset_p{partition}")
+    w = SpoolWriter(spool_dir, f"kafka-p{partition}", f"_offset_p{partition}",
+                    flush_every)
     cli = KafkaWireClient(host, int(port or 9092)).connect()
     try:
-        if os.path.exists(off_path):
-            with open(off_path) as f:
-                offset = int(f.read().strip() or 0)
+        stored = w.read_cursor()
+        if stored:
+            offset = int(stored)
         else:
             offset = cli.list_offsets(topic, partition, -2)
-        lines: list[bytes] = []
         idle = 0
         while True:
             batch = cli.fetch(topic, partition, offset)
@@ -324,25 +324,16 @@ def tail_kafka_to_spool(bootstrap: str, topic: str, partition: int,
                 continue
             idle = 0
             for r in batch:
-                lines.append(json.dumps({
+                w.add(json.dumps({
                     "offset": r["offset"], "timestamp": r["timestamp"],
                     "key": r["key"].decode("utf-8", "replace") if r["key"] is not None else None,
                     "value": r["value"].decode("utf-8", "replace") if r["value"] is not None else None,
-                }, separators=(",", ":")).encode())
+                }, separators=(",", ":")).encode(), str(r["offset"] + 1))
             offset = batch[-1]["offset"] + 1
-            if max_records is not None and len(lines) >= max_records:
+            if max_records is not None and w.total >= max_records:
                 break
-        if lines:
-            tmp = os.path.join(spool_dir, f".tmp-{int(time.time()*1000)}")
-            with open(tmp, "wb") as f:
-                f.write(b"\n".join(lines) + b"\n")
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, os.path.join(
-                spool_dir, f"kafka-p{partition}-{int(time.time()*1000)}.jsonl"))
-            with open(off_path, "w") as f:
-                f.write(str(offset))
-        return len(lines)
+        w.flush()
+        return w.total
     finally:
         cli.close()
 

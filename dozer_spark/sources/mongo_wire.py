@@ -25,7 +25,6 @@ import json
 import os
 import socket
 import struct
-import time
 
 from dozer_spark.sources.bson_codec import decode_doc, encode_doc, to_jsonable
 
@@ -169,36 +168,32 @@ def parse_mongo_url(url: str) -> dict:
 
 def tail_mongo_to_spool(url: str, collection: str, spool_dir: str,
                         max_events: int | None = None,
-                        idle_rounds: int = 3) -> int:
+                        idle_rounds: int = 3,
+                        flush_every: int = 50_000) -> int:
     """Tail a change stream into JSON-line spool files consumable by
-    mongo.change_stream_to_changelog (same durable-token/rename contract
-    as the PG spools). Returns the number of events written."""
+    mongo.change_stream_to_changelog (same chunked durable-token/rename
+    contract as the PG spools: memory stays O(chunk) on a large backlog,
+    each chunk advances the resume token durably). Returns the number of
+    events written."""
+    from dozer_spark.sources.spool import SpoolWriter
+
     cfg = parse_mongo_url(url)
     db = cfg.pop("db")
 
-    os.makedirs(spool_dir, exist_ok=True)
-    token_path = os.path.join(spool_dir, "_resume_token")
-    resume_after = None
-    if os.path.exists(token_path):
-        with open(token_path) as f:
-            data = f.read().strip()
-            if data:
-                resume_after = {"_data": data}
+    w = SpoolWriter(spool_dir, "cs", "_resume_token", flush_every)
+    tok0 = w.read_cursor()
+    resume_after = {"_data": tok0} if tok0 else None
 
     cli = MongoWireClient(**cfg).connect()
     try:
         cursor_id, events = cli.open_change_stream(db, collection, resume_after)
-        lines: list[bytes] = []
-        last_token = None
         idle = 0
         while True:
             for ev in events:
                 j = to_jsonable(ev)
-                tok = j.get("_id", {}).get("_data")
-                if tok is not None:
-                    last_token = tok
-                lines.append(json.dumps(j, separators=(",", ":")).encode())
-            if max_events is not None and len(lines) >= max_events:
+                w.add(json.dumps(j, separators=(",", ":")).encode(),
+                      j.get("_id", {}).get("_data"))
+            if max_events is not None and w.total >= max_events:
                 break
             if not events:
                 idle += 1
@@ -209,18 +204,8 @@ def tail_mongo_to_spool(url: str, collection: str, spool_dir: str,
             if cursor_id == 0:
                 break
             events = cli.get_more(db, collection, cursor_id)
-        if lines:
-            tmp = os.path.join(spool_dir, f".tmp-{int(time.time()*1000)}")
-            with open(tmp, "wb") as f:
-                f.write(b"\n".join(lines) + b"\n")
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, os.path.join(
-                spool_dir, f"cs-{int(time.time()*1000)}.jsonl"))
-            if last_token is not None:
-                with open(token_path, "w") as f:
-                    f.write(last_token)
-        return len(lines)
+        w.flush()
+        return w.total
     finally:
         cli.close()
 

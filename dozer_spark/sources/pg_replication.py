@@ -405,51 +405,36 @@ def parse_pg_url(url: str) -> dict:
 
 def tail_to_spool(url: str, slot: str, spool_dir: str,
                   max_changes: int | None = None,
-                  idle_timeout: float = 3.0) -> int:
+                  idle_timeout: float = 3.0,
+                  flush_every: int = 50_000) -> int:
     """Tail the slot from its stored LSN into spool files (one JSON
     record per line — the wal2json_changelog input shape), atomically
-    published like ingest_server's spool. The LSN file advances ONLY
-    after the spool file is durably renamed, so a crash replays (at
-    least once) rather than loses. Returns the number of changes
-    written."""
-    os.makedirs(spool_dir, exist_ok=True)
-    lsn_path = os.path.join(spool_dir, "_lsn")
-    start_lsn = "0/0"
-    if os.path.exists(lsn_path):
-        with open(lsn_path) as f:
-            start_lsn = f.read().strip() or "0/0"
+    published like ingest_server's spool. Chunked: every flush_every
+    changes the buffer is published, the LSN file advances, and ONLY
+    THEN the server is acked — tailer memory stays O(chunk) on a
+    corpus-sized backlog and a crash replays from the last durable
+    chunk (at-least-once). Returns the number of changes written."""
+    from dozer_spark.sources.spool import SpoolWriter
+
+    w = SpoolWriter(spool_dir, "wal", "_lsn", flush_every)
+    start_lsn = w.read_cursor("0/0")
 
     cli = PGReplicationClient(**parse_pg_url(url), replication=True).connect()
+    # ack the server only after the chunk + LSN are durable — the spool
+    # owns the resume contract, not the server's confirmed position
+    w.on_flush = cli.confirm
     try:
-        n = 0
-        buf: list[bytes] = []
-        last_lsn = start_lsn
         for lsn, payload in cli.stream(slot, start_lsn, idle_timeout=idle_timeout):
             rec = payload.strip()
             if not rec:
                 continue
             # wal2json v2 emits one JSON object per change; B/C records
             # pass through (the parser filters on action)
-            buf.append(rec)
-            last_lsn = lsn
-            n += 1
-            if max_changes is not None and n >= max_changes:
+            w.add(rec, lsn)
+            if max_changes is not None and w.total >= max_changes:
                 break
-        if buf:
-            tmp = os.path.join(spool_dir, f".tmp-{int(time.time()*1000)}")
-            with open(tmp, "wb") as f:
-                f.write(b"\n".join(buf) + b"\n")
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, os.path.join(
-                spool_dir, f"wal-{int(time.time()*1000)}.jsonl"))
-            with open(lsn_path, "w") as f:
-                f.write(last_lsn)
-            # only NOW tell the server the position is flushed — the
-            # spool file and LSN are durable, so WAL up to here may be
-            # recycled (at-least-once: a crash before this line replays)
-            cli.confirm(last_lsn)
-        return n
+        w.flush()
+        return w.total
     finally:
         cli.close()
 

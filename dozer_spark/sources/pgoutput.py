@@ -223,54 +223,37 @@ class PgOutputDecoder:
 
 def tail_pgoutput_to_spool(url: str, slot: str, publication: str,
                            spool_dir: str, max_changes: int | None = None,
-                           idle_timeout: float = 3.0) -> int:
+                           idle_timeout: float = 3.0,
+                           flush_every: int = 50_000) -> int:
     """Tail a pgoutput slot into wal2json-shaped spool files — the
-    stock-PostgreSQL twin of pg_replication.tail_to_spool (same durable
-    LSN/rename contract, same downstream consumers). Returns the number
-    of row changes written."""
-    import os
-    import time
-
+    stock-PostgreSQL twin of pg_replication.tail_to_spool (same chunked
+    durable LSN/rename/ack contract, same downstream consumers).
+    Returns the number of row changes written."""
     from dozer_spark.sources.pg_replication import (
         PGReplicationClient, parse_pg_url,
     )
+    from dozer_spark.sources.spool import SpoolWriter
 
-    os.makedirs(spool_dir, exist_ok=True)
-    lsn_path = os.path.join(spool_dir, "_lsn")
-    start_lsn = "0/0"
-    if os.path.exists(lsn_path):
-        with open(lsn_path) as f:
-            start_lsn = f.read().strip() or "0/0"
+    w = SpoolWriter(spool_dir, "wal", "_lsn", flush_every)
+    start_lsn = w.read_cursor("0/0")
 
     dec = PgOutputDecoder()
     cli = PGReplicationClient(**parse_pg_url(url), replication=True).connect()
+    w.on_flush = cli.confirm  # durable first, ack second (at-least-once)
     try:
-        n = 0
-        buf: list[bytes] = []
-        last_lsn = start_lsn
         opts = {"proto_version": "1", "publication_names": publication}
         for lsn, payload in cli.stream(slot, start_lsn, options=opts,
                                        idle_timeout=idle_timeout):
             line = dec.decode_json(payload, lsn)
-            last_lsn = lsn
             if line is None:
+                # still advance the cursor past control records, but only
+                # for the NEXT flush — never ahead of durable data
+                w.cursor = lsn
                 continue
-            buf.append(line)
-            n += 1
-            if max_changes is not None and n >= max_changes:
+            w.add(line, lsn)
+            if max_changes is not None and w.total >= max_changes:
                 break
-        if buf:
-            tmp = os.path.join(spool_dir, f".tmp-{int(time.time()*1000)}")
-            with open(tmp, "wb") as f:
-                f.write(b"\n".join(buf) + b"\n")
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, os.path.join(
-                spool_dir, f"wal-{int(time.time()*1000)}.jsonl"))
-            with open(lsn_path, "w") as f:
-                f.write(last_lsn)
-            # durable first, ack second (at-least-once; see tail_to_spool)
-            cli.confirm(last_lsn)
-        return n
+        w.flush()
+        return w.total
     finally:
         cli.close()

@@ -257,3 +257,23 @@ def test_live_kafka_fetch(tmp_path):
     n = tail_kafka_to_spool(bootstrap, topic, 0, spool, max_records=10,
                             idle_rounds=2)
     assert n >= 0  # tail works even on an empty topic
+
+
+def test_chunked_flush_bounded_memory(tmp_path):
+    """flush_every bounds tailer memory: a 3-record backlog with
+    flush_every=2 publishes two files, and the offset cursor advanced
+    durably after EACH chunk (an interrupted backfill resumes from the
+    last chunk, not from zero)."""
+    import glob
+
+    batches = [build_batch(0, [(b"a", b"1"), (b"b", b"2"), (b"c", b"3")])]
+    srv = FakeBroker("t", batches)
+    srv.start()
+    spool = str(tmp_path / "spool")
+    n = tail_kafka_to_spool(f"127.0.0.1:{srv.port}", "t", 0, spool,
+                            max_records=3, flush_every=2)
+    assert n == 3
+    files = sorted(glob.glob(os.path.join(spool, "kafka-p0-*.jsonl")))
+    assert len(files) == 2
+    with open(os.path.join(spool, "_offset_p0")) as f:
+        assert int(f.read()) == 3
