@@ -84,10 +84,15 @@ def read_varint(buf: bytes, i: int) -> tuple[int, int]:
 # -- record batch v2 ----------------------------------------------------------
 
 
-def parse_record_batch(buf: bytes, verify_crc: bool = True) -> list[dict]:
-    """One v2 batch -> [{offset, timestamp, key, value}]. Fails loud on
-    unsupported magic/compression — silent misparse of a CDC stream is
-    the one unforgivable failure mode (same policy as mysql_binlog)."""
+CONTROL_BATCH = 0x20  # attributes bit: transaction control marker batch
+
+
+def parse_record_batch(buf: bytes, verify_crc: bool = True,
+                       with_meta: bool = False):
+    """One v2 batch -> [{offset, timestamp, key, value}] (with_meta adds
+    (attrs, producer_id, records)). Fails loud on unsupported
+    magic/compression — silent misparse of a CDC stream is the one
+    unforgivable failure mode (same policy as mysql_binlog)."""
     base_offset, _blen, _epoch = struct.unpack_from(">qiI", buf, 0)
     magic = buf[16]
     if magic != 2:
@@ -96,6 +101,7 @@ def parse_record_batch(buf: bytes, verify_crc: bool = True) -> list[dict]:
     if verify_crc and crc32c(buf[21:]) != crc:
         raise ValueError("record batch CRC32C mismatch (corrupt fetch)")
     attrs, _last_delta, first_ts = struct.unpack_from(">hiq", buf, 21)
+    (producer_id,) = struct.unpack_from(">q", buf, 43)
     (count,) = struct.unpack_from(">i", buf, 57)
     payload = buf[61:]
     codec = attrs & 0x07
@@ -135,18 +141,48 @@ def parse_record_batch(buf: bytes, verify_crc: bool = True) -> list[dict]:
             "key": key,
             "value": value,
         })
+    if with_meta:
+        return attrs, producer_id, out
     return out
 
 
-def parse_record_set(buf: bytes) -> list[dict]:
-    """A fetch response's record SET may concatenate several batches."""
-    out, i = [], 0
+def parse_record_set(buf: bytes,
+                     aborted: list[tuple[int, int]] | None = None) -> list[dict]:
+    """A fetch response's record SET may concatenate several batches.
+
+    Transactional correctness (the Java consumer's read_committed
+    algorithm): `aborted` is the fetch response's (producer_id,
+    first_offset) list. Walking batches in offset order, a producer
+    becomes ABORT-ACTIVE once its first_offset is reached; its data
+    batches are dropped until its ABORT control marker (control-record
+    key type 0) passes by. Control marker batches themselves are never
+    data. Without this, phantom rows from aborted transactions and the
+    commit/abort markers of EVERY transaction would be spooled as CDC
+    records — silent corruption."""
+    pending = sorted(aborted or [], key=lambda t: t[1])
+    active: set[int] = set()
+    out, i, p = [], 0, 0
     while i + 12 <= len(buf):
         (blen,) = struct.unpack_from(">i", buf, i + 8)
         total = 12 + blen
         if i + total > len(buf):
             break  # trailing partial batch (broker may truncate) — next fetch re-reads
-        out.extend(parse_record_batch(buf[i:i + total]))
+        (base_offset,) = struct.unpack_from(">q", buf, i)
+        while p < len(pending) and pending[p][1] <= base_offset:
+            active.add(pending[p][0])
+            p += 1
+        attrs, producer_id, records = parse_record_batch(
+            buf[i:i + total], with_meta=True)
+        if attrs & CONTROL_BATCH:
+            for r in records:
+                if r["key"] is not None and len(r["key"]) >= 4:
+                    _ver, ctype = struct.unpack(">hh", r["key"][:4])
+                    if ctype == 0:  # ABORT marker ends this producer's range
+                        active.discard(producer_id)
+        elif producer_id in active:
+            pass  # aborted transaction's data: drop
+        else:
+            out.extend(records)
         i += total
     return out
 
@@ -186,7 +222,12 @@ class KafkaWireClient:
             self._buf += chunk
         (ln,) = struct.unpack_from(">i", self._buf, 0)
         while len(self._buf) < 4 + ln:
-            self._buf += self.sock.recv(65536)
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                # a FIN'd socket returns b"" forever — without this guard
+                # the loop would spin instead of failing
+                raise ConnectionError("broker closed connection mid-response")
+            self._buf += chunk
         resp, self._buf = self._buf[4:4 + ln], self._buf[4 + ln:]
         (corr,) = struct.unpack_from(">i", resp, 0)
         if corr != self._corr:
@@ -261,7 +302,10 @@ class KafkaWireClient:
               max_bytes: int = 1 << 20, max_wait_ms: int = 500) -> list[dict]:
         body = (
             struct.pack(">iiii", -1, max_wait_ms, 1, max_bytes)
-            + struct.pack(">b", 0)  # isolation: read_uncommitted
+            # read_committed: the broker bounds the fetch at the LSO and
+            # supplies the aborted-transaction list the record-set parser
+            # filters with — a CDC consumer must never see aborted rows
+            + struct.pack(">b", 1)
             + struct.pack(">i", 1) + _str(topic)
             + struct.pack(">i", 1)
             + struct.pack(">iqi", partition, offset, max_bytes)
@@ -280,18 +324,44 @@ class KafkaWireClient:
                 i += 22
                 (nab,) = struct.unpack_from(">i", b, i)
                 i += 4
-                if nab > 0:
-                    i += 16 * nab  # aborted txns (producer_id + first_offset)
+                aborted: list[tuple[int, int]] = []
+                for _ in range(max(nab, 0)):
+                    producer_id, first_off = struct.unpack_from(">qq", b, i)
+                    aborted.append((producer_id, first_off))
+                    i += 16
                 (rlen,) = struct.unpack_from(">i", b, i)
                 i += 4
                 if err:
                     raise RuntimeError(f"Fetch error {err} for {topic}/{pid}")
                 if rlen > 0:
-                    records.extend(parse_record_set(b[i:i + rlen]))
+                    records.extend(parse_record_set(b[i:i + rlen], aborted))
                     i += rlen
         # the broker may return records below the requested offset (batch
         # alignment); filter client-side like every consumer does
         return [r for r in records if r["offset"] >= offset]
+
+    def client_for_leader(self, topic: str, partition: int) -> "KafkaWireClient":
+        """Fetch/ListOffsets must go to the partition LEADER, not the
+        bootstrap node — on a multi-broker cluster the bootstrap answers
+        metadata but NOT_LEADER_FOR_PARTITION rejects fetches. Returns
+        self when the bootstrap already leads (single broker)."""
+        md = self.metadata([topic])
+        t = md["topics"].get(topic)
+        if t is None or t.get("error"):
+            raise RuntimeError(f"metadata error for topic {topic!r}: {t}")
+        part = t["partitions"].get(partition)
+        if part is None or part.get("error"):
+            raise RuntimeError(
+                f"metadata error for {topic}/{partition}: {part}")
+        leader = md["brokers"].get(part["leader"])
+        if leader is None:
+            raise RuntimeError(
+                f"leader node {part['leader']} not in broker list")
+        host, port = leader
+        if (host, port) == (self.host, self.port):
+            return self
+        return KafkaWireClient(host, port, self.client_id,
+                               self.timeout).connect()
 
 
 def tail_kafka_to_spool(bootstrap: str, topic: str, partition: int,
@@ -307,7 +377,10 @@ def tail_kafka_to_spool(bootstrap: str, topic: str, partition: int,
     host, _, port = bootstrap.partition(":")
     w = SpoolWriter(spool_dir, f"kafka-p{partition}", f"_offset_p{partition}",
                     flush_every)
-    cli = KafkaWireClient(host, int(port or 9092)).connect()
+    boot = KafkaWireClient(host, int(port or 9092)).connect()
+    cli = boot.client_for_leader(topic, partition)
+    if cli is not boot:
+        boot.close()
     try:
         stored = w.read_cursor()
         if stored:

@@ -144,14 +144,19 @@ class MongoWireClient:
         return cur["id"], list(cur.get("firstBatch", []))
 
     def get_more(self, db: str, collection: str, cursor_id: int,
-                 max_time_ms: int = 500) -> list[dict]:
+                 max_time_ms: int = 500) -> tuple[int, list[dict]]:
+        """Returns (cursor_id, events). The id MUST be carried forward:
+        the server sets it to 0 when the stream is invalidated (watched
+        collection dropped/renamed) — issuing another getMore against
+        the dead cursor raises CursorNotFound instead of terminating."""
         reply = self.command({
             "getMore": cursor_id, "collection": collection,
             "maxTimeMS": max_time_ms, "$db": db,
         })
         if not reply.get("ok"):
             raise RuntimeError(f"getMore failed: {reply}")
-        return list(reply["cursor"].get("nextBatch", []))
+        cur = reply["cursor"]
+        return cur.get("id", 0), list(cur.get("nextBatch", []))
 
 
 def parse_mongo_url(url: str) -> dict:
@@ -203,7 +208,7 @@ def tail_mongo_to_spool(url: str, collection: str, spool_dir: str,
                 idle = 0
             if cursor_id == 0:
                 break
-            events = cli.get_more(db, collection, cursor_id)
+            cursor_id, events = cli.get_more(db, collection, cursor_id)
         w.flush()
         return w.total
     finally:

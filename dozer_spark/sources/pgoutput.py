@@ -119,9 +119,15 @@ class PgOutputDecoder:
             # for the row changelog (truncate is not a row operation; the
             # reference connector ignores it too)
             return None
+        # tuple-marker validation must be explicit raises, not asserts:
+        # python -O strips asserts and a misframed stream would then be
+        # decoded at the wrong offset — the exact silent-misparse failure
+        # this module promises to fail loud on
         if tag == b"I":
             (relid,) = struct.unpack_from(">I", payload, 1)
-            assert payload[5:6] == b"N", "Insert must carry a new tuple"
+            if payload[5:6] != b"N":
+                raise ValueError(
+                    f"Insert must carry a new tuple, got {payload[5:6]!r}")
             vals, _ = _tuple_data(payload, 6)
             rel = self._rel(relid)
             return self._record("I", rel, new=vals, old=None)
@@ -134,14 +140,18 @@ class PgOutputDecoder:
             if mark in (b"K", b"O"):
                 old, i = _tuple_data(payload, i + 1)
                 mark = payload[i:i + 1]
-            assert mark == b"N", "Update must carry a new tuple"
+            if mark != b"N":
+                raise ValueError(
+                    f"Update must carry a new tuple, got {mark!r}")
             vals, _ = _tuple_data(payload, i + 1)
             return self._record("U", rel, new=vals, old=old)
         if tag == b"D":
             (relid,) = struct.unpack_from(">I", payload, 1)
             rel = self._rel(relid)
             mark = payload[5:6]
-            assert mark in (b"K", b"O"), "Delete must carry a key/old tuple"
+            if mark not in (b"K", b"O"):
+                raise ValueError(
+                    f"Delete must carry a key/old tuple, got {mark!r}")
             old, _ = _tuple_data(payload, 6)
             return self._record("D", rel, new=None, old=old)
         raise ValueError(f"unknown pgoutput message {tag!r}")

@@ -68,8 +68,15 @@ class SpoolWriter:
                                     f"{self.prefix}-{stamp}.jsonl"))
         self.buf = []
         if self.cursor is not None:
-            with open(self.cursor_path, "w") as f:
+            # atomic cursor replace: an in-place write torn by a crash
+            # would leave a truncated LSN/offset that BRICKS resume
+            # (malformed START_REPLICATION position) instead of replaying
+            ctmp = self.cursor_path + ".tmp"
+            with open(ctmp, "w") as f:
                 f.write(self.cursor)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(ctmp, self.cursor_path)
         if self.on_flush is not None and self.cursor is not None:
             self.on_flush(self.cursor)
         return self.cursor

@@ -67,6 +67,9 @@ class RetractingJoin:
     _right: DataFrame | None = field(default=None, init=False)
     _prev: DataFrame | None = field(default=None, init=False)  # emitted output rows
     _store: object = field(default=None, init=False)
+    # previous batch's caches, released at the start of the next batch
+    # (the lazy output changelog's lineage includes them — see stateful.py)
+    _prev_caches: list = field(default_factory=list, init=False)
 
     _txtables: dict = field(default_factory=dict, init=False)
 
@@ -162,13 +165,20 @@ class RetractingJoin:
         lk = [l for l, _ in self.on]
         rk = [r for _, r in self.on]
 
-        # lazy caches: the dirty-set materialization below scans both
-        # changelogs and populates these as a side effect (see
-        # stateful.py); derived plans then gate broadcasts on REAL sizes
+        for df in self._prev_caches:
+            df.unpersist()
+        self._prev_caches = []
+        # materialized caches when a snapshot-probe join will be built
+        # (the probe's broadcast gate needs real stats at plan-build
+        # time — see stateful.py); first-batch sides skip the count
         if left_changelog is not None:
             left_changelog = left_changelog.cache()
+            if self._left is not None:
+                left_changelog.count()
         if right_changelog is not None:
             right_changelog = right_changelog.cache()
+            if self._right is not None:
+                right_changelog.count()
 
         dl = self._dirty_keys(left_changelog, self._left, self.left_pk, lk)
         dr_raw = self._dirty_keys(right_changelog, self._right, self.right_pk, rk)
@@ -259,10 +269,9 @@ class RetractingJoin:
             self._prev = self._ckpt("prev", kept.unionByName(new_out))
         if self._store is not None:
             self._store.commit()  # epoch commit: all three states together
-        for cl in (left_changelog, right_changelog):
-            if cl is not None:
-                cl.unpersist()
-        dirty.unpersist()
+        self._prev_caches = [
+            cl for cl in (left_changelog, right_changelog) if cl is not None
+        ] + [dirty]
         return out
 
     def _prev_for_keys(self, dirty: DataFrame, how: str) -> DataFrame:

@@ -41,6 +41,9 @@ class RetractingUnion:
     _snaps: list[DataFrame | None] = field(default=None, init=False)
     _present: DataFrame | None = field(default=None, init=False)
     _store: object = field(default=None, init=False)
+    # previous batch's caches, released at the start of the next batch
+    # (the lazy output changelog's lineage includes them — see stateful.py)
+    _prev_caches: list = field(default_factory=list, init=False)
 
     _txtables: list = field(default=None, init=False)
 
@@ -78,12 +81,17 @@ class RetractingUnion:
         if len(changelogs) != len(self.pks):
             raise ValueError(f"expected {len(self.pks)} changelogs")
 
-        # lazy caches: the dirty-set materialization below scans every
-        # changelog and populates these as a side effect (see
-        # stateful.py); derived plans then gate broadcasts on REAL sizes
+        for df in self._prev_caches:
+            df.unpersist()
+        self._prev_caches = []
+        # materialized caches when a snapshot-probe join will be built
+        # (real stats at plan-build time — see stateful.py)
         changelogs = [
             cl.cache() if cl is not None else None for cl in changelogs
         ]
+        for i, cl in enumerate(changelogs):
+            if cl is not None and self._snaps[i] is not None:
+                cl.count()
 
         # dirty values: new images + displaced old images, across inputs
         dirty = None
@@ -167,11 +175,8 @@ class RetractingUnion:
             self._present = self._ckpt("present", kept.unionByName(new_present))
         if self._store is not None:
             self._store.commit()
-        for cl in changelogs:
-            if cl is not None:
-                cl.unpersist()
-        dirty.unpersist()
-        new_present.unpersist()
+        self._prev_caches = [cl for cl in changelogs if cl is not None] \
+            + [dirty, new_present]
         return out
 
     def current(self) -> DataFrame:

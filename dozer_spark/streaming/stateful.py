@@ -73,6 +73,11 @@ class RetractingAggregation:
     _state: DataFrame | None = field(default=None, init=False)  # aggregate rows
     _store: object = field(default=None, init=False)
     _txtable: object = field(default=None, init=False)
+    # caches from the PREVIOUS batch, released at the START of the next:
+    # the returned output changelog is lazy and its lineage includes
+    # these — unpersisting them before the caller's first action would
+    # force a full recompute of the dirty-group aggregation
+    _prev_caches: list = field(default_factory=list, init=False)
 
     def __post_init__(self):
         if self.state_dir is not None:
@@ -114,13 +119,19 @@ class RetractingAggregation:
     def process_batch(self, changelog: DataFrame) -> DataFrame:
         """Consume one changelog micro-batch; return the output changelog of
         the aggregation (rows = aggregate records with __op I/U/D)."""
-        # lazy cache: the dirty-set materialization below (one count)
-        # scans the changelog and populates this cache as a side effect —
-        # after that every derived plan (touched keys, batch images)
-        # carries the batch's REAL size, so the broadcast gate pins the
-        # hint for ordinary batches and refuses it for a corpus-sized
-        # backfill batch. A second eager count here would be a wasted job.
+        for df in self._prev_caches:
+            df.unpersist()
+        self._prev_caches = []
         changelog = changelog.cache()
+        if self._snapshot is not None:
+            # materialize the cache NOW: the snapshot-probe join built
+            # below gates its broadcast hint at plan-build time, and only
+            # a materialized InMemoryRelation reports the batch's REAL
+            # bytes (a lazy cache inherits the child's estimate —
+            # Long.MaxValue for checkpoint-backed changelogs, which would
+            # refuse the hint for every ordinary batch). First batch has
+            # no probe join, so the count is skipped there.
+            changelog.count()
 
         # 1. dirty group keys = keys of new images + keys of old images
         new_keys = changelog.select(*self.group_by)
@@ -226,9 +237,8 @@ class RetractingAggregation:
             self._state = self._ckpt("aggstate", kept.unionByName(new_agg))
         if self._store is not None:
             self._store.commit()  # epoch commit: both states become visible
-        changelog.unpersist()
-        dirty.unpersist()
-        new_agg.unpersist()
+        # released at the start of the NEXT batch (see _prev_caches)
+        self._prev_caches = [changelog, dirty, new_agg]
         return out
 
     def current(self) -> DataFrame:

@@ -45,7 +45,8 @@ def _varint(v: int) -> bytes:
 
 
 def build_batch(base_offset: int, records: list[tuple[bytes | None, bytes | None]],
-                first_ts: int = 1_700_000_000_000, codec: int = 0) -> bytes:
+                first_ts: int = 1_700_000_000_000, codec: int = 0,
+                control: bool = False, producer_id: int = -1) -> bytes:
     recs = b""
     for i, (k, v) in enumerate(records):
         body = b"\x00" + _varint(0) + _varint(i)
@@ -54,8 +55,9 @@ def build_batch(base_offset: int, records: list[tuple[bytes | None, bytes | None
         body += _varint(0)  # headers
         recs += _varint(len(body)) + body
     payload = gzip.compress(recs) if codec == 1 else recs
-    mid = struct.pack(">hiqqqhii", codec, len(records) - 1, first_ts,
-                      first_ts, -1, -1, -1, len(records))
+    attrs = codec | (0x20 if control else 0)
+    mid = struct.pack(">hiqqqhii", attrs, len(records) - 1, first_ts,
+                      first_ts, producer_id, -1, -1, len(records))
     # fields: attributes, lastOffsetDelta, firstTs, maxTs, producerId,
     # producerEpoch, baseSequence, recordCount
     body_after_crc = mid + payload
@@ -100,6 +102,30 @@ def test_varint_zigzag():
         assert got == v and n == len(enc)
 
 
+def test_transactional_abort_filtering():
+    """read_committed semantics client-side: data of an aborted
+    transaction and ALL control marker batches are dropped; committed
+    producers' data passes. Matches the Java consumer's algorithm."""
+    abort_marker = struct.pack(">hh", 0, 0)   # version 0, type ABORT
+    commit_marker = struct.pack(">hh", 0, 1)  # type COMMIT
+    stream = (
+        build_batch(0, [(b"k0", b"committed-before")], producer_id=7)
+        + build_batch(1, [(b"k1", b"aborted-1"), (b"k2", b"aborted-2")],
+                      producer_id=9)
+        + build_batch(3, [(abort_marker, b"")], control=True, producer_id=9)
+        + build_batch(4, [(b"k3", b"committed-after")], producer_id=9)
+        + build_batch(5, [(commit_marker, b"")], control=True, producer_id=7)
+    )
+    out = parse_record_set(stream, aborted=[(9, 1)])
+    assert [(r["offset"], r["value"]) for r in out] == [
+        (0, b"committed-before"), (4, b"committed-after"),
+    ]
+    # without the aborted list (read_uncommitted server) control markers
+    # are still never data
+    out2 = parse_record_set(stream)
+    assert [r["offset"] for r in out2] == [0, 1, 2, 4]
+
+
 # -- fake broker --------------------------------------------------------------
 
 
@@ -112,11 +138,15 @@ class FakeBroker(threading.Thread):
     """Speaks ApiVersions v0 / Metadata v1 / ListOffsets v1 / Fetch v4
     for one topic-partition whose log is `batches`."""
 
-    def __init__(self, topic: str, batches: list[bytes], earliest: int = 0):
+    def __init__(self, topic: str, batches: list[bytes], earliest: int = 0,
+                 advertise: tuple[str, int] | None = None):
         super().__init__(daemon=True)
         self.topic, self.batches, self.earliest = topic, batches, earliest
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
+        # metadata advertises this address as the partition leader —
+        # point it at ANOTHER broker to exercise leader routing
+        self.advertise = advertise or ("127.0.0.1", self.port)
 
     def _serve(self, conn):
         buf = b""
@@ -140,8 +170,8 @@ class FakeBroker(threading.Thread):
             elif api == 3:
                 resp = (
                     struct.pack(">i", 1)
-                    + struct.pack(">i", 0) + _s("127.0.0.1")
-                    + struct.pack(">i", self.port) + struct.pack(">h", -1)
+                    + struct.pack(">i", 0) + _s(self.advertise[0])
+                    + struct.pack(">i", self.advertise[1]) + struct.pack(">h", -1)
                     + struct.pack(">i", 0)  # controller
                     + struct.pack(">i", 1)
                     + struct.pack(">h", 0) + _s(self.topic) + b"\x00"
@@ -244,6 +274,22 @@ def test_client_metadata_and_offsets():
     recs = cli.fetch("t", 0, 0)
     assert [(r["key"], r["value"]) for r in recs] == [(b"k", b"v")]
     cli.close()
+
+
+def test_leader_routing_two_brokers(tmp_path):
+    """Bootstrap node is NOT the partition leader: the tail must follow
+    metadata to the advertised leader for fetches (a bootstrap-only
+    client fails with NOT_LEADER_FOR_PARTITION on real clusters)."""
+    leader = FakeBroker("t", [build_batch(0, [(b"k", b"v")])])
+    leader.start()
+    boot = FakeBroker("t", [], advertise=("127.0.0.1", leader.port))
+    boot.start()
+    spool = str(tmp_path / "spool")
+    n = tail_kafka_to_spool(f"127.0.0.1:{boot.port}", "t", 0, spool,
+                            max_records=1)
+    assert n == 1
+    with open(os.path.join(spool, "_offset_p0")) as f:
+        assert int(f.read()) == 1
 
 
 @pytest.mark.skipif(
