@@ -196,7 +196,10 @@ def test_run_app_clickhouse_sink(spark, tmp_path):
 
     from tests.test_clickhouse_http import FakeCH
 
-    src = str(tmp_path / "orders")
+    # NOTE: source names become session temp views — shared-session tests
+    # must not reuse corpus table names (a prior run of this test with
+    # "orders" clobbered the dialect tests' view of the real table)
+    src = str(tmp_path / "ch_sales")
     spark.createDataFrame(
         [(1, "A", 10.0), (2, "B", 20.0), (3, "A", 5.0)],
         "id long, grp string, amount double",
@@ -206,8 +209,8 @@ def test_run_app_clickhouse_sink(spark, tmp_path):
     srv.start()
     try:
         config = {
-            "sources": {"orders": {"path": src, "format": "parquet"}},
-            "sql": "SELECT grp, COUNT(*) AS n FROM orders GROUP BY grp INTO per_grp;"
+            "sources": {"ch_sales": {"path": src, "format": "parquet"}},
+            "sql": "SELECT grp, COUNT(*) AS n FROM ch_sales GROUP BY grp INTO per_grp;"
                    "SELECT * FROM per_grp",
             "sinks": {"per_grp": {
                 "format": "clickhouse",
