@@ -119,3 +119,41 @@ def test_subquery_shapes_decorrelate(spark):
     p21 = _plan(registry()["q21_waiting_supplier_exists_chain"].build(
         spark, "/root/testdata/sf0.001"))
     assert "LeftSemi" in p21 and "LeftAnti" in p21
+
+
+def test_q11_scalar_threshold_not_correlated(spark):
+    """q11's HAVING threshold is a scalar subquery — it must plan as a
+    1-row reusable aggregate (a Subquery/broadcast), never a per-group
+    re-scan join explosion or a cartesian."""
+    df = registry()["q11_important_stock"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # two aggregation pipelines: the per-part value and the global total
+    assert plan.count("HashAggregate") >= 2
+    # dimension joins stay broadcast (supplier/nation are tiny)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_left_join_keeps_nonkey_predicate_in_join(spark):
+    """q13's non-key priority predicate belongs IN the left join (a
+    post-join filter would wrongly drop customers with zero matching
+    orders); the outer aggregation must stay a hash aggregate."""
+    df = registry()["q13_customer_distribution"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan
+    # the priority predicate sits on the orders SIDE (pushed into the
+    # scan — safe on the right input of a left join), never as a filter
+    # above the join where it would drop zero-order customers
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l
+              and "o_orderpriority" in l]
+    assert pushed, "priority predicate not pushed to the orders scan"
+
+
+def test_q15_scalar_max_single_row(spark):
+    """q15's MAX(total_revenue) is a scalar subquery over the revenue
+    view — the equality must not become a cartesian or a per-row probe."""
+    df = registry()["q15_top_supplier"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
