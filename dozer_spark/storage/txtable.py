@@ -482,6 +482,12 @@ class TransactionalTable:
             os.makedirs(dst, exist_ok=True)
 
         ddir = os.path.join(vdir, "__dest=data")
+        # refs of the version being superseded: _vacuum must keep them —
+        # readers holding the PREVIOUS snapshot (the streaming operators'
+        # lazy output changelogs) still scan those files, and with
+        # carry-forward a previous-version ref can live in an arbitrarily
+        # old version dir that the age floor alone would delete
+        self._prev_refs = set(self._buckets.values())
         for b in touched:
             rel = os.path.join(ddir, f"__b={b}")
             # partitionBy writes a dir only if the bucket has rows; an
@@ -517,6 +523,10 @@ class TransactionalTable:
         bd = os.path.join(self.path, "buckets")
         if os.path.isdir(bd):
             live = {rel.split(os.sep)[1] for rel in self._buckets.values()}
+            # the superseded version's refs stay readable for one more
+            # epoch (previous-snapshot readers; see merge)
+            live |= {rel.split(os.sep)[1]
+                     for rel in getattr(self, "_prev_refs", ())}
             floor = self.version - keep_versions + 1
             for v in os.listdir(bd):
                 if not v.startswith("v"):

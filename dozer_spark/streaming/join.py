@@ -72,6 +72,7 @@ class RetractingJoin:
     _prev_caches: list = field(default_factory=list, init=False)
 
     _txtables: dict = field(default_factory=dict, init=False)
+    _prevtx: object = field(default=None, init=False)  # DiffStateTable
 
     def __post_init__(self):
         if self.how not in ("inner", "left", "right"):
@@ -80,9 +81,18 @@ class RetractingJoin:
             import os
 
             from dozer_spark.storage import TransactionalTable
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(self.spark, self.state_dir)
+            # the emitted-output snapshot is a digest-keyed DiffStateTable
+            # (O(changed) epoch IO — at scale the output is corpus-sized)
+            self._prevtx = DiffStateTable(
+                self.spark, diff_state_path(self.state_dir, "prev"), "__ok"
+            )
             # side snapshots are bucketed TransactionalTables (see
             # stateful.py: O(batch) epoch IO, not O(state)). TTL sides
             # keep the staged path — eviction rewrites rows by time, not
@@ -102,7 +112,10 @@ class RetractingJoin:
                 else:
                     self._left = self._store.load("left")
                     self._right = self._store.load("right")
-                self._prev = self._store.load("prev")
+                # rewind a crash-orphaned ahead compaction (see incstate.py)
+                self._prev = self._prevtx.read_committed(
+                    self._store.load_meta("prev_txv")
+                )
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
         if self._store is not None:
@@ -250,11 +263,13 @@ class RetractingJoin:
             .otherwise(F.lit(None))
         )
         img = F.when(F.col("__op") == "D", F.col("__old")).otherwise(F.col("__new"))
-        out = (
+        diffed = (
             joined.withColumn("__op", op)
             .filter(F.col("__op").isNotNull())
             .withColumn("__img", img)
-            .select("__op", *[F.col(f"__img.{c}").alias(c) for c in data_cols])
+        )
+        out = (
+            diffed.select("__op", *[F.col(f"__img.{c}").alias(c) for c in data_cols])
             # lazy: lineage is pinned frames (new_out checkpoint, prev
             # checkpoint) — callers that discard the output changelog
             # skip its materialization job entirely
@@ -262,13 +277,25 @@ class RetractingJoin:
         )
 
         # advance emitted-output state
-        if self._prev is None:
+        if self._store is not None:
+            # durable: merge ONLY the rows the diff changed into the
+            # digest-keyed DiffStateTable (O(changed) epoch IO, not a
+            # full output-snapshot rewrite)
+            changed = diffed.select(
+                "__ok",
+                *[F.col(f"__img.{c}").alias(c) for c in data_cols],
+                (F.col("__op") == "D").alias("__del"),
+            )
+            meta = self._prevtx.advance(changed, epoch=self._store.epoch + 1,
+                                        app_id="rjoin_prev")
+            self._prev = self._prevtx.read_live()
+            self._store.stage_meta("prev_txv", meta)
+            self._store.commit()  # epoch commit: all three states together
+        elif self._prev is None:
             self._prev = self._ckpt("prev", new_out)
         else:
             kept = self._prev_for_keys(dirty, "anti")
             self._prev = self._ckpt("prev", kept.unionByName(new_out))
-        if self._store is not None:
-            self._store.commit()  # epoch commit: all three states together
         self._prev_caches = [
             cl for cl in (left_changelog, right_changelog) if cl is not None
         ] + [dirty]

@@ -46,6 +46,7 @@ class RetractingUnion:
     _prev_caches: list = field(default_factory=list, init=False)
 
     _txtables: list = field(default=None, init=False)
+    _presenttx: object = field(default=None, init=False)  # DiffStateTable
 
     def __post_init__(self):
         self._snaps = [None] * len(self.pks)
@@ -57,20 +58,31 @@ class RetractingUnion:
 
             self._store = StateStore(self.spark, self.state_dir)
             # per-input snapshots: bucketed incremental MERGE (see
-            # stateful.py — O(batch) epoch IO). The present set stays in
-            # the StateStore: its rows are replaced per dirty VALUE, not
-            # per PK, which a keyed MERGE does not express.
+            # stateful.py — O(batch) epoch IO). The present set is a
+            # digest-keyed DiffStateTable: the 0->1 inserts and 1->0
+            # deletes the batch computed are exactly its MERGE input.
             self._txtables = [
                 TransactionalTable(self.spark,
                                    os.path.join(self.state_dir, f"snap{i}_tx"),
                                    pk=pk)
                 for i, pk in enumerate(self.pks)
             ]
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
+
+            self._presenttx = DiffStateTable(
+                self.spark, diff_state_path(self.state_dir, "present"), "__pr"
+            )
             if self._store.epoch > 0:
                 self._snaps = [
                     t.read() if t.version > 0 else None for t in self._txtables
                 ]
-                self._present = self._store.load("present")
+                # rewind a crash-orphaned ahead compaction (see incstate.py)
+                self._present = self._presenttx.read_committed(
+                    self._store.load_meta("present_txv")
+                )
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
         if self._store is not None:
@@ -165,16 +177,30 @@ class RetractingUnion:
             F.lit("D").alias("__op"), *self.value_cols
         )
         # lazy (see join.py): discarded output changelogs cost nothing
-        out = inserts.unionByName(deletes).localCheckpoint(eager=False)
+        diffed = inserts.unionByName(deletes)
+        out = diffed.localCheckpoint(eager=False)
 
         # advance union state
-        if self._present is None:
+        if self._store is not None:
+            # durable: the 0->1 / 1->0 transitions ARE the changed rows —
+            # merge only them into the digest-keyed DiffStateTable
+            from dozer_spark.streaming.changelog import row_digest
+
+            changed = diffed.select(
+                row_digest(self.value_cols).alias("__pr"),
+                *self.value_cols,
+                (F.col("__op") == "D").alias("__del"),
+            )
+            meta = self._presenttx.advance(changed, epoch=self._store.epoch + 1,
+                                           app_id="runion_present")
+            self._present = self._presenttx.read_live()
+            self._store.stage_meta("present_txv", meta)
+            self._store.commit()
+        elif self._present is None:
             self._present = self._ckpt("present", new_present)
         else:
             kept = keys_join(self._present, dirty, "anti")
             self._present = self._ckpt("present", kept.unionByName(new_present))
-        if self._store is not None:
-            self._store.commit()
         self._prev_caches = [cl for cl in changelogs if cl is not None] \
             + [dirty, new_present]
         return out

@@ -104,6 +104,18 @@ class StateStore:
         self._prune()
         return new_epoch
 
+    def stage_meta(self, name: str, meta: dict) -> None:
+        """Stage a small JSON metadata entry (no parquet) published
+        atomically with the epoch — e.g. the DiffStateTable version bound
+        to this commit (the crash-rewind anchor, see incstate.py)."""
+        self._staged[name] = {"meta": meta}
+
+    def load_meta(self, name: str) -> dict | None:
+        entry = self._committed.get(name)
+        if entry is None:
+            return None
+        return entry.get("meta")
+
     def load(self, name: str) -> DataFrame | None:
         """Committed state by name, or None if never committed."""
         entry = self._committed.get(name)
@@ -114,6 +126,8 @@ class StateStore:
     def _prune(self) -> None:
         floor = self.epoch - KEEP_EPOCHS + 1
         for name, entry in self._committed.items():
+            if "version" not in entry:  # metadata entry: nothing on disk
+                continue
             d = os.path.join(self.root, name)
             if not os.path.isdir(d):
                 continue

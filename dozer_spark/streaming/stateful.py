@@ -73,6 +73,7 @@ class RetractingAggregation:
     _state: DataFrame | None = field(default=None, init=False)  # aggregate rows
     _store: object = field(default=None, init=False)
     _txtable: object = field(default=None, init=False)
+    _aggtx: object = field(default=None, init=False)  # DiffStateTable
     # caches from the PREVIOUS batch, released at the START of the next:
     # the returned output changelog is lazy and its lineage includes
     # these — unpersisting them before the caller's first action would
@@ -84,6 +85,10 @@ class RetractingAggregation:
             import os
 
             from dozer_spark.storage import TransactionalTable
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(self.spark, self.state_dir)
@@ -91,10 +96,22 @@ class RetractingAggregation:
                 self.spark, os.path.join(self.state_dir, "snapshot_tx"),
                 pk=self.pk, n_buckets=self.snapshot_buckets,
             )
+            # the aggregate table is a digest-keyed DiffStateTable: each
+            # epoch merges only the groups the diff changed (O(dirty)
+            # write IO, not O(groups) — at scale the aggregate table is
+            # corpus-cardinality)
+            self._aggtx = DiffStateTable(
+                self.spark, diff_state_path(self.state_dir, "agg"),
+                "__gk", n_buckets=self.snapshot_buckets,
+            )
             if self._store.epoch > 0:  # resume from the last committed epoch
                 if self._txtable.version > 0:
                     self._snapshot = self._txtable.read()
-                self._state = self._store.load("aggstate")
+                # rewind a crash-orphaned ahead compaction so the replayed
+                # batch re-diffs against the COMMITTED state and re-emits
+                self._state = self._aggtx.read_committed(
+                    self._store.load_meta("agg_txv")
+                )
 
     # -- helpers ------------------------------------------------------------
 
@@ -212,16 +229,16 @@ class RetractingAggregation:
         )
         image = F.when(F.col("__op") == "D", F.col("__old")).otherwise(F.col("__new"))
         keys_img = F.when(F.col("__op") == "D", F.col("__okeys")).otherwise(F.col("__nkeys"))
-        out = (
+        diffed = (
             joined.withColumn("__op", op)
             .filter(F.col("__op").isNotNull())
             .withColumn("__img", image)
             .withColumn("__kimg", keys_img)
-            .select(
-                "__op",
-                *[F.col(f"__kimg.{c}").alias(c) for c in self.group_by],
-                *[F.col(f"__img.{c}").alias(c) for c in agg_cols],
-            )
+        )
+        out = diffed.select(
+            "__op",
+            *[F.col(f"__kimg.{c}").alias(c) for c in self.group_by],
+            *[F.col(f"__img.{c}").alias(c) for c in agg_cols],
         )
         # the output changelog stays LAZY: its whole lineage is pinned
         # frames (the staged snapshot, the cached new_agg, the previous
@@ -230,13 +247,28 @@ class RetractingAggregation:
         out = out.localCheckpoint(eager=False)
 
         # 5. advance aggregate state
-        if self._state is None:
+        if self._store is not None:
+            # durable: merge ONLY the changed groups (the diff rows) into
+            # the digest-keyed DiffStateTable — O(dirty) write IO per
+            # epoch instead of a full aggregate-table rewrite. D rows
+            # delete their digest; I/U upsert the new image.
+            changed = diffed.select(
+                "__gk",
+                *[F.col(f"__kimg.{c}").alias(c) for c in self.group_by],
+                *[F.col(f"__img.{c}").alias(c) for c in agg_cols],
+                (F.col("__op") == "D").alias("__del"),
+            )
+            meta = self._aggtx.advance(changed, epoch=self._store.epoch + 1,
+                                       app_id="ragg_agg")
+            self._state = self._aggtx.read_live()
+            # bind the log position to the epoch: the crash-rewind anchor
+            self._store.stage_meta("agg_txv", meta)
+            self._store.commit()  # epoch commit: both states become visible
+        elif self._state is None:
             self._state = self._ckpt("aggstate", new_agg)
         else:
             kept = keys_join(self._state, dirty, "anti")
             self._state = self._ckpt("aggstate", kept.unionByName(new_agg))
-        if self._store is not None:
-            self._store.commit()  # epoch commit: both states become visible
         # released at the start of the NEXT batch (see _prev_caches)
         self._prev_caches = [changelog, dirty, new_agg]
         return out

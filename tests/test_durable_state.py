@@ -266,3 +266,162 @@ class TestIncrementalSnapshot:
         assert sorted((r.grp, r.s) for r in resumed.current().collect()) == [
             ("a", 9.0), ("b", 7.0)
         ]
+
+
+class TestDiffStateRewind:
+    def test_crash_after_aggstate_merge_reemits_on_replay(self, spark, tmp_path):
+        """The OTHER crash window: snapshot AND aggregate DiffStateTable
+        merged, but the manifest commit never happened. The aggregate
+        table is one version ahead; a resume must rewind it to the
+        committed version (inverse change feed) so the replayed batch
+        re-diffs against the committed state and RE-EMITS its output —
+        otherwise a consumer that died with the process loses the batch."""
+        import pytest
+
+        sd = str(tmp_path / "sd")
+
+        b1 = _cl(spark, [("I", 1, 1, 1, "a", 5.0), ("I", 1, 2, 2, "b", 7.0)])
+        b2 = _cl(spark, [("U", 2, 1, 1, "a", 9.0), ("D", 2, 2, 2, "b", 7.0)])
+
+        first = _ragg(spark, sd)
+        first.process_batch(b1).collect()
+        # crash at the LAST possible moment: both txtable merges done,
+        # manifest commit refused
+        def boom():
+            raise RuntimeError("simulated crash before manifest commit")
+        first._store.commit = boom
+        with pytest.raises(RuntimeError):
+            first.process_batch(b2)
+        # the epoch-2 delta IS on disk, but not in the committed pending list
+        assert os.path.isdir(first._aggtx._delta_dir(2))
+        del first
+
+        resumed = _ragg(spark, sd)
+        assert resumed._store.epoch == 1
+        out = resumed.process_batch(b2)
+        rows = sorted((r["__op"], r.grp) for r in out.collect())
+        # the replay re-emits BOTH changes (at-least-once), instead of
+        # the empty changelog a non-rewound diff would produce
+        assert rows == [("D", "b"), ("U", "a")]
+        assert sorted((r.grp, r.s) for r in resumed.current().collect()) == [
+            ("a", 9.0)
+        ]
+
+    def test_aggstate_epoch_delta_carries_only_changed_groups(self, spark, tmp_path):
+        """Epoch IO contract: a batch touching ONE group writes ONE
+        group's row into the epoch delta — never a full aggregate-table
+        rewrite (O(changed) epoch IO, the delta-log design)."""
+        sd = str(tmp_path / "sd")
+        agg = _ragg(spark, sd)
+        agg.process_batch(
+            _cl(spark, [("I", 1, i, i, f"g{i % 8}", float(i)) for i in range(64)])
+        ).collect()
+        agg.process_batch(_cl(spark, [("U", 2, 1, 1, "g1", 100.0)])).collect()
+        delta = spark.read.schema(agg._aggtx._delta_schema()).parquet(
+            agg._aggtx._delta_dir(2)
+        )
+        touched_groups = {r.grp for r in delta.select("grp").distinct().collect()}
+        assert touched_groups == {"g1"}, touched_groups
+        # and the live state still reflects ALL groups
+        assert agg.current().count() == 8
+
+    def test_compaction_folds_deltas_and_preserves_state(self, spark, tmp_path):
+        """After compact_every epochs the pending deltas fold into the
+        bucketed base (latest image per digest wins, deletes drop out)
+        and the live state equals the from-scratch aggregate."""
+        sd = str(tmp_path / "sd")
+        agg = _ragg(spark, sd)
+        agg._aggtx.compact_every = 2
+        batches = [
+            _cl(spark, [("I", 1, 1, 1, "a", 5.0), ("I", 1, 2, 2, "b", 7.0)]),
+            _cl(spark, [("U", 2, 1, 1, "a", 9.0)]),
+            _cl(spark, [("D", 3, 1, 2, "b", 7.0)]),
+            _cl(spark, [("I", 4, 1, 3, "c", 1.0)]),
+            _cl(spark, [("U", 5, 1, 3, "c", 2.0)]),
+        ]
+        for b in batches:
+            agg.process_batch(b).collect()
+        assert agg._aggtx.tx.version >= 1  # at least one compaction ran
+        got = sorted((r.grp, r.s, r.n) for r in agg.current().collect())
+        assert got == [("a", 9.0, 1), ("c", 2.0, 1)]
+        # a fresh resume sees the same state
+        agg2 = _ragg(spark, sd)
+        got2 = sorted((r.grp, r.s, r.n) for r in agg2._state.collect())
+        assert got2 == got
+
+
+class TestDiffStateRewindJoinUnion:
+    def _cl2(self, spark, rows, cols):
+        return spark.createDataFrame(rows, ["__op", "__txid", "__seq", *cols])
+
+    def test_join_crash_after_prev_merge_reemits(self, spark, tmp_path):
+        """Crash between the prev DiffStateTable merge and the manifest
+        commit: resume rewinds prev and the replayed batch re-emits."""
+        import pytest
+
+        sd = str(tmp_path / "join_state")
+
+        def make():
+            return RetractingJoin(
+                spark, left_pk=["lid"], right_pk=["rid"], on=[("k", "k2")],
+                how="left", state_dir=sd,
+            )
+
+        j1 = make()
+        l1 = self._cl2(spark, [("I", 1, 1, 1, 10), ("I", 1, 2, 2, 20)],
+                       ["lid", "k"])
+        r1 = self._cl2(spark, [("I", 1, 1, 100, 10)], ["rid", "k2"])
+        j1.process_batch(l1, r1).collect()
+
+        r2 = self._cl2(spark, [("I", 2, 1, 200, 20)], ["rid", "k2"])
+        l2 = spark.createDataFrame([], l1.schema)
+
+        # force a compaction during batch 2: the crash then leaves the
+        # BASE table one version ahead (the deep rewind path), plus an
+        # orphaned epoch-2 delta
+        j1._prevtx.compact_every = 1
+
+        def boom():
+            raise RuntimeError("simulated crash before manifest commit")
+        j1._store.commit = boom
+        with pytest.raises(RuntimeError):
+            j1.process_batch(l2, r2)
+        assert j1._prevtx.tx.version == 1  # compaction committed, epoch did not
+        del j1
+
+        j2 = make()
+        out = j2.process_batch(l2, r2)
+        got = sorted(((r["__op"], r.lid, r.rid) for r in out.collect()), key=str)
+        assert got == [("D", 2, None), ("I", 2, 200)]
+        cur = sorted((r.lid, r.rid) for r in j2.current().collect())
+        assert cur == [(1, 100), (2, 200)]
+
+    def test_union_crash_after_present_merge_reemits(self, spark, tmp_path):
+        import pytest
+
+        sd = str(tmp_path / "union_state")
+        schema = "__op string, __txid long, __seq long, id long, val string"
+
+        def make():
+            return RetractingUnion(spark, pks=[["id"], ["id"]],
+                                   value_cols=["val"], state_dir=sd)
+
+        u1 = make()
+        a1 = spark.createDataFrame([("I", 1, 1, 1, "x")], schema)
+        b1 = spark.createDataFrame([("I", 1, 1, 9, "y")], schema)
+        u1.process_batch([a1, b1]).collect()
+
+        a2 = spark.createDataFrame([("D", 2, 1, 1, "x")], schema)
+
+        def boom():
+            raise RuntimeError("simulated crash before manifest commit")
+        u1._store.commit = boom
+        with pytest.raises(RuntimeError):
+            u1.process_batch([a2, None])
+        assert os.path.isdir(u1._presenttx._delta_dir(2))
+        del u1
+
+        u2 = make()
+        out = u2.process_batch([a2, None])
+        assert [(r["__op"], r.val) for r in out.collect()] == [("D", "x")]
+        assert sorted(r.val for r in u2.current().collect()) == ["y"]
