@@ -13,8 +13,15 @@ from dozer_spark.ops.text import (
     quality_score,
     lang_id,
     fingerprint,
+    eval_ngram_overlap,
     pii_counts,
     redact_pii,
+)
+from dozer_spark.ops.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    quota_sample,
+    train_test_split,
 )
 from dozer_spark.ops.media_codecs import probe_bytes
 from dozer_spark.ops.multimodal import extract_features, frame_sample, probe_metadata
@@ -48,6 +55,11 @@ __all__ = [
     "brute_force_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "eval_ngram_overlap",
+    "hash_sample",
+    "stratified_hash_sample",
+    "quota_sample",
+    "train_test_split",
     "pii_counts",
     "redact_pii",
     "probe_bytes",

@@ -62,3 +62,46 @@ def train_test_split(
     cutoff = int(test_fraction * _BUCKETS)
     b = hash_bucket(F.col(key_col), salt)
     return df.filter(b >= cutoff), df.filter(b < cutoff)
+
+
+def quota_sample(
+    df: DataFrame, key_col: str, strata_col: str, quotas: dict[str, int],
+    default_quota: int = 0, salt: str = "mix",
+) -> DataFrame:
+    """Target-COUNT mixture sampling (domain mixing): keep exactly
+    min(quota, stratum size) rows per stratum, chosen deterministically
+    — the "hit this per-domain token budget" step of corpus assembly,
+    where fractions don't compose (the budget is absolute, the corpus
+    grows).
+
+    Selection order is (md5(salt:key), key): engine-portable (hex-string
+    ordering), stable under repartitioning, and total (the key
+    tiebreaks hash collisions), so the SAME rows are chosen on every
+    engine and every run. Scale: one shuffle on the stratum column for
+    the per-stratum rank; quotas are small by definition so the window
+    never materializes more than the stratum's rows per task — for
+    heavily skewed strata pair with stratified_hash_sample to pre-thin
+    before the exact quota cut."""
+    for v, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for {v!r} must be >= 0")
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(key_col))
+    quota = None
+    for value, q in quotas.items():
+        c = F.when(F.col(strata_col) == value, F.lit(q))
+        quota = c if quota is None else quota.when(
+            F.col(strata_col) == value, F.lit(q)
+        )
+    quota = (
+        quota.otherwise(F.lit(default_quota))
+        if quota is not None
+        else F.lit(default_quota)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

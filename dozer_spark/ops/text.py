@@ -148,3 +148,57 @@ def redact_pii(c, token: str = "[PII]") -> Column:
     for k in ("email", "ssn", "phone"):
         col = F.regexp_replace(col, PII_PATTERNS[k], token)
     return col
+
+
+def word_ngrams(c, n: int = 3) -> Column:
+    """Distinct md5-hashed word n-grams of a text column — the matching
+    unit for decontamination. Pure Column expression (codegen); the md5
+    keeps the shuffle slim (32B per gram regardless of text length) and
+    is replayable in the DuckDB oracle. Documents shorter than n tokens
+    yield an empty array (Spark's sequence(1, 0) counts DOWN, so the
+    short case must be guarded explicitly to match SQL generate_series)."""
+    t = tokens(c)
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(t, i, n), " ")))
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
+                       n: int = 3):
+    """Decontamination: per corpus document, the number of distinct word
+    n-grams it shares with the EVAL split (docs matching `eval_pred`) —
+    the standard benchmark-leakage filter of a training-data pipeline
+    (filter or downweight documents with n_hits above a policy
+    threshold; the threshold is the caller's, the counting is ours).
+
+    100 TB design: the eval gram set is tiny by construction (an eval
+    suite is thousands of documents against a corpus of billions), so
+    it is distinct-reduced and size-gate broadcast — the corpus side
+    streams through one scan + one explode with NO corpus-sized
+    shuffle; the groupBy shuffles only matching (doc, gram-hash) pairs.
+    Reference scope: beyond dozer's surface — corpus-pipeline family
+    (SURVEY.md §2 extension list).
+    """
+    from dozer_spark.operators.hints import maybe_broadcast
+
+    g = docs.select(
+        F.col(id_col), eval_pred.alias("__eval"),
+        word_ngrams(F.col(text_col), n).alias("__g"),
+    )
+    ev = (
+        g.filter(F.col("__eval"))
+        .select(F.explode("__g").alias("__h"))
+        .distinct()
+    )
+    corpus = g.filter(~F.col("__eval")).select(
+        id_col, F.explode("__g").alias("__h")
+    )
+    return (
+        corpus.join(maybe_broadcast(ev), "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

@@ -668,3 +668,67 @@ def text_pii_scan_redact(spark, sf):
         counts["ssn"].cast("int").alias("n_ssn"),
         F.length(redact_pii(F.col("t"))).alias("redacted_len"),
     )
+
+
+@_q(
+    "decontaminate_eval_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 0)),
+          i -> md5(array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(g) AS h FROM grams WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(g) AS h FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corpus c JOIN eval_grams e USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_eval_ngrams(spark, sf):
+    """Decontamination (benchmark-leakage scan): count the distinct word
+    3-grams each corpus document shares with the eval split (doc_id %
+    97 = 0 stands in for a held-out benchmark). The eval gram set is
+    distinct-reduced and size-gate BROADCAST — the corpus side is one
+    scan + explode with no corpus-sized shuffle. Exact DuckDB oracle:
+    identical tokenization, md5-hashed grams, identical join+count."""
+    from dozer_spark.ops.text import eval_ngram_overlap
+
+    d = _cat(spark, sf).df("documents")
+    return eval_ngram_overlap(d, "text", "doc_id",
+                              F.col("doc_id") % 97 == 0, n=3)
+
+
+@_q(
+    "quota_mixture_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked
+    WHERE rn <= CASE lang WHEN 'en' THEN 120 WHEN 'es' THEN 40 ELSE 15 END
+    """,
+)
+def quota_mixture_sample(spark, sf):
+    """Domain-mixing quota sampler: exact target COUNT per language
+    (120 en / 40 es / 15 everything else), deterministically chosen by
+    (md5 hash, key) order — absolute per-domain budgets for corpus
+    assembly, reproducible across engines and runs. Exact DuckDB
+    oracle runs the same ranked selection."""
+    from dozer_spark.ops.sampling import quota_sample
+
+    d = _cat(spark, sf).df("documents")
+    return quota_sample(
+        d, "doc_id", "lang", {"en": 120, "es": 40}, default_quota=15
+    ).select("lang", "doc_id")

@@ -260,3 +260,41 @@ def test_pii_counts_and_redaction(spark):
         and "a.b-c@x.io" not in rows[1].r
     assert (rows[2].e, rows[2].p, rows[2].s) == (0, 0, 0)
     assert rows[3].e == 2 and rows[3].r.count("[PII]") == 2
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    from dozer_spark.ops import quota_sample
+
+    rows = [(i, "en" if i % 3 else "es") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = quota_sample(df, "id", "lang", {"en": 5, "es": 3})
+    got = out.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"en": 5, "es": 3}
+    # quota above stratum size keeps the whole stratum
+    all_es = quota_sample(df, "id", "lang", {"es": 10**6}, default_quota=0)
+    assert all_es.count() == 20
+    # deterministic under repartitioning: same rows selected
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in
+               quota_sample(df.repartition(13), "id", "lang",
+                            {"en": 5, "es": 3}).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        quota_sample(df, "id", "lang", {"en": -1})
+
+
+def test_eval_ngram_overlap_counts_and_short_doc_guard(spark):
+    from dozer_spark.ops import eval_ngram_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # eval
+            (2, "a quick brown fox runs"),      # shares "quick brown fox"
+            (3, "totally different words here"),
+            (4, "ab"),                           # < n tokens: empty grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = eval_ngram_overlap(df, "text", "doc_id", F.col("doc_id") == 1, n=3)
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    assert got == {2: 1}
