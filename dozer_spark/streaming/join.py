@@ -72,6 +72,7 @@ class RetractingJoin:
     _prev_caches: list = field(default_factory=list, init=False)
 
     _txtables: dict = field(default_factory=dict, init=False)
+    _sidetx: dict = field(default_factory=dict, init=False)  # TTL DiffStateTables
     _prevtx: object = field(default=None, init=False)  # DiffStateTable
 
     def __post_init__(self):
@@ -93,25 +94,35 @@ class RetractingJoin:
             self._prevtx = DiffStateTable(
                 self.spark, diff_state_path(self.state_dir, "prev"), "__ok"
             )
-            # side snapshots are bucketed TransactionalTables (see
-            # stateful.py: O(batch) epoch IO, not O(state)). TTL sides
-            # keep the staged path — eviction rewrites rows by time, not
-            # by PK, which a keyed MERGE cannot express incrementally.
-            if self.ttl is None:
-                for name, pk in (("left", self.left_pk), ("right", self.right_pk)):
+            # side snapshots: bucketed TransactionalTables (see
+            # stateful.py: O(batch) epoch IO, not O(state)). A TTL side
+            # (ttl set AND the side has an event-time column) is instead
+            # a digest-keyed delta-log whose epoch delta carries the
+            # batch upserts PLUS eviction tombstones for newly-expired
+            # rows — O(batch + evicted) epoch IO (see _merge_ttl_durable).
+            for name, pk, ts in (("left", self.left_pk, self.left_ts),
+                                 ("right", self.right_pk, self.right_ts)):
+                if self.ttl is not None and ts is not None:
+                    self._sidetx[name] = DiffStateTable(
+                        self.spark, diff_state_path(self.state_dir, name),
+                        "__sk",
+                    )
+                else:
                     self._txtables[name] = TransactionalTable(
                         self.spark, os.path.join(self.state_dir, f"{name}_tx"),
                         pk=pk,
                     )
             if self._store.epoch > 0:
-                if self.ttl is None:
-                    self._left = (self._txtables["left"].read()
-                                  if self._txtables["left"].version > 0 else None)
-                    self._right = (self._txtables["right"].read()
-                                   if self._txtables["right"].version > 0 else None)
-                else:
-                    self._left = self._store.load("left")
-                    self._right = self._store.load("right")
+                sides = {}
+                for name in ("left", "right"):
+                    if name in self._sidetx:
+                        sides[name] = self._sidetx[name].read_committed(
+                            self._store.load_meta(f"{name}_txv")
+                        )
+                    else:
+                        t = self._txtables[name]
+                        sides[name] = t.read() if t.version > 0 else None
+                self._left, self._right = sides["left"], sides["right"]
                 # rewind a crash-orphaned ahead compaction (see incstate.py)
                 self._prev = self._prevtx.read_committed(
                     self._store.load_meta("prev_txv")
@@ -126,7 +137,9 @@ class RetractingJoin:
 
     def _merge(self, name: str, prev: DataFrame | None, changelog: DataFrame,
                pk: list[str], ts_col: str | None = None) -> DataFrame:
-        if self._store is not None and self.ttl is None:
+        if self._store is not None and name in self._sidetx:
+            return self._merge_ttl_durable(name, prev, changelog, pk, ts_col)
+        if self._store is not None and name in self._txtables:
             # durable non-TTL side: bucket-pruned incremental MERGE with
             # batch_id idempotency (see stateful.py)
             from dozer_spark.streaming.changelog import _latest_per_pk
@@ -151,6 +164,74 @@ class RetractingJoin:
 
             merged = apply_ttl(merged, ts_col, self.ttl)
         return self._ckpt(name, merged)
+
+    def _merge_ttl_durable(self, name: str, prev: DataFrame | None,
+                           changelog: DataFrame, pk: list[str],
+                           ts_col: str) -> DataFrame:
+        """Durable TTL side: a delta-log whose epoch delta is the batch
+        upserts PLUS eviction tombstones for newly-expired state rows —
+        O(batch + evicted) epoch WRITE IO, never a full state rewrite.
+
+        The TTL reference is max(event time) over the live rows
+        (state ∪ batch), evaluated LAZILY as a 1-row broadcast inside
+        the delta write — identical semantics to the in-memory
+        apply_ttl path (rows with a NULL event time expire once any
+        reference exists; nothing expires while the reference is NULL).
+        A batch row whose new image is already expired becomes a delete
+        (it must displace the PK's older state row, exactly as the
+        merged-then-filtered path did)."""
+        from dozer_spark.streaming.changelog import _latest_per_pk, row_digest
+
+        from dozer_spark.operators.window import interval_ms
+
+        tbl = self._sidetx[name]
+        ivl = F.expr(f"INTERVAL {interval_ms(self.ttl) // 1000} SECOND")
+        latest = _latest_per_pk(changelog, pk)
+        upsert = latest.withColumn(
+            "__op_del", F.col("__op") == "D"
+        ).drop(*CHANGELOG_COLS)
+
+        # reference = max event time over the POST-batch live rows (state
+        # rows the batch superseded or deleted no longer contribute) —
+        # the exact reference the merged-then-filtered in-memory path uses
+        batch_keys = latest.select(*pk).distinct()
+        live_ts = upsert.filter(~F.col("__op_del")).select(
+            F.col(ts_col).alias("__t")
+        )
+        if prev is not None:
+            kept = prev.join(maybe_broadcast(batch_keys), pk, "left_anti")
+            live_ts = kept.select(F.col(ts_col).alias("__t")).unionByName(live_ts)
+        ref = live_ts.agg(F.max("__t").alias("__ref"))
+
+        alive = F.coalesce(F.col(ts_col) >= F.col("__ref") - ivl, F.lit(False))
+        up = (
+            upsert.crossJoin(F.broadcast(ref))
+            .withColumn("__sk", row_digest(pk))
+            .withColumn(
+                "__del",
+                F.when(F.col("__ref").isNull(), F.col("__op_del"))
+                .otherwise(F.col("__op_del") | ~alive),
+            )
+            .drop("__op_del", "__ref")
+        )
+        changed = up
+        if prev is not None:
+            # newly-expired state rows -> tombstones; PKs the batch also
+            # touched are excluded (their batch row decides their fate,
+            # and one digest must appear at most once per delta)
+            expired = (
+                prev.crossJoin(F.broadcast(ref))
+                .filter(F.col("__ref").isNotNull() & ~alive)
+                .drop("__ref")
+                .join(maybe_broadcast(batch_keys), pk, "left_anti")
+                .withColumn("__sk", row_digest(pk))
+                .withColumn("__del", F.lit(True))
+            )
+            changed = changed.unionByName(expired)
+        meta = tbl.advance(changed, epoch=self._store.epoch + 1,
+                           app_id=f"{name}_ttl")
+        self._store.stage_meta(f"{name}_txv", meta)
+        return tbl.read_live()
 
     def _dirty_keys(self, changelog: DataFrame | None, snap_before: DataFrame | None,
                     pk: list[str], key_cols: list[str]) -> DataFrame | None:

@@ -425,3 +425,65 @@ class TestDiffStateRewindJoinUnion:
         out = u2.process_batch([a2, None])
         assert [(r["__op"], r.val) for r in out.collect()] == [("D", "x")]
         assert sorted(r.val for r in u2.current().collect()) == ["y"]
+
+
+class TestDurableTtlJoin:
+    def _ev(self, spark, rows):
+        return (
+            spark.createDataFrame(
+                rows, ["__op", "__txid", "__seq", "eid", "key", "ts_s"]
+            )
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+
+    def _users(self, spark, rows):
+        return spark.createDataFrame(
+            rows, ["__op", "__txid", "__seq", "uid", "name", "country_id"]
+        )
+
+    def test_ttl_eviction_survives_restart(self, spark, tmp_path):
+        """Durable TTL side = delta-log with eviction tombstones: the
+        eviction and the retract-on-next-touch semantics must match the
+        in-memory path ACROSS a restart, and the epoch delta must carry
+        the evicted row as a tombstone (O(batch + evicted) IO proof)."""
+        sd = str(tmp_path / "ttl_state")
+
+        def make():
+            return RetractingJoin(
+                spark, ["uid"], ["eid"], [("country_id", "key")], "inner",
+                ttl="1 HOUR", right_ts="ts", state_dir=sd,
+            )
+
+        j = make()
+        out1 = j.process_batch(
+            self._users(spark, [("I", 1, 1, 1, "ann", 7)]),
+            self._ev(spark, [("I", 1, 1, 100, 7, "2024-01-01 10:00:00")]),
+        )
+        assert out1.count() == 1
+        # advancing the right max ts by 2.5h evicts the 10:00 row; the
+        # epoch-2 delta must hold a tombstone for it (not a full rewrite)
+        empty_left = spark.createDataFrame(
+            [], "__op string, __txid long, __seq long, uid long, "
+                "name string, country_id long")
+        j.process_batch(
+            empty_left,
+            self._ev(spark, [("I", 2, 1, 101, 99, "2024-01-01 12:30:00")]),
+        )
+        tbl = j._sidetx["right"]
+        delta2 = spark.read.schema(tbl._delta_schema()).parquet(tbl._delta_dir(2))
+        dels = {r.eid for r in delta2.filter("__del").collect()}
+        assert dels == {100}, dels
+        del j
+
+        # restart: evicted row must STAY evicted; touching its key
+        # retracts the stale output, fresh keys still join
+        j2 = make()
+        out3 = j2.process_batch(
+            self._users(spark, [("I", 3, 1, 2, "bob", 7)]), None
+        )
+        assert [(r["__op"], r.name) for r in out3.collect()] == [("D", "ann")]
+        out4 = j2.process_batch(
+            self._users(spark, [("I", 4, 1, 3, "cat", 99)]), None
+        )
+        assert [(r["__op"], r.name) for r in out4.collect()] == [("I", "cat")]
