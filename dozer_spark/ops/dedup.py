@@ -534,19 +534,22 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .agg(F.min("nl").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
+        # carry the previous label through the checkpoint so convergence
+        # detection is a scan of the materialized frame, not another
+        # full self-join + shuffle per round
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
+            .select(
+                "id",
+                F.col("label").alias("__prev"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     edges.unpersist()
