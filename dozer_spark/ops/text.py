@@ -183,9 +183,15 @@ def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
     Reference scope: beyond dozer's surface — corpus-pipeline family
     (SURVEY.md §2 extension list).
     """
-    from dozer_spark.operators.hints import maybe_broadcast
+    from dozer_spark.operators.hints import (
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
 
-    g = docs.select(
+    # per-token hashing is CPU-bound: spread a small (few-split) input
+    # across the cluster's slots; a real corpus already has more splits
+    # than cores and this is a no-op
+    g = ensure_min_partitions(docs).select(
         F.col(id_col), eval_pred.alias("__eval"),
         word_ngrams(F.col(text_col), n).alias("__g"),
     )
