@@ -191,8 +191,12 @@ def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
     # per-token hashing is CPU-bound: spread a small (few-split) input
     # across the cluster's slots; a real corpus already has more splits
     # than cores and this is a no-op
+    # NULL predicate = corpus row: filter(~NULL) is NULL, so without the
+    # coalesce a NULL-split document would silently escape BOTH sides of
+    # the scan — a contaminated document the filter never sees
     g = ensure_min_partitions(docs).select(
-        F.col(id_col), eval_pred.alias("__eval"),
+        F.col(id_col),
+        F.coalesce(eval_pred, F.lit(False)).alias("__eval"),
         word_ngrams(F.col(text_col), n).alias("__g"),
     )
     ev = (

@@ -67,6 +67,54 @@ from dozer_spark.storage import TransactionalTable
 _CDF_COLS = ("_change_type", "_commit_version")
 
 
+def rewind_to_version(tx: TransactionalTable, cur: DataFrame,
+                      committed_version: int,
+                      key_cols: list[str]) -> DataFrame | None:
+    """State AS OF committed_version, from the current snapshot `cur` by
+    applying the change feed INVERSELY, newest version first: drop
+    insert/update_postimage keys, restore update_preimage/delete rows.
+    Returns None when committed_version <= 0 (nothing was committed)."""
+    v = tx.version
+    while v > committed_version:
+        ch = tx.read_changes(since_version=v).filter(
+            F.col("_commit_version") == v
+        )
+        added = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*key_cols)
+        restored = ch.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).drop(*_CDF_COLS)
+        cur = cur.join(added, key_cols, "left_anti").unionByName(restored)
+        v -= 1
+    if committed_version <= 0:
+        return None
+    return cur
+
+
+def read_snapshot_committed(tx: TransactionalTable, store_epoch: int,
+                            app_id: str) -> DataFrame | None:
+    """Resume-time read of a PK-keyed snapshot TransactionalTable AS OF
+    the last manifest-committed epoch.
+
+    Snapshot merges commit MID-batch (before the StateStore manifest),
+    so after a crash the table can be one version ahead. Reading the
+    ahead snapshot poisons the dirty-key probe: a row whose group/join
+    key CHANGED in the crashed batch probes to its NEW key only, the
+    displaced old key is never diffed, and its retraction is lost.
+    Whether the table is ahead is decided by its own batch_id ledger
+    (the merge recorded batch_id == store_epoch + 1 iff the crashed
+    epoch's merge committed); the single-writer protocol bounds the
+    overhang to exactly one version."""
+    if tx.version == 0:
+        return None
+    cur = tx.read()
+    last = (tx._last_batch_ids or {}).get(app_id)
+    if last is not None and last > store_epoch:
+        return rewind_to_version(tx, cur, tx.version - 1, tx.pk)
+    return cur
+
+
 class DiffStateTable:
     """A digest-keyed delta-log state table for operator diff states.
 
@@ -113,6 +161,10 @@ class DiffStateTable:
         changed.write.mode("overwrite").parquet(self._delta_dir(epoch))
         if epoch not in self._pending:
             self._pending.append(epoch)
+        # a replayed epoch's dir may have been classified as orphaned at
+        # resume; it is live again now
+        self._compacted_prev = [e for e in self._compacted_prev
+                                if e not in self._pending]
         return {"v": self.tx.version, "pending": list(self._pending),
                 "schema": self._schema_json}
 
@@ -189,37 +241,20 @@ class DiffStateTable:
             return None
         self._schema_json = meta["schema"]
         self._pending = list(meta["pending"])
-        base = self._rewound_base(meta["v"])
+        # delta dirs on disk that are NOT in the committed pending list
+        # were compacted (or orphaned) before the restart — schedule them
+        # for removal at the NEXT compaction, else they leak forever
+        dd = os.path.join(self.path, "deltas")
+        if os.path.isdir(dd):
+            on_disk = [int(v[1:]) for v in os.listdir(dd)
+                       if v.startswith("e")]
+            self._compacted_prev = [e for e in on_disk
+                                    if e not in self._pending]
+        base = (rewind_to_version(self.tx, self.tx.read(), meta["v"],
+                                  [self.digest_col])
+                if self.tx.version > 0 else None)
         out = self._apply_deltas(base, self._pending)
         return None if out is None else out.drop(self.digest_col)
-
-    def _rewound_base(self, committed_version: int) -> DataFrame | None:
-        if committed_version <= 0 or self.tx.version == 0:
-            # an ahead version with nothing committed: rewind to empty
-            if self.tx.version > committed_version and self.tx.version > 0:
-                return self._rewind(self.tx.read(), committed_version)
-            return None
-        return self._rewind(self.tx.read(), committed_version)
-
-    def _rewind(self, cur: DataFrame, committed_version: int) -> DataFrame | None:
-        v = self.tx.version
-        while v > committed_version:
-            ch = self.tx.read_changes(since_version=v).filter(
-                F.col("_commit_version") == v
-            )
-            added = ch.filter(
-                F.col("_change_type").isin("insert", "update_postimage")
-            ).select(self.digest_col)
-            restored = ch.filter(
-                F.col("_change_type").isin("update_preimage", "delete")
-            ).drop(*_CDF_COLS)
-            cur = cur.join(added, self.digest_col, "left_anti").unionByName(
-                restored
-            )
-            v -= 1
-        if committed_version <= 0:
-            return None
-        return cur
 
 
 def diff_state_path(state_dir: str, name: str) -> str:

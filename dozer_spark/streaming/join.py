@@ -113,6 +113,10 @@ class RetractingJoin:
                         pk=pk,
                     )
             if self._store.epoch > 0:
+                from dozer_spark.streaming.incstate import (
+                    read_snapshot_committed,
+                )
+
                 sides = {}
                 for name in ("left", "right"):
                     if name in self._sidetx:
@@ -120,8 +124,11 @@ class RetractingJoin:
                             self._store.load_meta(f"{name}_txv")
                         )
                     else:
-                        t = self._txtables[name]
-                        sides[name] = t.read() if t.version > 0 else None
+                        # AS OF the committed epoch (an ahead snapshot
+                        # poisons the dirty-key probe — see stateful.py)
+                        sides[name] = read_snapshot_committed(
+                            self._txtables[name], self._store.epoch, name
+                        )
                 self._left, self._right = sides["left"], sides["right"]
                 # rewind a crash-orphaned ahead compaction (see incstate.py)
                 self._prev = self._prevtx.read_committed(

@@ -76,8 +76,15 @@ class RetractingUnion:
                 self.spark, diff_state_path(self.state_dir, "present"), "__pr"
             )
             if self._store.epoch > 0:
+                from dozer_spark.streaming.incstate import (
+                    read_snapshot_committed,
+                )
+
+                # AS OF the committed epoch (an ahead snapshot poisons
+                # the dirty-value probe — see stateful.py)
                 self._snaps = [
-                    t.read() if t.version > 0 else None for t in self._txtables
+                    read_snapshot_committed(t, self._store.epoch, f"snap{i}")
+                    for i, t in enumerate(self._txtables)
                 ]
                 # rewind a crash-orphaned ahead compaction (see incstate.py)
                 self._present = self._presenttx.read_committed(

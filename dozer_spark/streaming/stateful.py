@@ -105,8 +105,17 @@ class RetractingAggregation:
                 "__gk", n_buckets=self.snapshot_buckets,
             )
             if self._store.epoch > 0:  # resume from the last committed epoch
-                if self._txtable.version > 0:
-                    self._snapshot = self._txtable.read()
+                from dozer_spark.streaming.incstate import (
+                    read_snapshot_committed,
+                )
+
+                # AS OF the committed epoch: an ahead (crash-orphaned)
+                # snapshot would poison the dirty-key probe — a PK whose
+                # group key changed in the crashed batch probes to its
+                # NEW group only and the old group's retraction is lost
+                self._snapshot = read_snapshot_committed(
+                    self._txtable, self._store.epoch, "ragg"
+                )
                 # rewind a crash-orphaned ahead compaction so the replayed
                 # batch re-diffs against the COMMITTED state and re-emits
                 self._state = self._aggtx.read_committed(

@@ -487,3 +487,46 @@ class TestDurableTtlJoin:
             self._users(spark, [("I", 4, 1, 3, "cat", 99)]), None
         )
         assert [(r["__op"], r.name) for r in out4.collect()] == [("I", "cat")]
+
+
+class TestSnapshotRewindOnResume:
+    def test_group_key_change_in_crashed_batch_retracts_old_group(
+        self, spark, tmp_path
+    ):
+        """A PK whose GROUP KEY changes in the crashed batch: the
+        snapshot TransactionalTable commits mid-batch, so a resume that
+        read it at head would probe the dirty keys to the NEW group only
+        and the old group's retraction would be lost forever. Resume
+        must read the snapshot AS OF the committed epoch (batch_id
+        ledger decides whether it is ahead; inverse-CDF rewind)."""
+        import pytest
+
+        sd = str(tmp_path / "sd")
+
+        b1 = _cl(spark, [("I", 1, 1, 1, "a", 5.0), ("I", 1, 2, 2, "b", 7.0)])
+        # id=1 MOVES from group a to group b
+        b2 = _cl(spark, [("U", 2, 1, 1, "b", 9.0)])
+
+        first = _ragg(spark, sd)
+        first.process_batch(b1).collect()
+
+        def boom():
+            raise RuntimeError("simulated crash before manifest commit")
+        first._store.commit = boom
+        with pytest.raises(RuntimeError):
+            first.process_batch(b2)
+        # the snapshot txtable IS ahead of the committed epoch on disk
+        assert first._txtable.version == 2
+        del first
+
+        resumed = _ragg(spark, sd)
+        # resume reads the snapshot AS OF epoch 1: id=1 still in group a
+        snap = {(r.grp, r.amount) for r in resumed._snapshot.collect()}
+        assert snap == {("a", 5.0), ("b", 7.0)}
+        out = resumed.process_batch(b2)
+        rows = sorted((r["__op"], r.grp, r.s) for r in out.collect())
+        # group a must be DELETED (its only row moved), group b updated
+        assert rows == [("D", "a", 5.0), ("U", "b", 16.0)]
+        assert sorted((r.grp, r.s) for r in resumed.current().collect()) == [
+            ("b", 16.0)
+        ]
