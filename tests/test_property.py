@@ -242,3 +242,76 @@ def test_txtable_merge_matches_dict_model(spark, tmp_path_factory, batches):
         assert set(replayed) == set(model)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=op_sequences(),
+    n_batches=st.integers(min_value=2, max_value=3),
+    crashes=st.lists(st.booleans(), min_size=3, max_size=3),
+    compact_every=st.integers(min_value=1, max_value=3),
+)
+def test_durable_agg_crash_replay_property(spark, ops, n_batches, crashes,
+                                           compact_every):
+    """Fuzz the durable delta-log core: any op sequence, any batching,
+    a crash injected before any subset of epoch commits (merges done,
+    manifest not), any compaction cadence. Invariants:
+    - resumed state always equals the from-scratch recompute;
+    - a consumer applying every emitted changelog row in order (with
+      at-least-once duplicates from replays) converges to the same
+      aggregates."""
+    import tempfile
+
+    sd = tempfile.mkdtemp()
+
+    def make():
+        r = RetractingAggregation(
+            spark, pk=["id"], group_by=["grp"],
+            aggs=[F.sum("amount").alias("s"),
+                  F.count(F.lit(1)).cast("long").alias("n")],
+            state_dir=sd,
+        )
+        r._aggtx.compact_every = compact_every
+        return r
+
+    def boom():
+        raise RuntimeError("injected crash before manifest commit")
+
+    ragg = make()
+    emitted = []
+    size = max(1, len(ops) // n_batches)
+    chunks = [ops[i:i + size] for i in range(0, len(ops), size)]
+    for i, chunk in enumerate(chunks):
+        df = _df(spark, chunk)
+        if crashes[i % len(crashes)]:
+            ragg._store.commit = boom
+            try:
+                ragg.process_batch(df)
+            except RuntimeError:
+                pass
+            ragg = make()  # resume from the committed epoch
+        out = ragg.process_batch(df)
+        emitted.extend(out.collect())
+
+    model = _model_replay(ops)
+    expected: dict[str, tuple[float, int]] = {}
+    for grp in GRPS:
+        vals = [amt for (g, amt) in model.values() if g == grp]
+        if vals:
+            expected[grp] = (sum(vals), len(vals))
+
+    got = {r.grp: (r.s, r.n) for r in ragg.current().collect()}
+    assert got == expected
+
+    # resumed-from-disk instance sees the same state
+    got2 = {r.grp: (r.s, r.n) for r in make()._state.collect()}
+    assert got2 == expected
+
+    # consumer replay of the emitted changelog (idempotent keyed apply)
+    view: dict[str, tuple[float, int]] = {}
+    for r in emitted:
+        if r["__op"] == "D":
+            view.pop(r.grp, None)
+        else:
+            view[r.grp] = (r.s, r.n)
+    assert view == expected
