@@ -1,27 +1,24 @@
-"""Incremental durable DIFF state — a delta-log (LSM) over a bucketed
-TransactionalTable.
+"""Incremental durable operator state — a delta-log (LSM) over a
+bucketed TransactionalTable.
 
-The retracting operators keep three kinds of durable state:
+EVERY retracting-operator durable state lives here: the input
+snapshots (keyed by the source PK — the reference's biggest state,
+both join sides fully materialized), and the diff states keyed by a
+row digest (the aggregate table, the emitted-output snapshot, the
+union presence set). The designs this replaced both scale with STATE
+size per epoch: full-rewrite StateStore staging is O(state) parquet
+IO per micro-batch, and a per-epoch bucketed MERGE rewrites every
+bucket the batch touches — which for a UNIFORM tiny batch is every
+bucket, i.e. the whole state again (and it costs two fixed jobs per
+epoch besides). At corpus scale the snapshot IS the corpus and the
+aggregate table is corpus-cardinality (GROUP BY customer); per-epoch
+work must be O(batch), not O(state).
 
-1. input snapshots (keyed by the source PK) — incremental since round
-   5: bucketed TransactionalTable MERGEs;
-2. DIFF states keyed by a row digest: the aggregate table
-   (RetractingAggregation), the emitted-output snapshot
-   (RetractingJoin), the presence set (RetractingUnion). Before this
-   module these were re-written IN FULL every epoch via
-   StateStore.stage — O(state) parquet IO per batch. At corpus scale
-   the aggregate table is corpus-cardinality (GROUP BY customer), so a
-   full rewrite per micro-batch is the difference between O(batch) and
-   O(corpus) epoch IO.
+`DiffStateTable` is the classic delta-log split:
 
-A straight per-epoch TransactionalTable MERGE fixes the IO asymptotics
-but doubles the fixed per-epoch job count (touched-bucket scan + the
-combined write) — measurably worse for the common tiny-batch epoch.
-`DiffStateTable` therefore uses the classic delta-log split:
-
-- **per epoch**: the changed rows (the I/U/D diff the operator already
-  computed) are appended as ONE small parquet delta — a single write
-  job, O(changed) bytes;
+- **per epoch**: the changed rows (the batch's per-PK images / the
+  I/U/D diff the operator already computed) are appended as ONE small
+  parquet delta — a single write job, O(changed) bytes;
 - **every `compact_every` epochs**: the pending deltas are reduced
   (latest image per digest wins) and MERGEd into the bucketed base
   table — two jobs, touched buckets only, amortized across the window;
@@ -92,45 +89,27 @@ def rewind_to_version(tx: TransactionalTable, cur: DataFrame,
     return cur
 
 
-def read_snapshot_committed(tx: TransactionalTable, store_epoch: int,
-                            app_id: str) -> DataFrame | None:
-    """Resume-time read of a PK-keyed snapshot TransactionalTable AS OF
-    the last manifest-committed epoch.
-
-    Snapshot merges commit MID-batch (before the StateStore manifest),
-    so after a crash the table can be one version ahead. Reading the
-    ahead snapshot poisons the dirty-key probe: a row whose group/join
-    key CHANGED in the crashed batch probes to its NEW key only, the
-    displaced old key is never diffed, and its retraction is lost.
-    Whether the table is ahead is decided by its own batch_id ledger
-    (the merge recorded batch_id == store_epoch + 1 iff the crashed
-    epoch's merge committed); the single-writer protocol bounds the
-    overhang to exactly one version."""
-    if tx.version == 0:
-        return None
-    cur = tx.read()
-    last = (tx._last_batch_ids or {}).get(app_id)
-    if last is not None and last > store_epoch:
-        return rewind_to_version(tx, cur, tx.version - 1, tx.pk)
-    return cur
-
-
 class DiffStateTable:
-    """A digest-keyed delta-log state table for operator diff states.
+    """A key-addressed delta-log state table for operator state.
 
-    digest_col: the (non-null) md5 state key the operator's diff join
-    already computes. Delta rows carry the digest, the payload columns,
-    and a boolean `__del`.
+    key_cols: the state key — either the operator's source PK columns
+    (input snapshots; must be non-null, the TransactionalTable
+    contract) or a single synthetic (non-null) md5 digest column the
+    operator's diff join already computes (aggregate table, emitted
+    output, presence set; internal_key=True drops it on read). Delta
+    rows carry the key, the payload columns, and a boolean `__del`.
     """
 
-    def __init__(self, spark: SparkSession, path: str, digest_col: str,
-                 n_buckets: int = 16, compact_every: int = 8):
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
+                 n_buckets: int = 16, compact_every: int = 8,
+                 internal_key: bool = False):
         self.spark = spark
         self.path = path
-        self.digest_col = digest_col
+        self.key_cols = list(key_cols)
+        self.internal_key = internal_key
         self.compact_every = compact_every
         self.tx = TransactionalTable(spark, os.path.join(path, "base"),
-                                     pk=[digest_col], n_buckets=n_buckets)
+                                     pk=self.key_cols, n_buckets=n_buckets)
         # live (uncommitted-manifest) view of the log; callers publish
         # the returned meta at their epoch commit
         self._pending: list[int] = []
@@ -174,7 +153,7 @@ class DiffStateTable:
         delete). Touched buckets only; batch_id = the triggering epoch
         so a crash-replayed compaction no-ops."""
         reduced = self._stacked_deltas(self._pending)
-        w = Window.partitionBy(self.digest_col).orderBy(F.desc("__e"))
+        w = Window.partitionBy(*self.key_cols).orderBy(F.desc("__e"))
         reduced = (
             reduced.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -217,19 +196,22 @@ class DiffStateTable:
                 base = upserts
             else:
                 base = base.join(
-                    d.select(self.digest_col), self.digest_col, "left_anti"
+                    d.select(*self.key_cols), self.key_cols, "left_anti"
                 ).unionByName(upserts)
         return base
 
+    def _strip(self, df: DataFrame) -> DataFrame:
+        # synthetic digest keys are internal: operators recompute them
+        # deterministically in their diff joins; source-PK keys are payload
+        return df.drop(*self.key_cols) if self.internal_key else df
+
     def read_live(self) -> DataFrame:
-        """Current payload rows (base at head + all pending deltas);
-        digest column dropped — operators recompute it
-        deterministically in their diff joins."""
+        """Current payload rows (base at head + all pending deltas)."""
         base = self.tx.read() if self.tx.version > 0 else None
         out = self._apply_deltas(base, self._pending)
         if out is None:
             raise ValueError("no state advanced yet")
-        return out.drop(self.digest_col)
+        return self._strip(out)
 
     def read_committed(self, meta: dict | None) -> DataFrame | None:
         """Payload rows AS OF a committed meta dict: the base rewound to
@@ -251,10 +233,10 @@ class DiffStateTable:
             self._compacted_prev = [e for e in on_disk
                                     if e not in self._pending]
         base = (rewind_to_version(self.tx, self.tx.read(), meta["v"],
-                                  [self.digest_col])
+                                  self.key_cols)
                 if self.tx.version > 0 else None)
         out = self._apply_deltas(base, self._pending)
-        return None if out is None else out.drop(self.digest_col)
+        return None if out is None else self._strip(out)
 
 
 def diff_state_path(state_dir: str, name: str) -> str:

@@ -71,7 +71,7 @@ class RetractingJoin:
     # (the lazy output changelog's lineage includes them — see stateful.py)
     _prev_caches: list = field(default_factory=list, init=False)
 
-    _txtables: dict = field(default_factory=dict, init=False)
+    _snaptx: dict = field(default_factory=dict, init=False)  # side DiffStateTables
     _sidetx: dict = field(default_factory=dict, init=False)  # TTL DiffStateTables
     _prevtx: object = field(default=None, init=False)  # DiffStateTable
 
@@ -79,9 +79,6 @@ class RetractingJoin:
         if self.how not in ("inner", "left", "right"):
             raise ValueError(f"unsupported join type {self.how!r} (factory.rs:120)")
         if self.state_dir is not None:
-            import os
-
-            from dozer_spark.storage import TransactionalTable
             from dozer_spark.streaming.incstate import (
                 DiffStateTable,
                 diff_state_path,
@@ -92,43 +89,36 @@ class RetractingJoin:
             # the emitted-output snapshot is a digest-keyed DiffStateTable
             # (O(changed) epoch IO — at scale the output is corpus-sized)
             self._prevtx = DiffStateTable(
-                self.spark, diff_state_path(self.state_dir, "prev"), "__ok"
+                self.spark, diff_state_path(self.state_dir, "prev"),
+                key_cols=["__ok"], internal_key=True,
             )
-            # side snapshots: bucketed TransactionalTables (see
-            # stateful.py: O(batch) epoch IO, not O(state)). A TTL side
-            # (ttl set AND the side has an event-time column) is instead
-            # a digest-keyed delta-log whose epoch delta carries the
-            # batch upserts PLUS eviction tombstones for newly-expired
-            # rows — O(batch + evicted) epoch IO (see _merge_ttl_durable).
+            # side snapshots: PK-keyed delta-logs (O(batch) epoch IO —
+            # see stateful.py). A TTL side (ttl set AND the side has an
+            # event-time column) additionally carries eviction tombstones
+            # for newly-expired rows in its epoch delta (see
+            # _merge_ttl_durable) and is keyed by a PK digest.
             for name, pk, ts in (("left", self.left_pk, self.left_ts),
                                  ("right", self.right_pk, self.right_ts)):
                 if self.ttl is not None and ts is not None:
                     self._sidetx[name] = DiffStateTable(
                         self.spark, diff_state_path(self.state_dir, name),
-                        "__sk",
+                        key_cols=["__sk"], internal_key=True,
                     )
                 else:
-                    self._txtables[name] = TransactionalTable(
-                        self.spark, os.path.join(self.state_dir, f"{name}_tx"),
-                        pk=pk,
+                    self._snaptx[name] = DiffStateTable(
+                        self.spark,
+                        diff_state_path(self.state_dir, f"{name}_snap"),
+                        key_cols=pk,
                     )
             if self._store.epoch > 0:
-                from dozer_spark.streaming.incstate import (
-                    read_snapshot_committed,
-                )
-
                 sides = {}
                 for name in ("left", "right"):
-                    if name in self._sidetx:
-                        sides[name] = self._sidetx[name].read_committed(
-                            self._store.load_meta(f"{name}_txv")
-                        )
-                    else:
-                        # AS OF the committed epoch (an ahead snapshot
-                        # poisons the dirty-key probe — see stateful.py)
-                        sides[name] = read_snapshot_committed(
-                            self._txtables[name], self._store.epoch, name
-                        )
+                    # AS OF the committed epoch (an ahead snapshot
+                    # poisons the dirty-key probe — see stateful.py)
+                    tbl = self._sidetx.get(name) or self._snaptx[name]
+                    sides[name] = tbl.read_committed(
+                        self._store.load_meta(f"{name}_txv")
+                    )
                 self._left, self._right = sides["left"], sides["right"]
                 # rewind a crash-orphaned ahead compaction (see incstate.py)
                 self._prev = self._prevtx.read_committed(
@@ -146,19 +136,20 @@ class RetractingJoin:
                pk: list[str], ts_col: str | None = None) -> DataFrame:
         if self._store is not None and name in self._sidetx:
             return self._merge_ttl_durable(name, prev, changelog, pk, ts_col)
-        if self._store is not None and name in self._txtables:
-            # durable non-TTL side: bucket-pruned incremental MERGE with
-            # batch_id idempotency (see stateful.py)
+        if self._store is not None and name in self._snaptx:
+            # durable non-TTL side: one O(batch) epoch delta (see
+            # stateful.py)
             from dozer_spark.streaming.changelog import _latest_per_pk
 
             latest = _latest_per_pk(changelog, pk)
             upsert = latest.withColumn(
                 "__del", F.col("__op") == "D"
             ).drop(*CHANGELOG_COLS)
-            self._txtables[name].merge(upsert, delete_col="__del",
-                                       batch_id=self._store.epoch + 1,
-                                       app_id=name)
-            return self._txtables[name].read()
+            meta = self._snaptx[name].advance(
+                upsert, epoch=self._store.epoch + 1, app_id=name
+            )
+            self._store.stage_meta(f"{name}_txv", meta)
+            return self._snaptx[name].read_live()
         batch_snap = apply_changelog(changelog, pk)
         if prev is None:
             merged = batch_snap

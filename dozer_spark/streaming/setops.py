@@ -45,48 +45,41 @@ class RetractingUnion:
     # (the lazy output changelog's lineage includes them — see stateful.py)
     _prev_caches: list = field(default_factory=list, init=False)
 
-    _txtables: list = field(default=None, init=False)
+    _snaptx: list = field(default=None, init=False)  # per-input DiffStateTables
     _presenttx: object = field(default=None, init=False)  # DiffStateTable
 
     def __post_init__(self):
         self._snaps = [None] * len(self.pks)
         if self.state_dir is not None:
-            import os
-
-            from dozer_spark.storage import TransactionalTable
-            from dozer_spark.streaming.state import StateStore
-
-            self._store = StateStore(self.spark, self.state_dir)
-            # per-input snapshots: bucketed incremental MERGE (see
-            # stateful.py — O(batch) epoch IO). The present set is a
-            # digest-keyed DiffStateTable: the 0->1 inserts and 1->0
-            # deletes the batch computed are exactly its MERGE input.
-            self._txtables = [
-                TransactionalTable(self.spark,
-                                   os.path.join(self.state_dir, f"snap{i}_tx"),
-                                   pk=pk)
-                for i, pk in enumerate(self.pks)
-            ]
             from dozer_spark.streaming.incstate import (
                 DiffStateTable,
                 diff_state_path,
             )
+            from dozer_spark.streaming.state import StateStore
 
+            self._store = StateStore(self.spark, self.state_dir)
+            # per-input snapshots: PK-keyed delta-logs (O(batch) epoch
+            # IO — see stateful.py). The present set is a digest-keyed
+            # DiffStateTable: the 0->1 inserts and 1->0 deletes the
+            # batch computed are exactly its delta.
+            self._snaptx = [
+                DiffStateTable(self.spark,
+                               diff_state_path(self.state_dir, f"snap{i}"),
+                               key_cols=pk)
+                for i, pk in enumerate(self.pks)
+            ]
             self._presenttx = DiffStateTable(
-                self.spark, diff_state_path(self.state_dir, "present"), "__pr"
+                self.spark, diff_state_path(self.state_dir, "present"),
+                key_cols=["__pr"], internal_key=True,
             )
             if self._store.epoch > 0:
-                from dozer_spark.streaming.incstate import (
-                    read_snapshot_committed,
-                )
-
                 # AS OF the committed epoch (an ahead snapshot poisons
-                # the dirty-value probe — see stateful.py)
+                # the dirty-value probe; orphaned compactions rewound —
+                # see stateful.py / incstate.py)
                 self._snaps = [
-                    read_snapshot_committed(t, self._store.epoch, f"snap{i}")
-                    for i, t in enumerate(self._txtables)
+                    t.read_committed(self._store.load_meta(f"snap{i}_txv"))
+                    for i, t in enumerate(self._snaptx)
                 ]
-                # rewind a crash-orphaned ahead compaction (see incstate.py)
                 self._present = self._presenttx.read_committed(
                     self._store.load_meta("present_txv")
                 )
@@ -143,10 +136,11 @@ class RetractingUnion:
                 upsert = latest.withColumn(
                     "__del", F.col("__op") == "D"
                 ).drop(*CHANGELOG_COLS)
-                self._txtables[i].merge(upsert, delete_col="__del",
-                                        batch_id=self._store.epoch + 1,
-                                        app_id=f"snap{i}")
-                self._snaps[i] = self._txtables[i].read()
+                meta = self._snaptx[i].advance(
+                    upsert, epoch=self._store.epoch + 1, app_id=f"snap{i}"
+                )
+                self._store.stage_meta(f"snap{i}_txv", meta)
+                self._snaps[i] = self._snaptx[i].read_live()
                 continue
             batch_snap = apply_changelog(cl, self.pks[i])
             if self._snaps[i] is None:

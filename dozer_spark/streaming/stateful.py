@@ -60,19 +60,20 @@ class RetractingAggregation:
     aggs: list[Column]
     having: Column | None = None
     # durable state: set to resume across restarts; None keeps the fast
-    # localCheckpoint path for ephemeral pipelines. The INPUT SNAPSHOT is
-    # backed by a TransactionalTable (bucket-pruned incremental MERGE —
-    # each epoch rewrites only the PK buckets the batch touched, not the
-    # whole state; at scale the snapshot is the corpus and a full parquet
-    # rewrite per epoch is the difference between O(batch) and O(corpus)
-    # IO). The small aggregate table stays in the StateStore manifest.
+    # localCheckpoint path for ephemeral pipelines. Both the INPUT
+    # SNAPSHOT (PK-keyed) and the aggregate table (group-digest-keyed)
+    # are delta-log DiffStateTables: O(batch)/O(changed) epoch IO with
+    # periodic compaction into a bucketed base — at scale the snapshot
+    # is the corpus and anything per-epoch that scales with state size
+    # (full rewrites, every-bucket merges) is the difference between
+    # O(batch) and O(corpus) durable IO.
     state_dir: str | None = None
     snapshot_buckets: int = 16
 
     _snapshot: DataFrame | None = field(default=None, init=False)
     _state: DataFrame | None = field(default=None, init=False)  # aggregate rows
     _store: object = field(default=None, init=False)
-    _txtable: object = field(default=None, init=False)
+    _snaptx: object = field(default=None, init=False)  # DiffStateTable
     _aggtx: object = field(default=None, init=False)  # DiffStateTable
     # caches from the PREVIOUS batch, released at the START of the next:
     # the returned output changelog is lazy and its lineage includes
@@ -82,9 +83,6 @@ class RetractingAggregation:
 
     def __post_init__(self):
         if self.state_dir is not None:
-            import os
-
-            from dozer_spark.storage import TransactionalTable
             from dozer_spark.streaming.incstate import (
                 DiffStateTable,
                 diff_state_path,
@@ -92,32 +90,32 @@ class RetractingAggregation:
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(self.spark, self.state_dir)
-            self._txtable = TransactionalTable(
-                self.spark, os.path.join(self.state_dir, "snapshot_tx"),
-                pk=self.pk, n_buckets=self.snapshot_buckets,
+            # BOTH durable states are delta-logs: the input snapshot is
+            # keyed by the source PK, the aggregate table by the group
+            # digest — each epoch appends only the batch's rows / the
+            # diff's changed groups (O(batch) write IO; the previous
+            # bucketed MERGE per epoch rewrote EVERY bucket a uniform
+            # batch touched — at n_buckets=16 that was the whole state)
+            self._snaptx = DiffStateTable(
+                self.spark, diff_state_path(self.state_dir, "snapshot"),
+                key_cols=self.pk, n_buckets=self.snapshot_buckets,
             )
-            # the aggregate table is a digest-keyed DiffStateTable: each
-            # epoch merges only the groups the diff changed (O(dirty)
-            # write IO, not O(groups) — at scale the aggregate table is
-            # corpus-cardinality)
             self._aggtx = DiffStateTable(
                 self.spark, diff_state_path(self.state_dir, "agg"),
-                "__gk", n_buckets=self.snapshot_buckets,
+                key_cols=["__gk"], n_buckets=self.snapshot_buckets,
+                internal_key=True,
             )
             if self._store.epoch > 0:  # resume from the last committed epoch
-                from dozer_spark.streaming.incstate import (
-                    read_snapshot_committed,
+                # AS OF the committed epoch (orphaned deltas ignored,
+                # orphaned compactions rewound): an ahead snapshot would
+                # poison the dirty-key probe — a PK whose group key
+                # changed in the crashed batch probes to its NEW group
+                # only and the old group's retraction is lost
+                self._snapshot = self._snaptx.read_committed(
+                    self._store.load_meta("snap_txv")
                 )
-
-                # AS OF the committed epoch: an ahead (crash-orphaned)
-                # snapshot would poison the dirty-key probe — a PK whose
-                # group key changed in the crashed batch probes to its
-                # NEW group only and the old group's retraction is lost
-                self._snapshot = read_snapshot_committed(
-                    self._txtable, self._store.epoch, "ragg"
-                )
-                # rewind a crash-orphaned ahead compaction so the replayed
-                # batch re-diffs against the COMMITTED state and re-emits
+                # the aggregate diff must also see the COMMITTED state so
+                # the replayed batch re-diffs and re-emits
                 self._state = self._aggtx.read_committed(
                     self._store.load_meta("agg_txv")
                 )
@@ -179,17 +177,19 @@ class RetractingAggregation:
 
         # 2. update the input snapshot (replay semantics of record_store.rs)
         if self._store is not None:
-            # durable path: MERGE the batch's final per-PK images into the
-            # bucketed TransactionalTable — only touched buckets are
-            # rewritten (O(batch) write IO, not O(state)), and the
-            # batch_id token makes a crash-replayed epoch a no-op
+            # durable path: append the batch's final per-PK images as one
+            # epoch delta (O(batch) write IO; compaction into the
+            # bucketed base is amortized) — an orphaned delta is
+            # overwritten on crash replay
             latest = _latest_per_pk(changelog, self.pk)
             upsert = latest.withColumn(
                 "__del", F.col("__op") == "D"
             ).drop(*CHANGELOG_COLS)
-            self._txtable.merge(upsert, delete_col="__del",
-                                batch_id=self._store.epoch + 1, app_id="ragg")
-            merged = self._txtable.read()  # parquet scan: lineage-free
+            snap_meta = self._snaptx.advance(
+                upsert, epoch=self._store.epoch + 1, app_id="ragg"
+            )
+            self._store.stage_meta("snap_txv", snap_meta)
+            merged = self._snaptx.read_live()  # file-backed: flat lineage
         else:
             batch_snapshot = apply_changelog(changelog, self.pk)
             if self._snapshot is None:

@@ -179,11 +179,15 @@ class TestUnionResume:
 
 
 class TestIncrementalSnapshot:
-    def test_snapshot_merge_rewrites_only_touched_buckets(self, spark, tmp_path):
-        """The durable snapshot is a bucketed TransactionalTable: a small
-        batch must advance ONLY the buckets its PKs hash into — the rest
-        carry the previous version forward with zero IO. (Full-rewrite
-        staging was O(state) per epoch; this is the O(batch) design.)"""
+    def test_snapshot_epoch_delta_is_batch_sized(self, spark, tmp_path):
+        """The durable snapshot is a delta-log: a 1-row batch against a
+        200-row state writes a 1-row epoch delta — never a rewrite of
+        untouched state, regardless of how the PKs spread over buckets
+        (the flaw of per-epoch bucketed MERGE: a uniform tiny batch
+        touched EVERY bucket). Compaction then folds the window into
+        the bucketed base and the state survives unchanged."""
+        import os
+
         import pyspark.sql.functions as F
 
         sd = str(tmp_path / "sd")
@@ -192,37 +196,27 @@ class TestIncrementalSnapshot:
             aggs=[F.sum("amount").alias("s"), F.count(F.lit(1)).alias("n")],
             state_dir=sd, snapshot_buckets=8,
         )
+        ragg._snaptx.compact_every = 2
         schema = "__op string, __txid long, __seq long, id long, grp string, amount double"
         big = spark.createDataFrame(
             [("I", 1, i, i, f"g{i % 3}", float(i)) for i in range(200)], schema
         )
         ragg.process_batch(big)
-        tx = ragg._txtable
-        assert tx.version == 1
-        v1 = dict(tx._buckets)
-        assert len(v1) == 8  # 200 keys cover all buckets
-
         small = spark.createDataFrame(
             [("U", 2, 1, 5, "g2", 500.0)], schema
         )
         ragg.process_batch(small)
-        assert tx.version == 2
-        changed = [b for b, rel in tx._buckets.items() if v1.get(b) != rel]
-        assert len(changed) == 1  # exactly the bucket id=5 hashes into
-        # the v2 write holds data for exactly ONE __b partition — the
-        # touched bucket; the other 7 buckets carried v1 forward with
-        # zero IO
-        import glob
-        import os
-        v2_buckets = glob.glob(os.path.join(
-            sd, "snapshot_tx", "buckets", "v000002", "__dest=data", "__b=*"))
-        assert len(v2_buckets) == 1
-
+        # epoch-2 delta holds exactly the one batch row
+        tbl = ragg._snaptx
+        d2 = spark.read.schema(tbl._delta_schema()).parquet(tbl._delta_dir(2))
+        assert [(r.id, r.amount) for r in d2.collect()] == [(5, 500.0)]
+        # third batch triggers compaction (window=2) into the bucketed base
+        ragg.process_batch(spark.createDataFrame(
+            [("U", 3, 1, 7, "g1", 700.0)], schema))
+        assert tbl.tx.version == 1  # compaction committed
         # and the aggregate state is still exactly right
         got = {(r.grp, r.s, r.n) for r in ragg.current().collect()}
-        want_s = sum(range(200)) - 5.0 + 500.0
-        assert any(g == "g2" and abs(s - (sum(i for i in range(200) if i % 3 == 2) - 5 + 500)) < 1e-9
-                   for g, s, n in got)
+        want_s = sum(range(200)) - 5.0 + 500.0 - 7.0 + 700.0
         total = sum(s for _, s, _ in got)
         assert abs(total - want_s) < 1e-9
 
@@ -248,19 +242,22 @@ class TestIncrementalSnapshot:
 
         first = make()
         first.process_batch(b1)
-        # simulate the crash: merge batch 2's snapshot half only (what a
-        # death between txtable.merge and store.commit leaves behind)
-        from dozer_spark.streaming.changelog import CHANGELOG_COLS, _latest_per_pk
-        latest = _latest_per_pk(b2, ["id"])
-        upsert = latest.withColumn("__del", F.col("__op") == "D").drop(*CHANGELOG_COLS)
-        first.txt_ver_before = first._txtable.version
-        first._txtable.merge(upsert, delete_col="__del",
-                             batch_id=first._store.epoch + 1, app_id="ragg")
+        # simulate the crash BETWEEN the two state advances: the snapshot
+        # delta lands, the aggregate advance dies (split-state window)
+        import pytest
+
+        def boom(*a, **kw):
+            raise RuntimeError("crash between snapshot and aggstate advance")
+        first._aggtx.advance = boom
+        with pytest.raises(RuntimeError):
+            first.process_batch(b2)
+        import os
+        assert os.path.isdir(first._snaptx._delta_dir(2))  # snapshot half on disk
         del first
 
         resumed = make()
-        assert resumed._store.epoch == 1  # aggstate epoch did NOT advance
-        out = resumed.process_batch(b2)  # replay: merge no-ops, agg recomputes
+        assert resumed._store.epoch == 1  # the epoch did NOT advance
+        out = resumed.process_batch(b2)  # replay: delta overwritten, agg re-diffs
         rows = sorted((r["__op"], r.grp, r.s) for r in out.collect())
         assert rows == [("U", "a", 9.0)]
         assert sorted((r.grp, r.s) for r in resumed.current().collect()) == [
@@ -515,8 +512,9 @@ class TestSnapshotRewindOnResume:
         first._store.commit = boom
         with pytest.raises(RuntimeError):
             first.process_batch(b2)
-        # the snapshot txtable IS ahead of the committed epoch on disk
-        assert first._txtable.version == 2
+        # the crashed epoch's snapshot delta IS on disk (orphaned)
+        import os
+        assert os.path.isdir(first._snaptx._delta_dir(2))
         del first
 
         resumed = _ragg(spark, sd)
