@@ -84,6 +84,17 @@ def _latest_per_pk(changelog: DataFrame, pk: list[str]) -> DataFrame:
     )
 
 
+def changelog_upserts(changelog: DataFrame, pk: list[str]) -> DataFrame:
+    """Changelog -> delta-log advance input: ONE final image per PK
+    (last writer by (txid, seq) wins), a boolean `__del` marking PKs
+    whose final op is a Delete, changelog bookkeeping dropped. The
+    shared shape every durable operator feeds DiffStateTable.advance."""
+    latest = _latest_per_pk(changelog, pk)
+    return latest.withColumn("__del", F.col("__op") == "D").drop(
+        *CHANGELOG_COLS
+    )
+
+
 def apply_changelog(changelog: DataFrame, pk: list[str]) -> DataFrame:
     """Materialize the table snapshot a changelog describes: last op per PK
     in (txid, seq) order wins; a final Delete removes the row.

@@ -72,10 +72,10 @@ def rewind_to_version(tx: TransactionalTable, cur: DataFrame,
     insert/update_postimage keys, restore update_preimage/delete rows.
     Returns None when committed_version <= 0 (nothing was committed)."""
     v = tx.version
+    ch_all = (tx.read_changes(since_version=committed_version + 1)
+              if v > committed_version else None)
     while v > committed_version:
-        ch = tx.read_changes(since_version=v).filter(
-            F.col("_commit_version") == v
-        )
+        ch = ch_all.filter(F.col("_commit_version") == v)
         added = ch.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).select(*key_cols)
@@ -108,6 +108,16 @@ class DiffStateTable:
         self.key_cols = list(key_cols)
         self.internal_key = internal_key
         self.compact_every = compact_every
+        if os.path.exists(os.path.join(path, "MANIFEST.json")):
+            # a TransactionalTable manifest at the ROOT is the pre-delta-
+            # log layout; reading base/ (empty) while the operator's
+            # other state restores would silently corrupt aggregates —
+            # fail loudly instead
+            raise ValueError(
+                f"{path} holds a pre-delta-log TransactionalTable state "
+                "layout; delete the state dir (the pipeline re-backfills) "
+                "or migrate it before resuming"
+            )
         self.tx = TransactionalTable(spark, os.path.join(path, "base"),
                                      pk=self.key_cols, n_buckets=n_buckets)
         # live (uncommitted-manifest) view of the log; callers publish

@@ -126,8 +126,7 @@ class RetractingJoin:
                 )
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
-        if self._store is not None:
-            return self._store.stage(name, df)
+        # ephemeral-only lineage break (durable state -> DiffStateTable)
         return df.localCheckpoint(eager=True)
 
     # -- snapshot maintenance ------------------------------------------------
@@ -139,12 +138,9 @@ class RetractingJoin:
         if self._store is not None and name in self._snaptx:
             # durable non-TTL side: one O(batch) epoch delta (see
             # stateful.py)
-            from dozer_spark.streaming.changelog import _latest_per_pk
+            from dozer_spark.streaming.changelog import changelog_upserts
 
-            latest = _latest_per_pk(changelog, pk)
-            upsert = latest.withColumn(
-                "__del", F.col("__op") == "D"
-            ).drop(*CHANGELOG_COLS)
+            upsert = changelog_upserts(changelog, pk)
             meta = self._snaptx[name].advance(
                 upsert, epoch=self._store.epoch + 1, app_id=name
             )

@@ -85,8 +85,7 @@ class RetractingUnion:
                 )
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
-        if self._store is not None:
-            return self._store.stage(name, df)
+        # ephemeral-only lineage break (durable state -> DiffStateTable)
         return df.localCheckpoint(eager=True)
 
     def process_batch(self, changelogs: list[DataFrame | None]) -> DataFrame:
@@ -130,12 +129,11 @@ class RetractingUnion:
             if cl is None:
                 continue
             if self._store is not None:
-                from dozer_spark.streaming.changelog import _latest_per_pk
+                from dozer_spark.streaming.changelog import (
+                    changelog_upserts,
+                )
 
-                latest = _latest_per_pk(cl, self.pks[i])
-                upsert = latest.withColumn(
-                    "__del", F.col("__op") == "D"
-                ).drop(*CHANGELOG_COLS)
+                upsert = changelog_upserts(cl, self.pks[i])
                 meta = self._snaptx[i].advance(
                     upsert, epoch=self._store.epoch + 1, app_id=f"snap{i}"
                 )

@@ -7,7 +7,12 @@ on restart). Round-1 used `localCheckpoint` chains for operator state —
 fast, but blocks live on executors: lose one executor (or restart the
 driver) and the incremental pipeline is unrecoverable.
 
-`StateStore` is the Spark-first durable equivalent:
+`StateStore` is the Spark-first durable equivalent. Since the
+delta-log migration (incstate.py) the OPERATOR states themselves live
+in DiffStateTables; what remains here is the epoch authority — the
+atomic manifest commit that publishes each epoch's log positions
+(stage_meta) — plus the generic versioned-parquet staging (stage/load)
+for ad-hoc states:
 
 - each named state (input snapshot, aggregate table, join sides, emitted
   output) is written as parquet under `<root>/<name>/v{epoch}`;

@@ -38,9 +38,8 @@ from pyspark.sql import functions as F
 from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
 
 from dozer_spark.streaming.changelog import (
-    CHANGELOG_COLS,
-    _latest_per_pk,
     apply_changelog,
+    changelog_upserts,
     keys_join,
     row_digest,
 )
@@ -123,10 +122,8 @@ class RetractingAggregation:
     # -- helpers ------------------------------------------------------------
 
     def _ckpt(self, name: str, df: DataFrame) -> DataFrame:
-        """Advance one named state: durable parquet stage when a store is
-        configured (lineage broken by the read-back), else localCheckpoint."""
-        if self._store is not None:
-            return self._store.stage(name, df)
+        """Break lineage for one EPHEMERAL state advance (durable state
+        goes through DiffStateTable; this path only runs store-less)."""
         return df.localCheckpoint(eager=True)
 
     def _agg_for(self, snapshot: DataFrame, keys: DataFrame | None) -> DataFrame:
@@ -181,10 +178,7 @@ class RetractingAggregation:
             # epoch delta (O(batch) write IO; compaction into the
             # bucketed base is amortized) — an orphaned delta is
             # overwritten on crash replay
-            latest = _latest_per_pk(changelog, self.pk)
-            upsert = latest.withColumn(
-                "__del", F.col("__op") == "D"
-            ).drop(*CHANGELOG_COLS)
+            upsert = changelog_upserts(changelog, self.pk)
             snap_meta = self._snaptx.advance(
                 upsert, epoch=self._store.epoch + 1, app_id="ragg"
             )

@@ -528,3 +528,21 @@ class TestSnapshotRewindOnResume:
         assert sorted((r.grp, r.s) for r in resumed.current().collect()) == [
             ("b", 16.0)
         ]
+
+
+def test_pre_delta_log_layout_fails_loudly(spark, tmp_path):
+    """A state dir written by the pre-delta-log layout (TransactionalTable
+    manifest at the root) must be rejected at construction — silently
+    reading the empty base/ while other states restore would corrupt
+    aggregates."""
+    import json
+
+    import pytest
+
+    from dozer_spark.streaming.incstate import DiffStateTable
+
+    p = tmp_path / "snapshot_tx"
+    p.mkdir()
+    (p / "MANIFEST.json").write_text(json.dumps({"version": 3}))
+    with pytest.raises(ValueError, match="pre-delta-log"):
+        DiffStateTable(spark, str(p), key_cols=["id"])

@@ -260,6 +260,7 @@ def test_durable_agg_crash_replay_property(spark, ops, n_batches, crashes,
     - a consumer applying every emitted changelog row in order (with
       at-least-once duplicates from replays) converges to the same
       aggregates."""
+    import shutil
     import tempfile
 
     sd = tempfile.mkdtemp()
@@ -277,41 +278,44 @@ def test_durable_agg_crash_replay_property(spark, ops, n_batches, crashes,
     def boom():
         raise RuntimeError("injected crash before manifest commit")
 
-    ragg = make()
-    emitted = []
-    size = max(1, len(ops) // n_batches)
-    chunks = [ops[i:i + size] for i in range(0, len(ops), size)]
-    for i, chunk in enumerate(chunks):
-        df = _df(spark, chunk)
-        if crashes[i % len(crashes)]:
-            ragg._store.commit = boom
-            try:
-                ragg.process_batch(df)
-            except RuntimeError:
-                pass
-            ragg = make()  # resume from the committed epoch
-        out = ragg.process_batch(df)
-        emitted.extend(out.collect())
+    try:
+        ragg = make()
+        emitted = []
+        size = max(1, len(ops) // n_batches)
+        chunks = [ops[i:i + size] for i in range(0, len(ops), size)]
+        for i, chunk in enumerate(chunks):
+            df = _df(spark, chunk)
+            if crashes[i % len(crashes)]:
+                ragg._store.commit = boom
+                try:
+                    ragg.process_batch(df)
+                except RuntimeError:
+                    pass
+                ragg = make()  # resume from the committed epoch
+            out = ragg.process_batch(df)
+            emitted.extend(out.collect())
 
-    model = _model_replay(ops)
-    expected: dict[str, tuple[float, int]] = {}
-    for grp in GRPS:
-        vals = [amt for (g, amt) in model.values() if g == grp]
-        if vals:
-            expected[grp] = (sum(vals), len(vals))
+        model = _model_replay(ops)
+        expected: dict[str, tuple[float, int]] = {}
+        for grp in GRPS:
+            vals = [amt for (g, amt) in model.values() if g == grp]
+            if vals:
+                expected[grp] = (sum(vals), len(vals))
 
-    got = {r.grp: (r.s, r.n) for r in ragg.current().collect()}
-    assert got == expected
+        got = {r.grp: (r.s, r.n) for r in ragg.current().collect()}
+        assert got == expected
 
-    # resumed-from-disk instance sees the same state
-    got2 = {r.grp: (r.s, r.n) for r in make()._state.collect()}
-    assert got2 == expected
+        # resumed-from-disk instance sees the same state
+        got2 = {r.grp: (r.s, r.n) for r in make()._state.collect()}
+        assert got2 == expected
 
-    # consumer replay of the emitted changelog (idempotent keyed apply)
-    view: dict[str, tuple[float, int]] = {}
-    for r in emitted:
-        if r["__op"] == "D":
-            view.pop(r.grp, None)
-        else:
-            view[r.grp] = (r.s, r.n)
-    assert view == expected
+        # consumer replay of the emitted changelog (idempotent keyed apply)
+        view: dict[str, tuple[float, int]] = {}
+        for r in emitted:
+            if r["__op"] == "D":
+                view.pop(r.grp, None)
+            else:
+                view[r.grp] = (r.s, r.n)
+        assert view == expected
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
