@@ -580,3 +580,71 @@ def embedding_neardup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def drop_duplicated_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    sep: str = r"\. ",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Segment-level (line-level) dedup: remove from every document the
+    segments that appear verbatim in >= min_docs DISTINCT documents —
+    the MassiveText / RefinedWeb boilerplate-line filter (cookie
+    banners, nav bars, license headers) applied at corpus scale.
+
+    Returns (id_col, n_segments, n_removed, clean_digest) where
+    clean_digest = md5 of the document rebuilt from its surviving
+    segments in original order.
+
+    100 TB design: two shuffles, both honest. (1) The census groupBy
+    shuffles md5(segment) digests (32B regardless of segment length)
+    with map-side partial counts, and count_distinct(doc) is capped at
+    min_docs via a per-doc array_distinct BEFORE the explode — a
+    segment repeated inside one doc contributes once, so the shuffle
+    never amplifies intra-doc repetition. (2) The rebuild regroups
+    (doc, pos, segment) — the same volume as the input scan, no
+    amplification. The common-segment set (boilerplate is rare relative
+    to the corpus) is size-gate broadcast into the removal join; if it
+    is ever NOT small, the gate falls back to a shuffled join instead
+    of pinning a broadcast.
+    """
+    segs = F.split(F.col(text_col), sep, -1)
+    src = ensure_min_partitions(df)
+    base = src.select(
+        F.col(id_col), F.posexplode(segs).alias("__pos", "__seg")
+    ).withColumn("__h", F.md5(F.col("__seg")))
+
+    common = (
+        src.select(
+            F.explode(
+                F.array_distinct(F.transform(segs, lambda s: F.md5(s)))
+            ).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+
+    marked = base.join(
+        maybe_broadcast(common.withColumn("__dup", F.lit(True))), "__h", "left"
+    )
+    kept = F.when(F.col("__dup").isNull(), F.struct("__pos", "__seg"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.count("__dup").cast("long").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda s: s["__seg"]
+                    ),
+                    joiner,
+                )
+            ).alias("clean_digest"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Corpus packing: deterministic global shuffle + token-budget shard
+assignment — the "final packing" step of a training-data pipeline
+(shuffle documents reproducibly, then cut the stream into shards of
+~budget tokens each so every training shard costs the same).
+
+100 TB design: the naive formulation is a single global running sum
+(one window over the whole corpus = one task doing a total sort — a
+non-starter). Instead this uses the classic two-level prefix sum:
+
+1. every doc gets a deterministic order key ``h = md5(salt || doc_id)``
+   and a bucket = (first 16 bits of h) mod n_buckets;
+2. within each bucket a window computes the local running sum (buckets
+   are hash-balanced, so each is ~corpus/n_buckets — one ordinary
+   sort-window task per bucket, all parallel);
+3. bucket totals (n_buckets rows — a constant, NOT corpus-sized) get
+   their own prefix sum in one trivial task and are broadcast-joined
+   back as offsets.
+
+offset(bucket) + local_cumsum == the exact global running sum ordered
+by (bucket, h, doc_id), so the result is IDENTICAL to the single-window
+formulation (which is what the DuckDB oracle runs) while every
+corpus-sized step stays parallel. Reference scope: beyond dozer's
+surface — corpus-pipeline family (SURVEY.md §2 extension list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dozer_spark.ops.text import token_count
+
+
+def token_shard_assignment(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    n_buckets: int = 16,
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign every document to a token-budgeted output shard.
+
+    Returns (id_col, n_tokens, shard_id) where shard_id =
+    floor(start_offset / budget) and start_offset is the number of
+    tokens strictly before this doc in the deterministic global order
+    (bucket, md5 order key, id). A doc whose tokens straddle a budget
+    boundary belongs to the shard its first token lands in — shards are
+    contiguous spans of the shuffled stream.
+
+    n_buckets trades parallelism against the (constant-sized) offset
+    step; at cluster scale set it to a few × the executor count. The
+    result is bit-identical for ANY n_buckets only when the order key
+    includes the bucket — which it does, by construction.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_buckets).cast(
+        "int"
+    )
+    t = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        h.alias("__h"),
+        bucket.alias("__b"),
+    )
+
+    # (2) per-bucket local running sum — parallel across buckets
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__cum", F.sum("n_tokens").over(w_local))
+
+    # (3) bucket offsets: n_buckets rows, one tiny window task, then a
+    # broadcast join back (always small — gate not needed: n_buckets is
+    # a code constant, not data-dependent)
+    w_off = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        t.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn("__off", F.sum("__tot").over(w_off) - F.col("__tot"))
+        .select("__b", "__off")
+    )
+
+    start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("shard_id"),
+        )
+    )
+
+
+def token_shard_assignment_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    n_buckets: int = 16,
+    salt: str = "shard",
+) -> str:
+    """DuckDB replay: the single-global-window formulation the two-level
+    Spark plan is provably equal to. Kept next to the op so the bucket
+    arithmetic can never drift from the oracle."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col},
+        CAST(len(list_filter(string_split({text_col}, ' '), x -> x <> '')) AS BIGINT)
+          AS n_tokens,
+        md5('{salt}:' || CAST({id_col} AS VARCHAR)) AS h
+      FROM {table}
+    ), b AS (
+      SELECT *, CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % {n_buckets} AS INT)
+        AS bucket
+      FROM t
+    )
+    SELECT {id_col}, n_tokens,
+      CAST(floor(
+        (SUM(n_tokens) OVER (ORDER BY bucket, h, {id_col}
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        / {budget}) AS BIGINT) AS shard_id
+    FROM b
+    """

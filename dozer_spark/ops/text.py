@@ -167,6 +167,92 @@ def word_ngrams(c, n: int = 3) -> Column:
     )
 
 
+def gopher_quality(c) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    paper — "Scaling Language Models: ... Gopher", Appendix A1.1): the
+    standard rule-based filter of large-corpus pipelines. All pure
+    Column ops (codegen, no shuffle); every ratio is int/int or
+    int-sum/int division — bit-deterministic across engines, so the
+    whole rule set is exactly oracle-checkable.
+
+    Returns named metric columns plus a `passes` flag:
+    - 50 <= n_words <= 100000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - >= 80% of words contain an alphabetic character
+    - >= 2 stopword hits (en list)
+    """
+    col = _col(c)
+    t = tokens(col)
+    n_words = F.size(t).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / nw
+    )
+    symbol_ratio = (
+        (F.regexp_count(col, F.lit("#")) + F.regexp_count(col, F.lit(r"\.\.\.")))
+        .cast("double")
+        / nw
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / nw
+    )
+    n_stop = stopword_hits(col, "en")
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "n_stop": n_stop,
+        "passes": passes,
+    }
+
+
+def top_ngrams(docs, text_col: str, n: int = 3, k: int = 100):
+    """Corpus-level n-gram document frequency, top k — the contamination
+    / boilerplate census of a corpus (which exact phrases dominate).
+
+    100 TB design: grams are distinct-reduced PER DOCUMENT before the
+    shuffle (document frequency, not term frequency — and the explode
+    never amplifies repeated boilerplate within a doc), the groupBy
+    count has map-side partial aggregation, and only k rows survive the
+    final (tiny) ordered take. One corpus-sized shuffle whose payload is
+    the distinct gram strings. Ties broken by gram text for determinism.
+    """
+    from dozer_spark.operators.hints import ensure_min_partitions
+
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    grams = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        ensure_min_partitions(docs)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(k)
+    )
+
+
 def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
                        n: int = 3):
     """Decontamination: per corpus document, the number of distinct word

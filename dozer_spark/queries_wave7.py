@@ -1,0 +1,153 @@
+"""Wave 7: corpus-assembly operators — token-budget shard packing,
+Gopher-style quality rules, segment-level (line) dedup, corpus n-gram
+census. The "assemble a training corpus" half of the pipeline family
+(SURVEY.md §2 extension list), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dozer_spark.queries import _q, _cat
+from dozer_spark.ops.packing import (
+    token_shard_assignment,
+    token_shard_assignment_oracle,
+)
+
+
+@_q(
+    "pack_token_shards",
+    token_shard_assignment_oracle(
+        "documents", "doc_id", "text", budget=2000, n_buckets=16
+    ),
+)
+def pack_token_shards(spark, sf):
+    """Deterministic global shuffle + token-budget shard assignment (the
+    final packing step of a training-data pipeline). The Spark plan is
+    the scalable two-level prefix sum (per-bucket windows + a
+    constant-sized offset join); the oracle replays the single global
+    running sum it is provably equal to — so the parallel decomposition
+    itself is what the hash check verifies."""
+    d = _cat(spark, sf).df("documents")
+    return token_shard_assignment(d, "doc_id", "text", budget=2000, n_buckets=16)
+
+
+@_q(
+    "text_gopher_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(greatest(len(toks), 1) AS DOUBLE) AS nw,
+        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) AS sum_len,
+        CAST(len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS n_sym,
+        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+          AS n_alpha,
+        CAST(len(list_filter(ltoks, x -> x IN
+          ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT)
+          AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_words,
+      coalesce(sum_len, 0) / nw AS mean_word_len,
+      n_sym / nw AS symbol_ratio,
+      n_alpha / nw AS alpha_frac,
+      n_stop,
+      (n_words >= 50 AND n_words <= 100000
+        AND coalesce(sum_len, 0) / nw >= 3.0 AND coalesce(sum_len, 0) / nw <= 10.0
+        AND n_sym / nw <= 0.1
+        AND n_alpha / nw >= 0.8
+        AND n_stop >= 2) AS passes
+    FROM m
+    """,
+)
+def text_gopher_quality(spark, sf):
+    """Gopher rule-based quality filter (Rae et al. 2021 A1.1): word
+    count bounds, mean word length, symbol-to-word ratio, alphabetic
+    fraction, stopword floor — pure Column ops, one scan, no shuffle.
+    Every ratio is an int/int IEEE division, so the DuckDB oracle
+    matches bit-for-bit."""
+    from dozer_spark.ops.text import gopher_quality
+
+    d = _cat(spark, sf).df("documents")
+    g = gopher_quality(F.col("text"))
+    return d.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["alpha_frac"].alias("alpha_frac"),
+        g["n_stop"].alias("n_stop"),
+        g["passes"].alias("passes"),
+    )
+
+
+@_q(
+    "dedup_common_segments",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split_regex(text, '\\. ') AS segs FROM documents
+    ), e AS (
+      SELECT doc_id, i - 1 AS pos, segs[i] AS seg, md5(segs[i]) AS h
+      FROM (SELECT doc_id, segs,
+              unnest(generate_series(1, len(segs))) AS i FROM s)
+    ), c AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ), j AS (
+      SELECT e.doc_id, e.pos, e.seg,
+             (c.h IS NOT NULL) AS dup
+      FROM e LEFT JOIN c ON e.h = c.h
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_segments,
+      CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_removed,
+      md5(coalesce(
+        string_agg(seg, '. ' ORDER BY pos) FILTER (WHERE NOT dup), ''))
+        AS clean_digest
+    FROM j GROUP BY doc_id
+    """,
+)
+def dedup_common_segments(spark, sf):
+    """Segment-level dedup (MassiveText/RefinedWeb boilerplate-line
+    filter): segments appearing in >= 2 distinct documents are removed
+    from every document; the md5 of each rebuilt document proves the
+    surviving segments and their order match the oracle exactly."""
+    from dozer_spark.ops.dedup import drop_duplicated_segments
+
+    d = _cat(spark, sf).df("documents")
+    return drop_duplicated_segments(d, "text", "doc_id", min_docs=2)
+
+
+@_q(
+    "corpus_top_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+      FROM t
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY gram
+    ORDER BY n_docs DESC, gram LIMIT 100
+    """,
+)
+def corpus_top_ngrams(spark, sf):
+    """Corpus 3-gram document-frequency census, top 100 (boilerplate /
+    contamination audit). Grams are per-doc distinct-reduced before the
+    explode; the count shuffle has map-side combine; only 100 rows
+    survive the ordered take."""
+    from dozer_spark.ops.text import top_ngrams
+
+    d = _cat(spark, sf).df("documents")
+    return top_ngrams(d, "text", n=3, k=100)
