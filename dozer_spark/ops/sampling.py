@@ -105,3 +105,56 @@ def quota_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame, key_col: str, domain_col: str, alpha: float,
+    total: int, salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: keep ~`total` rows with
+    per-domain counts proportional to (domain size)^alpha — the
+    standard multilingual/domain-mixing resampler (alpha=1 keeps the
+    natural distribution, alpha->0 flattens toward uniform; e.g. the
+    alpha=0.3 mixing of multilingual LM training).
+
+    Determinism contract: the ONLY floating-point step is computing the
+    integer per-domain quota round(total * c^alpha / sum(c^alpha));
+    row selection is then an exact (md5, key)-ranked cut, so results
+    are reproducible across engines and runs unless pow() differs
+    enough to flip an integer rounding — and the quota arithmetic is
+    replayed identically in the oracle, so even that would be caught,
+    not silent.
+
+    100 TB design: domain cardinality is tiny by definition (languages,
+    sources), so the quota table is a constant-size aggregate
+    broadcast back; the rank cut is one shuffle on the domain column,
+    identical to quota_sample. Skewed giant domains keep only their
+    quota — pair with stratified_hash_sample to pre-thin a dominant
+    domain before the exact window if a single domain's rank task is
+    too large.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if total <= 0:
+        raise ValueError("total must be positive")
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__c"))
+    weighted = counts.withColumn("__w", F.pow(F.col("__c").cast("double"), alpha))
+    quotas = (
+        weighted.withColumn("__wsum", F.sum("__w").over(Window.partitionBy()))
+        .select(
+            domain_col,
+            F.round(F.lit(float(total)) * F.col("__w") / F.col("__wsum"))
+            .cast("long")
+            .alias("__quota"),
+        )
+    )
+    order = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), domain_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

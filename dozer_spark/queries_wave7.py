@@ -20,6 +20,7 @@ from dozer_spark.ops.packing import (
     token_shard_assignment_oracle(
         "documents", "doc_id", "text", budget=2000, n_buckets=16
     ),
+    headline=True,
 )
 def pack_token_shards(spark, sf):
     """Deterministic global shuffle + token-budget shard assignment (the
@@ -113,6 +114,7 @@ def text_gopher_quality(spark, sf):
         AS clean_digest
     FROM j GROUP BY doc_id
     """,
+    headline=True,
 )
 def dedup_common_segments(spark, sf):
     """Segment-level dedup (MassiveText/RefinedWeb boilerplate-line
@@ -151,3 +153,38 @@ def corpus_top_ngrams(spark, sf):
 
     d = _cat(spark, sf).df("documents")
     return top_ngrams(d, "text", n=3, k=100)
+
+
+@_q(
+    "temperature_mixture_sample",
+    """
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), q AS (
+      SELECT lang,
+        CAST(round(200.0 * pow(n, 0.3) / SUM(pow(n, 0.3)) OVER ()) AS BIGINT)
+          AS quota
+      FROM c
+    ), r AS (
+      SELECT doc_id, lang,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rn
+      FROM documents
+    )
+    SELECT r.lang, r.doc_id FROM r JOIN q USING (lang) WHERE rn <= quota
+    """,
+)
+def temperature_mixture_sample(spark, sf):
+    """Temperature-based domain rebalancing (alpha=0.3, the standard
+    multilingual-LM mixing exponent): per-language keep counts
+    proportional to count^alpha toward a 200-doc budget, rows chosen by
+    the deterministic (md5, key) rank. The oracle replays the identical
+    quota arithmetic and rank cut."""
+    from dozer_spark.ops.sampling import temperature_sample
+
+    d = _cat(spark, sf).df("documents")
+    return temperature_sample(d, "doc_id", "lang", alpha=0.3, total=200).select(
+        "lang", "doc_id"
+    )

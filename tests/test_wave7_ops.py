@@ -112,3 +112,28 @@ def test_top_ngrams_census(spark):
     # (per-doc distinct) even though even docs contain it twice
     assert counts["alpha beta gamma"] == 10
     assert out[0].gram == "alpha beta gamma"
+
+
+def test_temperature_sample_flattens_domains(spark):
+    import pytest
+
+    from dozer_spark.ops.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(df, "doc_id", "lang", alpha=0.3, total=200)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # natural ratio is 9:1; alpha=0.3 compresses it to 9^0.3 ~ 1.93
+    assert sum(counts.values()) in (199, 200, 201)  # integer rounding
+    ratio = counts["big"] / counts["small"]
+    assert 1.5 < ratio < 2.5
+    # deterministic across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple,
+        temperature_sample(df, "doc_id", "lang", alpha=0.3, total=200).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "lang", alpha=0.0, total=10)
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "lang", alpha=0.5, total=0)
