@@ -188,3 +188,92 @@ def temperature_mixture_sample(spark, sf):
     return temperature_sample(d, "doc_id", "lang", alpha=0.3, total=200).select(
         "lang", "doc_id"
     )
+
+
+@_q(
+    "asof_join_purchase_last_click",
+    """
+    WITH r AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), l AS (
+      SELECT event_id, user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      l.purchase_value,
+      strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      r.click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_purchase_last_click(spark, sf):
+    """AS-OF join (nearest prior match): every purchase event joined to
+    the user's latest click at-or-before it. The reference rejects
+    non-equi joins outright (dozer-sql/src/product/join/factory.rs:
+    231-234) — beyond-parity surface. Spark plan: union-window (ONE
+    key shuffle, no inequality join); oracle: DuckDB's native ASOF
+    LEFT JOIN. The right side is pre-aggregated per (user, ts) so "the
+    latest prior row" is unambiguous in both engines."""
+    from dozer_spark.operators.temporal import asof_join
+
+    ev = _cat(spark, sf).df("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["click_value"],
+        how="left", right_ts_as="__click_ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "purchase_value",
+        F.date_format("__click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "click_value",
+    )
+
+
+@_q(
+    "range_join_error_click_followup",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), r AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks_12h,
+           MIN(r.event_id) AS min_click_id
+    FROM l JOIN r ON l.user_id = r.user_id
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 12 HOUR
+    GROUP BY l.event_id
+    """,
+)
+def range_join_error_click_followup(spark, sf):
+    """Range join (interval containment): clicks within 12 hours
+    AFTER each error event of the same user, aggregated per error.
+    Beyond-parity (factory.rs:231-234 rejects range joins). Spark
+    plan: bucketized equi-join on (user, time bucket) — each left row
+    duplicates into at most 2 buckets, each true pair produced once,
+    no cross join at any scale; oracle: DuckDB's native inequality
+    (IE) join."""
+    from dozer_spark.operators.temporal import range_join
+
+    ev = _cat(spark, sf).df("events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = range_join(left, right, ["user_id"], "ts", "r_ts", 0, 43200)
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks_12h"),
+        F.min("r_event_id").alias("min_click_id"),
+    )
