@@ -277,3 +277,69 @@ def range_join_error_click_followup(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_clicks_12h"),
         F.min("r_event_id").alias("min_click_id"),
     )
+
+
+@_q(
+    "join_full_outer_customer_supplier_nations",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer_customer_supplier_nations(spark, sf):
+    """FULL OUTER equi-join — rejected outright by the reference
+    (dozer-sql/src/product/join/factory.rs:120 allows only INNER/LEFT/
+    RIGHT); native in Spark, so beyond-parity for free. Both sides are
+    pre-aggregated per nation; the filter on supplier balance makes
+    each side's key set a strict subset so both NULL-padded directions
+    actually occur in the output."""
+    cat = _cat(spark, sf)
+    c = (
+        cat.df("customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    s = (
+        cat.df("supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_supp"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey", "n_cust", "n_supp"
+    )
+
+
+@_q(
+    "cross_join_region_pairs",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def cross_join_region_pairs(spark, sf):
+    """CROSS join — also rejected by the reference (factory.rs:120).
+    Spark-native, but only sane when at least one side is tiny:
+    region x region here (the triangular filter halves the output).
+    Corpus-sized all-pairs problems use the bucketed joins in
+    ops/dedup.py instead — this entry exists to claim the negative-
+    space join form, not to encourage cartesian plans at scale."""
+    r = _cat(spark, sf).df("region").select("r_regionkey", "r_name")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(
+            F.col("a.r_name").alias("region_a"),
+            F.col("b.r_name").alias("region_b"),
+        )
+    )

@@ -128,3 +128,39 @@ def test_range_join_plan_no_cartesian(spark):
     )
     plan = _plan(range_join(left, right, ["k"], "ts", "r_ts", 0, 600))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_fuzz_vs_naive(spark):
+    # seeded fuzz: compare the union-window plan against a brute-force
+    # per-row argmax on randomized timelines (ties included via the
+    # coarse second grid)
+    import random
+
+    rnd = random.Random(1234)
+    base = _ts("2024-03-01 00:00:00")
+    left_rows = [
+        (i, rnd.randrange(5), base + dt.timedelta(seconds=rnd.randrange(2000)))
+        for i in range(150)
+    ]
+    right_rows = list({
+        (k, base + dt.timedelta(seconds=s)): v
+        for k, s, v in (
+            (rnd.randrange(5), rnd.randrange(2000), float(i))
+            for i in range(200)
+        )
+    }.items())
+    right_rows = [(k, ts, v) for (k, ts), v in right_rows]
+    left = spark.createDataFrame(left_rows, ["event_id", "k", "ts"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "v"])
+
+    got = {
+        r.event_id: r.v
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, ts, v in right_rows:
+        by_key.setdefault(k, []).append((ts, v))
+    for eid, k, lts in left_rows:
+        prior = [(ts, v) for ts, v in by_key.get(k, []) if ts <= lts]
+        want = max(prior)[1] if prior else None
+        assert got[eid] == want, (eid, got[eid], want)
