@@ -59,11 +59,27 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
+    out_names = set(payload_cols) | ({right_ts_as} if right_ts_as else set())
+    clash = out_names & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"output columns {sorted(clash)} collide with left columns; "
+            "alias the payload (or right_ts_as) first"
+        )
+    # SQL join semantics: NULL keys never match and a NULL right_ts can
+    # never satisfy right_ts <= left_ts, so such right rows are dropped
+    # up front — otherwise the NULL-key window partition would happily
+    # 'match' NULL to NULL and a NULL-ts right row would sort first and
+    # leak its payload to every left row (DuckDB ASOF returns NULL for
+    # both cases).
+    right_valid = right
+    for k in [*keys, right_ts]:
+        right_valid = right_valid.filter(F.col(k).isNotNull())
     payload = F.struct(
         F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in payload_cols],
     )
-    r2 = right.select(
+    r2 = right_valid.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -121,8 +137,15 @@ def range_join(
     """
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
+    if right_ts not in right.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} is not a right-side column "
+            f"(pass the PRE-rename name; right has {right.columns})"
+        )
+    if bucket_s is not None and bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
     span = max(upper_s - lower_s, 1)
-    w = bucket_s or span
+    w = bucket_s if bucket_s is not None else span
     lsec = F.unix_timestamp(F.col(left_ts))
 
     rename = {

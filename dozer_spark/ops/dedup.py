@@ -599,17 +599,17 @@ def drop_duplicated_segments(
     clean_digest = md5 of the document rebuilt from its surviving
     segments in original order.
 
-    100 TB design: two shuffles, both honest. (1) The census groupBy
-    shuffles md5(segment) digests (32B regardless of segment length)
-    with map-side partial counts, and count_distinct(doc) is capped at
-    min_docs via a per-doc array_distinct BEFORE the explode — a
-    segment repeated inside one doc contributes once, so the shuffle
-    never amplifies intra-doc repetition. (2) The rebuild regroups
-    (doc, pos, segment) — the same volume as the input scan, no
-    amplification. The common-segment set (boilerplate is rare relative
-    to the corpus) is size-gate broadcast into the removal join; if it
-    is ever NOT small, the gate falls back to a shuffled join instead
-    of pinning a broadcast.
+    100 TB design: ONE text scan, two shuffles, both honest. The census
+    runs over a cached slim projection (doc id + 32B segment digest —
+    no text) of the exploded base, so the regex split and per-segment
+    md5 are paid once; count_distinct(doc) dedupes intra-doc repeats
+    with partial aggregation, so the shuffle never amplifies repeated
+    segments within one doc. The rebuild regroups (doc, pos, segment)
+    — the same volume as the input scan, no amplification. The
+    common-segment set (boilerplate is rare relative to the corpus) is
+    size-gate broadcast into the removal join; if it is ever NOT
+    small, the gate falls back to a shuffled join instead of pinning a
+    broadcast.
     """
     segs = F.split(F.col(text_col), sep, -1)
     src = ensure_min_partitions(df)
@@ -617,14 +617,10 @@ def drop_duplicated_segments(
         F.col(id_col), F.posexplode(segs).alias("__pos", "__seg")
     ).withColumn("__h", F.md5(F.col("__seg")))
 
+    slim = cache_materialized(base.select(id_col, "__h"))
     common = (
-        src.select(
-            F.explode(
-                F.array_distinct(F.transform(segs, lambda s: F.md5(s)))
-            ).alias("__h")
-        )
-        .groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__nd"))
+        slim.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__h")
     )

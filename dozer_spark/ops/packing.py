@@ -57,11 +57,18 @@ def token_shard_assignment(
     bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_buckets).cast(
         "int"
     )
-    t = docs.select(
-        F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        h.alias("__h"),
-        bucket.alias("__b"),
+    from dozer_spark.operators.hints import cache_materialized
+
+    # t is consumed twice (per-bucket window + bucket totals); without
+    # caching, the full-text scan and tokenization would run twice. The
+    # cached projection is slim — (id, count, hash, bucket), no text.
+    t = cache_materialized(
+        docs.select(
+            F.col(id_col),
+            token_count(text_col).alias("n_tokens"),
+            h.alias("__h"),
+            bucket.alias("__b"),
+        )
     )
 
     # (2) per-bucket local running sum — parallel across buckets

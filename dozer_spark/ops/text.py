@@ -150,21 +150,28 @@ def redact_pii(c, token: str = "[PII]") -> Column:
     return col
 
 
-def word_ngrams(c, n: int = 3) -> Column:
-    """Distinct md5-hashed word n-grams of a text column — the matching
-    unit for decontamination. Pure Column expression (codegen); the md5
-    keeps the shuffle slim (32B per gram regardless of text length) and
-    is replayable in the DuckDB oracle. Documents shorter than n tokens
-    yield an empty array (Spark's sequence(1, 0) counts DOWN, so the
-    short case must be guarded explicitly to match SQL generate_series)."""
+def raw_word_ngrams(c, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined token windows) of a text
+    column. Documents shorter than n tokens yield an empty array
+    (Spark's sequence(1, 0) counts DOWN, so the short case must be
+    guarded explicitly to match SQL generate_series). Single source of
+    truth for that guard — word_ngrams/top_ngrams both build on it."""
     t = tokens(c)
     idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
     grams = F.array_distinct(
-        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(t, i, n), " ")))
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
     )
     return F.when(F.size(t) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(c, n: int = 3) -> Column:
+    """Distinct md5-hashed word n-grams — the matching unit for
+    decontamination. The md5 keeps the shuffle slim (32B per gram
+    regardless of text length) and is replayable in the DuckDB
+    oracle."""
+    return F.transform(raw_word_ngrams(c, n), lambda g: F.md5(g))
 
 
 def gopher_quality(c) -> dict[str, Column]:
@@ -235,17 +242,9 @@ def top_ngrams(docs, text_col: str, n: int = 3, k: int = 100):
     """
     from dozer_spark.operators.hints import ensure_min_partitions
 
-    t = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-    grams = F.when(
-        F.size(t) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
         ensure_min_partitions(docs)
-        .select(F.explode(grams).alias("gram"))
+        .select(F.explode(raw_word_ngrams(F.col(text_col), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "gram")

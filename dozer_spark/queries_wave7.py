@@ -272,7 +272,9 @@ def range_join_error_click_followup(spark, sf):
     right = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
-    pairs = range_join(left, right, ["user_id"], "ts", "r_ts", 0, 43200)
+    # right_ts is the PRE-rename name; the collision with left's ts is
+    # what renames it to r_ts in the output
+    pairs = range_join(left, right, ["user_id"], "ts", "ts", 0, 43200)
     return pairs.groupBy("event_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_clicks_12h"),
         F.min("r_event_id").alias("min_click_id"),

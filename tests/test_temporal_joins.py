@@ -164,3 +164,46 @@ def test_asof_fuzz_vs_naive(spark):
         prior = [(ts, v) for ts, v in by_key.get(k, []) if ts <= lts]
         want = max(prior)[1] if prior else None
         assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_asof_null_keys_and_ts_never_match(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-01 10:00:00")),
+            (2, 1, _ts("2024-01-01 10:00:00")),
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01 09:00:00"), 1.0),  # NULL key: no match
+            (1, None, 2.0),                            # NULL ts: no match
+            (1, _ts("2024-01-01 09:30:00"), 3.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {r.event_id: r.v for r in
+           asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()}
+    assert out[1] is None  # NULL left key matches nothing (SQL semantics)
+    assert out[2] == 3.0   # the NULL-ts right row must not leak its payload
+
+    # output-name collision is rejected up front, not at downstream select
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", "ts", ["v"], right_ts_as="ts")
+
+
+def test_range_join_validates_right_ts_and_bucket(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"))], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(2, 1, _ts("2024-01-01 10:05:00"))], ["r_id", "k", "r_ts"]
+    )
+    with pytest.raises(ValueError, match="PRE-rename"):
+        range_join(left, right, ["k"], "ts", "nope", 0, 600)
+    with pytest.raises(ValueError, match="bucket_s"):
+        range_join(left, right, ["k"], "ts", "r_ts", 0, 600, bucket_s=0)
