@@ -275,3 +275,80 @@ def cdc_snapshot_diff_roundtrip(spark, sf):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
     )
+
+
+@_q(
+    "cdc_temporal_enrich",
+    """
+    WITH sign AS (
+      SELECT user_id, ts, MAX(value) AS price
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ), tomb AS (
+      SELECT e.user_id, e.ts
+      FROM (SELECT user_id, ts FROM events
+            WHERE event_type = 'error' AND value < 0.3
+            GROUP BY user_id, ts) e
+      LEFT JOIN sign s ON e.user_id = s.user_id AND e.ts = s.ts
+      WHERE s.user_id IS NULL
+    ), vers AS (
+      SELECT user_id, ts AS vts, price FROM sign
+      UNION ALL
+      SELECT user_id, ts, NULL FROM tomb
+    ), f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id,
+           strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS fact_ts,
+           v.price
+    FROM f ASOF LEFT JOIN vers v
+      ON f.user_id = v.user_id AND f.ts >= v.vts
+    """,
+)
+def cdc_temporal_enrich(spark, sf):
+    """Streaming temporal enrichment (Flink-style temporal table join)
+    under the oracle gate: signup events build a per-user price version
+    history across two insert batches, qualifying error events append
+    tombstone versions (batch 3), then purchase facts are enriched with
+    the version valid AT EACH FACT'S EVENT TIME. The oracle replays the
+    whole history as one DuckDB ASOF join over the version table — if
+    the incremental version log mis-orders, drops, or leaks a single
+    version (or a tombstone fails to void its interval), the hash
+    mismatches. The reference can only join CURRENT dimension state
+    (product/join/operator/mod.rs), so this is beyond-parity."""
+    from dozer_spark.streaming.enrich import TemporalEnrich
+
+    ev = _cat(spark, sf).df("events")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("price"))
+    )
+    tomb = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") < 0.3))
+        .select("user_id", "ts")
+        .distinct()
+        .join(sign.select("user_id", "ts"), ["user_id", "ts"], "left_anti")
+        .withColumn("price", F.lit(None).cast("double"))
+    )
+    e = TemporalEnrich(spark, ["user_id"], "ts", "vts", ["price"])
+    b1 = _stamp(
+        sign.filter(F.col("user_id") % 2 == 0)
+        .withColumnRenamed("ts", "vts"), "I", 1,
+    )
+    b2 = _stamp(
+        sign.filter(F.col("user_id") % 2 == 1)
+        .withColumnRenamed("ts", "vts"), "I", 2,
+    )
+    b3 = _stamp(tomb.withColumnRenamed("ts", "vts"), "D", 3)
+    e.process_batch(b1, None)
+    e.process_batch(b2, None)
+    e.process_batch(b3, None)
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = e.process_batch(None, facts)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("fact_ts"),
+        "price",
+    )
