@@ -12,6 +12,7 @@ independently (the DuckDB oracle re-derives them in SQL).
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -172,10 +173,22 @@ def make_jpeg(width: int, height: int) -> bytes:
 
 
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
-             bits: int = 16) -> bytes:
-    """Spec-valid PCM WAV with silent samples."""
+             bits: int = 16, waveform: str = "silence") -> bytes:
+    """Spec-valid PCM WAV. waveform='silence' writes zero samples;
+    'sawtooth' writes the deterministic 16-bit ramp
+    s_i = (i % 256) * 256 - 32768 on every channel — closed-form, so
+    decoded features (RMS, peak) are exactly replayable in SQL."""
     block = channels * (bits // 8)
-    data = bytes(n_samples * block)
+    if waveform == "sawtooth":
+        if bits != 16:
+            raise ValueError("sawtooth test waveform is 16-bit only")
+        frame = bytearray()
+        for i in range(n_samples):
+            s = (i % 256) * 256 - 32768
+            frame += struct.pack("<h", s) * channels
+        data = bytes(frame)
+    else:
+        data = bytes(n_samples * block)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
     )
@@ -184,3 +197,45 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm_samples(b: bytes):
+    """REAL 16-bit PCM decode: the data chunk as an int16 numpy array
+    (interleaved channels). Returns None for non-WAV / non-16-bit
+    payloads — only compressed codecs stay behind the decode stub
+    (ops/multimodal.py); uncompressed PCM needs nothing beyond stdlib
+    chunk walking + a zero-copy frombuffer."""
+    import numpy as np
+
+    info = wav_info(b) if b else None
+    if not info or info.get("bits") != 16:
+        return None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"data":
+            raw = b[i + 8:i + 8 + size]
+            return np.frombuffer(raw[: len(raw) - (len(raw) % 2)],
+                                 dtype="<i2")
+        i += 8 + size + (size & 1)
+    return None
+
+
+def wav_audio_features(b: bytes) -> dict | None:
+    """Decoded-signal features from 16-bit PCM: RMS level, peak
+    amplitude, decoded sample count (frames x channels). Sum of squares
+    is exact in int64 (32768^2 * n < 2^63 for any realistic clip), so
+    rms = sqrt(mean) is the correctly-rounded IEEE value — replayable
+    digit-for-digit in SQL."""
+    import numpy as np
+
+    s = wav_pcm_samples(b)
+    if s is None or len(s) == 0:
+        return None
+    sq = np.sum(s.astype(np.int64) ** 2)
+    return {
+        "n_values": int(len(s)),
+        "rms": float(math.sqrt(sq / len(s))),
+        "peak": int(np.max(np.abs(s.astype(np.int64)))),
+    }

@@ -154,3 +154,46 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ms", "mime", "payload")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """REAL signal decode for uncompressed audio: 16-bit PCM WAV data
+    chunks are parsed with stdlib chunk walking + a zero-copy numpy
+    frombuffer, then reduced to RMS level / peak amplitude / decoded
+    value count (frames x channels). Non-WAV / compressed payloads
+    yield NULL features (their decode stays behind the documented
+    codec stub). Arrow-batched mapInPandas over the two needed columns
+    — payloads never widen a shuffle and the decode parallelizes with
+    the scan, exactly like probe_metadata."""
+    from dozer_spark.ops.media_codecs import wav_audio_features
+
+    cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = wav_audio_features(
+                    bytes(payload) if payload is not None else None
+                )
+                row = {"media_id": mid, "n_values": None, "rms": None,
+                       "peak": None}
+                if d is not None:
+                    row.update(d)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -345,3 +345,66 @@ def cross_join_region_pairs(spark, sf):
             F.col("b.r_name").alias("region_b"),
         )
     )
+
+
+@_q(
+    "multimodal_audio_rms",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 4000 AS rate,
+             CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             ((8000 + (doc_id % 5) * 4000) // 10) * (1 + doc_id % 3) AS n
+      FROM documents
+    ), sq AS (
+      SELECT doc_id,
+             SUM(CAST((i % 256) * 256 - 32768 AS BIGINT)
+                 * CAST((i % 256) * 256 - 32768 AS BIGINT)) AS sum_sq
+      FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM params)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n * p.channels AS BIGINT) AS n_values,
+           round(sqrt(CAST(sq.sum_sq AS DOUBLE) / p.n), 6) AS rms,
+           CAST(32768 AS BIGINT) AS peak
+    FROM params p JOIN sq USING (doc_id)
+    """,
+)
+def multimodal_audio_rms(spark, sf):
+    """REAL audio decode under the oracle gate: every doc gets a
+    deterministic 16-bit PCM sawtooth WAV (rate/channels/length derive
+    from doc_id), the pipeline decodes the PCM data chunk (numpy
+    frombuffer in Arrow-batched mapInPandas) and reduces to RMS/peak/
+    value-count — and the oracle recomputes the identical features in
+    closed form from the waveform formula. This is decoded-signal
+    parity, not just header metadata: a single wrong sample flips the
+    sum of squares. (Compressed codecs remain behind the documented
+    stub; uncompressed PCM needs no media library.)"""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dozer_spark.ops.media_codecs import make_wav
+    from dozer_spark.ops.multimodal import extract_audio_features
+
+    def build(ids):
+        out = []
+        for doc_id in ids:
+            rate = 8000 + (doc_id % 5) * 4000
+            n = (rate // 10) * (1 + doc_id % 3)
+            out.append(
+                make_wav(rate, n, channels=1 + doc_id % 2,
+                         waveform="sawtooth")
+            )
+        return pd.Series(out)
+
+    build_udf = F.pandas_udf(build, T.BinaryType())
+    d = _cat(spark, sf).df("documents").select("doc_id")
+    media = d.withColumn("payload", build_udf(F.col("doc_id")))
+    feats = extract_audio_features(media, id_col="doc_id",
+                                   payload_col="payload")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_values",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )

@@ -137,3 +137,47 @@ def test_temperature_sample_flattens_domains(spark):
         temperature_sample(df, "doc_id", "lang", alpha=0.0, total=10)
     with pytest.raises(ValueError):
         temperature_sample(df, "doc_id", "lang", alpha=0.5, total=0)
+
+
+def test_wav_pcm_decode_and_features(spark):
+    import math
+
+    from dozer_spark.ops.media_codecs import (
+        make_wav,
+        wav_audio_features,
+        wav_pcm_samples,
+    )
+
+    # hand-computed: 4 sawtooth samples = -32768, -32512, -32256, -32000
+    b = make_wav(8000, 4, channels=1, waveform="sawtooth")
+    s = [int(v) for v in wav_pcm_samples(b)]  # int16 -> Python int (else v*v wraps)
+    assert s == [(i % 256) * 256 - 32768 for i in range(4)]
+    f = wav_audio_features(b)
+    want_rms = math.sqrt(sum(v * v for v in s) / 4)
+    assert f == {"n_values": 4, "rms": want_rms, "peak": 32768}
+
+    # stereo duplicates each frame across channels: 2x values, same rms
+    st = wav_audio_features(make_wav(8000, 4, channels=2, waveform="sawtooth"))
+    assert st["n_values"] == 8 and st["rms"] == want_rms
+
+    # silence decodes to rms 0; non-wav payloads yield None
+    assert wav_audio_features(make_wav(8000, 10))["rms"] == 0.0
+    assert wav_audio_features(b"not a wav at all, just bytes") is None
+    assert wav_audio_features(None) is None
+
+
+def test_extract_audio_features_dataframe(spark):
+    from dozer_spark.ops.media_codecs import make_wav
+    from dozer_spark.ops.multimodal import extract_audio_features
+
+    rows = [
+        (1, make_wav(8000, 100, waveform="sawtooth")),
+        (2, make_wav(8000, 50)),      # silence
+        (3, b"\x00\x01garbage"),      # undecodable -> NULL features
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in extract_audio_features(df).collect()}
+    assert out[1].n_values == 100 and out[1].peak == 32768
+    assert out[2].rms == 0.0
+    assert out[3].rms is None and out[4].rms is None
