@@ -13,8 +13,11 @@ from dozer_spark.operators.join import equi_join
 from dozer_spark.operators.aggregate import group_aggregate
 from dozer_spark.operators.setops import union_all, union_distinct
 from dozer_spark.operators.session import sessionize, session_aggregate
+from dozer_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
+    "asof_join",
+    "range_join",
     "sessionize",
     "session_aggregate",
     "tumble",

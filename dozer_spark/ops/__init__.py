@@ -16,15 +16,24 @@ from dozer_spark.ops.text import (
     eval_ngram_overlap,
     pii_counts,
     redact_pii,
+    gopher_quality,
+    top_ngrams,
 )
+from dozer_spark.ops.packing import token_shard_assignment
 from dozer_spark.ops.sampling import (
     hash_sample,
     stratified_hash_sample,
     quota_sample,
     train_test_split,
+    temperature_sample,
 )
 from dozer_spark.ops.media_codecs import probe_bytes
-from dozer_spark.ops.multimodal import extract_features, frame_sample, probe_metadata
+from dozer_spark.ops.multimodal import (
+    extract_features,
+    frame_sample,
+    probe_metadata,
+    extract_audio_features,
+)
 from dozer_spark.ops.dedup import (
     exact_dedup,
     dedup_clusters,
@@ -34,6 +43,7 @@ from dozer_spark.ops.dedup import (
     simhash_pairs,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
+    drop_duplicated_segments,
 )
 from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
 
@@ -66,4 +76,10 @@ __all__ = [
     "probe_metadata",
     "extract_features",
     "frame_sample",
+    "token_shard_assignment",
+    "temperature_sample",
+    "gopher_quality",
+    "top_ngrams",
+    "drop_duplicated_segments",
+    "extract_audio_features",
 ]

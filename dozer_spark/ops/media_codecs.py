@@ -182,11 +182,11 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
     if waveform == "sawtooth":
         if bits != 16:
             raise ValueError("sawtooth test waveform is 16-bit only")
-        frame = bytearray()
-        for i in range(n_samples):
-            s = (i % 256) * 256 - 32768
-            frame += struct.pack("<h", s) * channels
-        data = bytes(frame)
+        import numpy as np
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        s = ((idx % 256) * 256 - 32768).astype("<i2")
+        data = np.repeat(s, channels).tobytes()
     else:
         data = bytes(n_samples * block)
     fmt = struct.pack(
