@@ -1,0 +1,145 @@
+"""Wave 8: event-analytics shapes (funnel, cohort retention, exact
+quantiles) — the product-analytics queries an event-pipeline user runs
+on the engine. All single-key-shuffle window/groupBy plans with exact
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dozer_spark.queries import _q, _cat
+
+
+@_q(
+    "funnel_signup_click_purchase",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+          OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    )
+    SELECT user_id,
+      strftime(MIN(t1), '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+      strftime(MIN(t2), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      strftime(MIN(t3), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                WHEN MIN(t2) IS NOT NULL THEN 2
+                WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+    FROM w3 GROUP BY user_id
+    """,
+)
+def funnel_signup_click_purchase(spark, sf):
+    """Ordered funnel per user: first signup, first click AT-OR-AFTER
+    it, first purchase at-or-after that. Three full-frame window mins
+    over the SAME user partitioning — one shuffle total, no self-joins
+    (each stage's threshold is a window column the next stage
+    references). At corpus scale this is a single per-user sort, the
+    same shape as any sessionization."""
+    ev = _cat(spark, sf).df("events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    d1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+               F.col("ts"))
+    ).over(w)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+               F.col("ts"))
+    ).over(w)
+    d3 = d2.withColumn("t3", t3)
+    depth = (
+        F.when(F.min("t3").isNotNull(), 3)
+        .when(F.min("t2").isNotNull(), 2)
+        .when(F.min("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return d3.groupBy("user_id").agg(
+        F.date_format(F.min("t1"), fmt).alias("signup_ts"),
+        F.date_format(F.min("t2"), fmt).alias("click_ts"),
+        F.date_format(F.min("t3"), fmt).alias("purchase_ts"),
+        depth.cast("int").alias("depth"),
+    )
+
+
+@_q(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark, sf):
+    """Cohort retention: users grouped by the week of their first event,
+    counted in each later week they were active. Two groupBys + one
+    user-keyed join (first-week table is user-cardinality — size-gate
+    broadcastable); both engines truncate weeks to Monday so the
+    cohort grid matches exactly."""
+    from dozer_spark.operators.hints import maybe_broadcast
+
+    ev = _cat(spark, sf).df("events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(maybe_broadcast(firsts), "user_id")
+        .groupBy("cohort_week", (F.datediff("week", "cohort_week") / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset", "n_users",
+        )
+    )
+
+
+@_q(
+    "quantile_order_values",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def quantile_order_values(spark, sf):
+    """Exact interpolated quantiles per group (the reference has no
+    percentile support at all). Spark's percentile() and DuckDB's
+    quantile_cont share the linear-interpolation definition; rounding
+    to 4 decimals absorbs the one-ulp difference in interpolation
+    arithmetic order. Exact percentile shuffles the group's values
+    once — at corpus scale swap in approx_percentile (t-digest) and
+    drop the oracle to a tolerance check."""
+    o = _cat(spark, sf).df("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
