@@ -181,3 +181,74 @@ def test_extract_audio_features_dataframe(spark):
     assert out[1].n_values == 100 and out[1].peak == 32768
     assert out[2].rms == 0.0
     assert out[3].rms is None and out[4].rms is None
+
+
+def test_shard_packing_property_vs_sorted_cumsum(spark):
+    # fuzzed token counts: the two-level prefix sum must equal the
+    # naive global cumsum over the (bucket, hash, id) order
+    import hashlib
+    import random
+
+    rnd = random.Random(77)
+    rows = [(i, " ".join(["t"] * rnd.randrange(1, 40))) for i in range(300)]
+    budget, nb = 250, 8
+    out = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in token_shard_assignment(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", budget=budget, n_buckets=nb,
+        ).collect()
+    }
+
+    def key(doc_id):
+        h = hashlib.md5(f"shard:{doc_id}".encode()).hexdigest()
+        return (int(h[:4], 16) % nb, h, doc_id)
+
+    order = sorted((doc_id for doc_id, _ in rows), key=key)
+    cum = 0
+    for doc_id in order:
+        n = len(rows[doc_id][1].split())
+        assert out[doc_id][0] == n
+        assert out[doc_id][1] == cum // budget, doc_id
+        cum += n
+
+
+def test_funnel_ordering_semantics(spark):
+    # a click BEFORE the signup must not count; a purchase before the
+    # qualifying click must not count
+    import datetime as dt
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, 1, "click", t(1)),     # pre-signup click: ignored
+        (2, 1, "signup", t(2)),
+        (3, 1, "purchase", t(3)),  # pre-click purchase: ignored
+        (4, 1, "click", t(4)),
+        (5, 1, "purchase", t(5)),  # counts
+        (6, 2, "signup", t(1)),    # signup only
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    from dozer_spark.queries import registry  # noqa: F401  (decorator import)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    d1 = ev.withColumn("t1", t1)
+    t2 = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") >= F.col("t1")), F.col("ts"))).over(w)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") >= F.col("t2")), F.col("ts"))).over(w)
+    got = {
+        r.user_id: (r.a, r.b, r.c)
+        for r in d2.withColumn("t3", t3).groupBy("user_id").agg(
+            F.min("t1").alias("a"), F.min("t2").alias("b"),
+            F.min("t3").alias("c"),
+        ).collect()
+    }
+    assert got[1] == (t(2), t(4), t(5))
+    assert got[2] == (t(1), None, None)
