@@ -215,6 +215,37 @@ class TransactionalTable:
         paths = [os.path.join(self.path, rel) for rel in self._buckets.values()]
         return self.spark.read.schema(self._schema()).parquet(*paths)
 
+    def read_as_of(self, version: int) -> DataFrame:
+        """Time-travel read: the table AS OF a past committed version
+        (0 = before the first merge, an empty frame), reconstructed
+        from the head snapshot by applying the change feed INVERSELY.
+
+        Requires every CDF dir in (version, head] to still be retained
+        (change_retention) — raises instead of silently returning a
+        state that never existed when any were vacuumed. Cost is one
+        anti-join + union per rewound version over the head snapshot;
+        the intended use is recent-history audit/debug (the lakehouse
+        `VERSION AS OF` shape), not deep archaeology — keep a longer
+        change_retention if deep time travel matters."""
+        if not 0 <= version <= self.version:
+            raise ValueError(
+                f"version {version} out of range [0, {self.version}]"
+            )
+        if version == self.version:
+            return self.read()
+        cd = os.path.join(self.path, "changes")
+        have = (
+            {int(v[1:]) for v in os.listdir(cd) if v.startswith("v")}
+            if os.path.isdir(cd) else set()
+        )
+        missing = sorted(set(range(version + 1, self.version + 1)) - have)
+        if missing:
+            raise ValueError(
+                f"cannot time-travel to v{version}: change feed for "
+                f"versions {missing} was vacuumed (change_retention)"
+            )
+        return inverse_rewind(self, self.read(), version, self.pk)
+
     def lookup_rel(self, pk_values: list) -> str | None:
         """Resolve a PK point lookup to AT MOST ONE bucket dir, or None
         when the manifest's footer stats prove the key cannot exist
@@ -556,3 +587,29 @@ def foreach_batch_merge(path: str, pk: list[str], delete_col: str | None = None,
         )
 
     return fn
+
+
+CDF_COLS = ("_change_type", "_commit_version")
+
+
+def inverse_rewind(tx: "TransactionalTable", cur: DataFrame,
+                   to_version: int, key_cols: list[str]) -> DataFrame:
+    """`cur` (the state at tx.version) rewound to `to_version` by
+    applying the change feed inversely, newest version first: drop
+    insert/update_postimage keys, restore update_preimage/delete rows.
+    Shared by time travel (read_as_of) and the delta-log crash rewind
+    (streaming/incstate.py)."""
+    v = tx.version
+    ch_all = (tx.read_changes(since_version=to_version + 1)
+              if v > to_version else None)
+    while v > to_version:
+        ch = ch_all.filter(F.col("_commit_version") == v)
+        added = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*key_cols)
+        restored = ch.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).drop(*CDF_COLS)
+        cur = cur.join(added, key_cols, "left_anti").unionByName(restored)
+        v -= 1
+    return cur

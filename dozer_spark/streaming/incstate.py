@@ -60,33 +60,18 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from dozer_spark.storage import TransactionalTable
-
-_CDF_COLS = ("_change_type", "_commit_version")
+from dozer_spark.storage.txtable import inverse_rewind
 
 
 def rewind_to_version(tx: TransactionalTable, cur: DataFrame,
                       committed_version: int,
                       key_cols: list[str]) -> DataFrame | None:
-    """State AS OF committed_version, from the current snapshot `cur` by
-    applying the change feed INVERSELY, newest version first: drop
-    insert/update_postimage keys, restore update_preimage/delete rows.
-    Returns None when committed_version <= 0 (nothing was committed)."""
-    v = tx.version
-    ch_all = (tx.read_changes(since_version=committed_version + 1)
-              if v > committed_version else None)
-    while v > committed_version:
-        ch = ch_all.filter(F.col("_commit_version") == v)
-        added = ch.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).select(*key_cols)
-        restored = ch.filter(
-            F.col("_change_type").isin("update_preimage", "delete")
-        ).drop(*_CDF_COLS)
-        cur = cur.join(added, key_cols, "left_anti").unionByName(restored)
-        v -= 1
+    """State AS OF committed_version (None when <= 0: nothing was
+    committed). The inverse-CDF loop itself lives in storage/txtable.py
+    (inverse_rewind), shared with the public time-travel read."""
     if committed_version <= 0:
         return None
-    return cur
+    return inverse_rewind(tx, cur, committed_version, key_cols)
 
 
 class DiffStateTable:

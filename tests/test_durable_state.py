@@ -546,3 +546,47 @@ def test_pre_delta_log_layout_fails_loudly(spark, tmp_path):
     (p / "MANIFEST.json").write_text(json.dumps({"version": 3}))
     with pytest.raises(ValueError, match="pre-delta-log"):
         DiffStateTable(spark, str(p), key_cols=["id"])
+
+
+class TestTimeTravel:
+    def _mk(self, spark, tmp_path, **kw):
+        from dozer_spark.storage.txtable import TransactionalTable
+
+        return TransactionalTable(
+            spark, str(tmp_path / "tt"), pk=["id"], n_buckets=4, **kw
+        )
+
+    def test_read_as_of_reconstructs_every_version(self, spark, tmp_path):
+        tx = self._mk(spark, tmp_path)
+        snaps = {}
+        tx.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+        snaps[1] = {(1, "a"), (2, "b")}
+        tx.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]))
+        snaps[2] = {(1, "a"), (2, "B"), (3, "c")}
+        tx.merge(
+            spark.createDataFrame([(1, "x", True), (4, "d", False)],
+                                  ["id", "v", "del"]),
+            delete_col="del",
+        )
+        snaps[3] = {(2, "B"), (3, "c"), (4, "d")}
+        for ver, want in snaps.items():
+            got = {tuple(r) for r in tx.read_as_of(ver).collect()}
+            assert got == want, ver
+        assert tx.read_as_of(0).count() == 0
+        # head shortcut and range validation
+        assert {tuple(r) for r in tx.read_as_of(3).collect()} == snaps[3]
+        import pytest
+
+        with pytest.raises(ValueError, match="out of range"):
+            tx.read_as_of(4)
+
+    def test_read_as_of_fails_loudly_past_retention(self, spark, tmp_path):
+        import pytest
+
+        tx = self._mk(spark, tmp_path, change_retention=1)
+        for i in range(4):
+            tx.merge(spark.createDataFrame([(i, i)], ["id", "v"]))
+        # retention kept only the newest change dirs; deep travel must
+        # raise, not silently return a state that never existed
+        with pytest.raises(ValueError, match="vacuumed"):
+            tx.read_as_of(1)
