@@ -143,3 +143,80 @@ def quantile_order_values(spark, sf):
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@_q(
+    "pivot_priority_by_year",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+      CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+      CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+      CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_notspec,
+      CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_priority_by_year(spark, sf):
+    """PIVOT — rejected by the reference (builder/table_operator.rs:
+    46-49 rejects table functions/PIVOT); native in Spark. Explicit
+    pivot values keep the output schema static (no extra distinct scan
+    to discover columns — the scan-twice trap of dynamic pivot), and
+    the oracle expresses the same thing as conditional aggregation."""
+    o = _cat(spark, sf).df("orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    alias = {
+        "1-URGENT": "p1_urgent", "2-HIGH": "p2_high", "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_notspec", "5-LOW": "p5_low",
+    }
+    out = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return out.select(
+        "order_year", *[F.col(f"`{p}`").alias(alias[p]) for p in pri]
+    )
+
+
+@_q(
+    "unpivot_customer_measures",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric,
+           CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def unpivot_customer_measures(spark, sf):
+    """UNPIVOT (wide -> long) — no reference equivalent; Spark-native
+    melt. One scan, no shuffle (the long format is produced by an
+    in-row expand, not a union of scans like the SQL oracle spells)."""
+    c = _cat(spark, sf).df("customer").select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@_q(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf):
+    """CUBE with GROUPING() disambiguation — the reference has no
+    grouping sets of any kind (SURVEY §2.4); ROLLUP is already covered,
+    this completes the family. grouping_id distinguishes an aggregate
+    NULL from a data NULL; Spark and DuckDB share the bitset
+    convention."""
+    o = _cat(spark, sf).df("orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n")
