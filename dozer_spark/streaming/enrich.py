@@ -167,11 +167,21 @@ class TemporalEnrich:
                     and self._batches % self.prune_every == self.prune_every - 1):
                 live = self._versions
                 kept = self._prune(live)
-                pruned_keys = (
-                    live.join(
-                        kept.select(*self.keys, "__vts"),
+                pruned_keys = live.join(
+                    kept.select(*self.keys, "__vts"),
+                    [*self.keys, "__vts"], "left_anti",
+                )
+                if new_versions is not None:
+                    # a slot re-upserted THIS batch must not also carry a
+                    # prune tombstone in the same epoch delta — two rows
+                    # with one digest and one epoch would make compaction
+                    # pick arbitrarily; the fresher upsert wins
+                    pruned_keys = pruned_keys.join(
+                        new_versions.select(*self.keys, "__vts"),
                         [*self.keys, "__vts"], "left_anti",
                     )
+                pruned_keys = (
+                    pruned_keys
                     .withColumn("__vk", row_digest([*self.keys, "__vts"]))
                     .withColumn("__del", F.lit(True))
                 )

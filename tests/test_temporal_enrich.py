@@ -130,3 +130,36 @@ def test_durable_crash_resume(spark, tmp_path):
         ("U", 2, 1, 1, _ts("2024-01-05 00:00:00"), 200.0),
     ]), None)
     assert e2.current_versions().count() == 2
+
+
+def test_durable_prune_and_reupsert_same_epoch(spark, tmp_path):
+    # a prunable slot re-upserted in the SAME epoch that prunes must
+    # survive (the upsert is fresher than the prune decision, which was
+    # computed on pre-batch state)
+    sd = str(tmp_path / "enrich_prune")
+    e = TemporalEnrich(
+        spark, ["k"], "ts", "vts", ["price"],
+        retain="2 DAYS", prune_every=1, state_dir=sd,
+    )
+    e.process_batch(_dim(spark, [
+        ("I", 1, 1, 1, _ts("2024-01-01 00:00:00"), 100.0),
+        ("U", 2, 1, 1, _ts("2024-01-02 00:00:00"), 150.0),
+        ("U", 3, 1, 1, _ts("2024-01-10 00:00:00"), 200.0),
+    ]), None)
+    # watermark to 01-12 -> cutoff 01-10: the 01-01 slot is prunable
+    e.process_batch(None, _facts(spark, [(1, 1, _ts("2024-01-12 00:00:00"))]))
+    # this batch BOTH triggers the prune and re-upserts the prunable slot
+    e.process_batch(_dim(spark, [
+        ("U", 4, 1, 1, _ts("2024-01-01 00:00:00"), 111.0),
+    ]), None)
+    vs = {(r.v, r.p) for r in e.current_versions().select(
+        F.col("__vts").alias("v"), F.col("price").alias("p")).collect()}
+    assert (_ts("2024-01-01 00:00:00"), 111.0) in vs
+    # and the state survives a restart identically (compaction path)
+    e2 = TemporalEnrich(
+        spark, ["k"], "ts", "vts", ["price"],
+        retain="2 DAYS", prune_every=1, state_dir=sd,
+    )
+    vs2 = {(r.v, r.p) for r in e2.current_versions().select(
+        F.col("__vts").alias("v"), F.col("price").alias("p")).collect()}
+    assert vs2 == vs
