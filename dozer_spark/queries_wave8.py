@@ -38,6 +38,7 @@ from dozer_spark.queries import _q, _cat
                 WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
     FROM w3 GROUP BY user_id
     """,
+    headline=True,
 )
 def funnel_signup_click_purchase(spark, sf):
     """Ordered funnel per user: first signup, first click AT-OR-AFTER
