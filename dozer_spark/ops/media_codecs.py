@@ -94,10 +94,11 @@ def wav_info(b: bytes) -> dict | None:
         cid = b[i:i + 4]
         size = struct.unpack("<I", b[i + 4:i + 8])[0]
         if cid == b"fmt " and i + 8 + 16 <= n:
-            _, channels, rate, _, _, bits = struct.unpack(
+            audio_format, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", b[i + 8:i + 24]
             )
-            fmt = {"channels": channels, "sample_rate": rate, "bits": bits}
+            fmt = {"format": audio_format, "channels": channels,
+                   "sample_rate": rate, "bits": bits}
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -208,7 +209,10 @@ def wav_pcm_samples(b: bytes):
     import numpy as np
 
     info = wav_info(b) if b else None
-    if not info or info.get("bits") != 16:
+    # format 1 = uncompressed integer PCM; anything else (ADPCM, float,
+    # mu-law, extensible) would frombuffer compressed/other-typed bytes
+    # as int16 garbage — those stay behind the decode stub
+    if not info or info.get("bits") != 16 or info.get("format") != 1:
         return None
     i, n = 12, len(b)
     while i + 8 <= n:

@@ -175,8 +175,12 @@ def pivot_priority_by_year(spark, sf):
         .pivot("o_orderpriority", pri)
         .agg(F.count(F.lit(1)).cast("long"))
     )
+    # an empty (year, priority) cell pivots to NULL; COUNT semantics
+    # (and the oracle's FILTER form) say 0
     return out.select(
-        "order_year", *[F.col(f"`{p}`").alias(alias[p]) for p in pri]
+        "order_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0).cast("long")).alias(alias[p])
+          for p in pri],
     )
 
 

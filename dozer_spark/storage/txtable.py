@@ -231,6 +231,13 @@ class TransactionalTable:
             raise ValueError(
                 f"version {version} out of range [0, {self.version}]"
             )
+        if self.version == 0:
+            # never merged: no schema exists, so even the v0 "empty
+            # frame" contract cannot be typed — fail with the real cause
+            raise ValueError(
+                "time travel needs at least one committed version "
+                "(the table has no schema yet)"
+            )
         if version == self.version:
             return self.read()
         cd = os.path.join(self.path, "changes")

@@ -133,11 +133,12 @@ class TemporalEnrich:
                 .orderBy(F.desc(F.when(old, F.col("__vts"))))
             ),
         )
-        # rank 1 among the old versions survives; every other old row goes
-        return (
-            ranked.filter(~old | (F.col("__old_rn") == 1))
-            .drop("__old_rn")
-        )
+        # rank 1 among the old versions survives — UNLESS it is a
+        # tombstone: matching a tombstone and matching nothing both
+        # yield NULL payload once every earlier version is gone, so
+        # keeping it would leak one state row per ever-deleted key
+        keep_boundary = (F.col("__old_rn") == 1) & ~F.col("__tomb")
+        return ranked.filter(~old | keep_boundary).drop("__old_rn")
 
     # -- per-batch processing ------------------------------------------------
 
@@ -212,9 +213,7 @@ class TemporalEnrich:
         out = None
         if facts is not None and self._versions is not None:
             out = asof_join(
-                facts,
-                self._versions.drop("__del") if "__del" in
-                self._versions.columns else self._versions,
+                facts, self._versions,
                 self.keys, self.fact_ts, "__vts",
                 ["__tomb", *self.payload_cols],
             )
@@ -225,16 +224,14 @@ class TemporalEnrich:
                 for c in self.payload_cols
             ]
             out = out.select(*facts.columns, *nulled)
-            # advance the event-time watermark from the facts
-            mx = facts.agg(F.max(self.fact_ts)).first()[0]
-            if mx is not None and (self._watermark is None or mx > self._watermark):
-                self._watermark = mx
         elif facts is not None:
             # no versions yet: every fact is unmatched
             out = facts.select(
                 *facts.columns,
                 *[F.lit(None).alias(c) for c in self.payload_cols],
             )
+        if facts is not None:
+            # advance the event-time watermark from the facts
             mx = facts.agg(F.max(self.fact_ts)).first()[0]
             if mx is not None and (self._watermark is None or mx > self._watermark):
                 self._watermark = mx

@@ -163,3 +163,34 @@ def test_durable_prune_and_reupsert_same_epoch(spark, tmp_path):
     vs2 = {(r.v, r.p) for r in e2.current_versions().select(
         F.col("__vts").alias("v"), F.col("price").alias("p")).collect()}
     assert vs2 == vs
+
+
+def test_prune_drops_tombstone_boundary(spark):
+    # a deleted-and-never-recreated key must not leak a tombstone row
+    # past the horizon forever
+    e = TemporalEnrich(
+        spark, ["k"], "ts", "vts", ["price"], retain="2 DAYS", prune_every=1
+    )
+    e.process_batch(_dim(spark, [
+        ("I", 1, 1, 1, _ts("2024-01-01 00:00:00"), 100.0),
+        ("D", 2, 1, 1, _ts("2024-01-02 00:00:00"), 100.0),
+        ("I", 3, 1, 2, _ts("2024-01-02 00:00:00"), 50.0),
+    ]), None)
+    # watermark far past the horizon: key 1's tombstone (and its prior
+    # version) must vanish entirely; key 2's value boundary stays
+    out = e.process_batch(None, _facts(spark, [
+        (1, 1, _ts("2024-02-01 00:00:00")),
+        (2, 2, _ts("2024-02-01 00:00:00")),
+    ]))
+    e.process_batch(_dim(spark, [
+        ("I", 4, 1, 3, _ts("2024-02-01 00:00:00"), 1.0),
+    ]), None)  # triggers the prune
+    got = {r.fid: r.price for r in out.collect()}
+    assert got == {1: None, 2: 50.0}
+    ks = sorted(r.k for r in e.current_versions().select("k").collect())
+    assert ks == [2, 3]  # key 1 fully gone
+    # post-prune facts for the deleted key still (correctly) see NULL
+    out2 = e.process_batch(None, _facts(spark, [
+        (9, 1, _ts("2024-02-02 00:00:00")),
+    ]))
+    assert out2.first().price is None

@@ -252,3 +252,16 @@ def test_funnel_ordering_semantics(spark):
     }
     assert got[1] == (t(2), t(4), t(5))
     assert got[2] == (t(1), None, None)
+
+
+def test_wav_non_pcm_formats_stay_stubbed(spark):
+    import struct
+
+    from dozer_spark.ops.media_codecs import make_wav, wav_audio_features
+
+    b = bytearray(make_wav(8000, 4, waveform="sawtooth"))
+    # patch the fmt chunk's wFormatTag (offset 20) to 2 = MS ADPCM: the
+    # 16-bit check alone would decode compressed bytes as garbage PCM
+    assert b[12:16] == b"fmt "
+    b[20:22] = struct.pack("<H", 2)
+    assert wav_audio_features(bytes(b)) is None
