@@ -352,3 +352,34 @@ def cdc_temporal_enrich(spark, sf):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("fact_ts"),
         "price",
     )
+
+
+def _smh_oracle():
+    from dozer_spark.queries_ops import _minhash_oracle
+
+    return _minhash_oracle(0.9)
+
+
+@_q("cdc_streaming_minhash_dedup", _smh_oracle())
+def cdc_streaming_minhash_dedup(spark, sf):
+    """Incremental MinHash dedup under the oracle gate: the corpus
+    arrives in three batches (doc_id % 3); each batch is deduped
+    against everything before it plus itself, state advances, and the
+    UNION of all emitted pairs must equal the one-shot batch
+    minhash_lsh_pairs over the whole corpus — the oracle is literally
+    the batch oracle. Every unordered pair is emitted exactly once
+    (band keys are deterministic in the text), so a dropped, repeated,
+    or re-oriented pair in any batch mismatches the hash."""
+    from dozer_spark.streaming.dedup import StreamingMinHashDedup
+
+    d = _cat(spark, sf).df("documents")
+    smh = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9)
+    outs = []
+    for k in range(3):
+        outs.append(
+            smh.process_batch(d.filter(F.col("doc_id") % 3 == k))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -24,3 +24,188 @@ def streaming_exact_dedup(df: DataFrame, keys: list[str], ts_col: str,
     stream equivalent of a groupBy-digest dedup."""
     wm = df.withWatermark(ts_col, watermark)
     return wm.dropDuplicatesWithinWatermark(keys)
+
+
+class StreamingMinHashDedup:
+    """Incremental near-dup detection: each micro-batch of documents is
+    checked against the ENTIRE accumulated corpus without ever
+    recomputing old signatures — the production shape of corpus dedup
+    (ingest continuously, dedup on arrival).
+
+    State = the LSH band table (band, band_key, doc id, token-set size)
+    plus the per-doc 60-bit token-hash sets for exact-Jaccard
+    verification — both O(corpus) but tiny per doc (ints, not text),
+    and both delta-log DiffStateTables when durable (O(batch) epoch IO,
+    the shared crash contract). Per batch:
+
+    1. signatures for the NEW docs only (the one CPU-heavy scan);
+    2. new-vs-new pairs via the batch machinery (skew probe + hot-band
+       fragment split — a pathological batch is handled exactly like a
+       pathological corpus);
+    3. new-vs-old candidates via one equi-join of the batch's bands
+       against the state bands — the probe side is batch-sized, so
+       bucket skew is bounded by the batch, and AQE splits what's left;
+    4. exact verify on token-hash intersection, same as batch.
+
+    Every unordered pair is emitted EXACTLY once (when its later member
+    arrives, or in its members' shared batch): band keys are
+    deterministic functions of the text, so the union of all emitted
+    pairs equals the batch `minhash_lsh_pairs` over the full corpus —
+    which is the exact oracle the cdc_streaming_minhash_dedup query
+    replays.
+    """
+
+    def __init__(self, spark, text_col: str, id_col: str,
+                 threshold: float = 0.9, n_hashes: int | None = None,
+                 n_bands: int | None = None, state_dir: str | None = None,
+                 broadcast_gate_bytes: int | None = None):
+        from dozer_spark.ops.dedup import MINHASH_BANDS, MINHASH_HASHES
+
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.n_hashes = n_hashes or MINHASH_HASHES
+        self.n_bands = n_bands or MINHASH_BANDS
+        self.gate = broadcast_gate_bytes
+        self._bands = None  # (id, sz, band, band_key)
+        self._toks = None   # (id, toksh)
+        self._store = None
+        self._prev_caches: list = []
+        if state_dir is not None:
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(spark, state_dir)
+            self._bandtx = DiffStateTable(
+                spark, diff_state_path(state_dir, "bands"),
+                key_cols=["__bk"], internal_key=True,
+            )
+            self._tokstx = DiffStateTable(
+                spark, diff_state_path(state_dir, "toks"),
+                key_cols=[self.id_col],
+            )
+            if self._store.epoch > 0:
+                self._bands = self._bandtx.read_committed(
+                    self._store.load_meta("bands_txv"))
+                self._toks = self._tokstx.read_committed(
+                    self._store.load_meta("toks_txv"))
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Near-dup pairs (id_a, id_b, jaccard) newly discoverable with
+        this batch: within-batch pairs plus batch-vs-corpus pairs."""
+        from pyspark.sql import functions as F
+
+        from dozer_spark.operators.hints import maybe_broadcast
+        from dozer_spark.ops.dedup import (
+            _blocked_self_join_pairs,
+            minhash_signatures,
+        )
+        from dozer_spark.streaming.changelog import row_digest
+
+        for df in self._prev_caches:
+            df.unpersist()
+        self._prev_caches = []
+
+        sigs = minhash_signatures(
+            docs, self.text_col, self.id_col, self.n_hashes
+        ).drop("toks").persist()
+        rows_per_band = self.n_hashes // self.n_bands
+
+        def band_key(b: int):
+            cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)]
+            return F.substring(F.md5(F.concat_ws(":", *cols)), 1, 16)
+
+        bands_new = None
+        for b in range(self.n_bands):
+            one = sigs.select(
+                F.col(self.id_col), F.size("toksh").alias("sz"),
+                F.lit(b).alias("band"), band_key(b).alias("band_key"),
+            )
+            bands_new = one if bands_new is None else bands_new.unionByName(one)
+        bands_new = bands_new.persist()
+
+        size_ok = (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= F.lit(self.threshold)
+            * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+        )
+        # new-vs-new: the full batch machinery (skew probe + hot split)
+        cand = _blocked_self_join_pairs(
+            bands_new, ["band", "band_key"], self.id_col,
+            hot_cap=4096, broadcast_gate_bytes=self.gate,
+            extra_pred=size_ok,
+        )
+        # new-vs-old: batch bands probe the corpus bands; canonical
+        # (id_a < id_b) keeps the pair orientation identical to batch
+        # mode whichever side arrived first
+        if self._bands is not None:
+            a = bands_new.alias("a")
+            o = self._bands.alias("b")
+            no = (
+                a.join(o, ["band", "band_key"])
+                .filter(F.col(f"a.{self.id_col}") != F.col(f"b.{self.id_col}"))
+                .filter(size_ok)
+                .select(
+                    F.least(F.col(f"a.{self.id_col}"),
+                            F.col(f"b.{self.id_col}")).alias("id_a"),
+                    F.greatest(F.col(f"a.{self.id_col}"),
+                               F.col(f"b.{self.id_col}")).alias("id_b"),
+                )
+                .distinct()
+            )
+            cand = cand.unionByName(no).distinct()
+
+        toks_all = sigs.select(self.id_col, "toksh")
+        if self._toks is not None:
+            toks_all = toks_all.unionByName(self._toks)
+        side_a = toks_all.select(F.col(self.id_col).alias("id_a"),
+                                 F.col("toksh").alias("toks_a"))
+        side_b = toks_all.select(F.col(self.id_col).alias("id_b"),
+                                 F.col("toksh").alias("toks_b"))
+        pairs = (
+            cand.join(maybe_broadcast(side_a, self.gate), "id_a")
+            .join(maybe_broadcast(side_b, self.gate), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+            .localCheckpoint(eager=False)
+        )
+
+        # advance state
+        toks_new = sigs.select(self.id_col, "toksh")
+        if self._store is not None:
+            epoch = self._store.epoch + 1
+            bmeta = self._bandtx.advance(
+                bands_new.withColumn(
+                    "__bk",
+                    row_digest(["band", "band_key", self.id_col])
+                ).withColumn("__del", F.lit(False)),
+                epoch=epoch, app_id="smh_bands",
+            )
+            tmeta = self._tokstx.advance(
+                toks_new.withColumn("__del", F.lit(False)),
+                epoch=epoch, app_id="smh_toks",
+            )
+            self._store.stage_meta("bands_txv", bmeta)
+            self._store.stage_meta("toks_txv", tmeta)
+            self._bands = self._bandtx.read_live()
+            self._toks = self._tokstx.read_live()
+            self._store.commit()
+        else:
+            merged_b = (bands_new if self._bands is None
+                        else self._bands.unionByName(bands_new))
+            self._bands = merged_b.localCheckpoint(eager=True)
+            merged_t = (toks_new if self._toks is None
+                        else self._toks.unionByName(toks_new))
+            self._toks = merged_t.localCheckpoint(eager=True)
+        self._prev_caches = [sigs, bands_new]
+        return pairs

@@ -1,0 +1,61 @@
+"""Incremental MinHash dedup: batch-vs-corpus pairs, exactly-once
+emission, equality with the one-shot batch pair set, durable resume."""
+
+from __future__ import annotations
+
+from dozer_spark.ops.dedup import minhash_lsh_pairs
+from dozer_spark.streaming.dedup import StreamingMinHashDedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    (5, "totally unrelated text with unique words here"),
+    (6, "the quick brown fox jumps over the lazy dog today"),
+]
+
+
+def _pairs(df):
+    return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+
+def test_streamed_pairs_equal_batch_pairs(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    want = _pairs(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7))
+    assert want, "fixture must produce at least one pair"
+
+    smh = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.7)
+    got = []
+    for k in (0, 1, 2):
+        out = smh.process_batch(
+            docs.filter((docs.doc_id % 3) == k)
+        )
+        got.extend(_pairs(out))
+    assert sorted(got) == want
+    # exactly-once: no pair may appear twice across batches
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_cross_batch_pair_found_on_later_arrival(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    smh = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9)
+    first = smh.process_batch(docs.filter(docs.doc_id == 1))
+    assert first.count() == 0
+    second = smh.process_batch(docs.filter(docs.doc_id == 4))
+    p = _pairs(second)
+    assert p and p[0][:2] == (1, 4) and p[0][2] == 1.0
+
+
+def test_durable_resume_continues_dedup(spark, tmp_path):
+    sd = str(tmp_path / "smh")
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    s1 = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9,
+                               state_dir=sd)
+    s1.process_batch(docs.filter(docs.doc_id == 1))
+    # crash: new instance resumes from the committed band/token state
+    s2 = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9,
+                               state_dir=sd)
+    out = s2.process_batch(docs.filter(docs.doc_id == 4))
+    p = _pairs(out)
+    assert p and p[0][:2] == (1, 4)
