@@ -20,6 +20,20 @@ Our config schema (YAML or dict):
       per_cust: {path: /out/per_cust, format: parquet}
       frequent: {path: /out/frequent, format: parquet, partition_by: [n]}
 
+An optional `ops:` stage (beyond the reference's SQL-only model) runs
+declarative corpus-pipeline steps before the SQL; each output registers
+as a table the SQL and sinks can reference:
+
+    ops:
+      clean:
+        op: pii_redact              # see _app_ops() for the registry
+        input: documents
+        args: {text_col: text}
+      shards:
+        op: token_shard_assignment
+        input: clean                # ops chain in declaration order
+        args: {id_col: doc_id, text_col: text, budget: 2000}
+
 Each statement's INTO output is registered as a table for later
 statements (mirroring the reference, where INTO names an endpoint other
 pipelines and sinks can reference) and written by its sink if one is
@@ -139,6 +153,26 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
 
     sinks = config.get("sinks") or {}
     result = AppResult()
+
+    # ops stage: declarative corpus-pipeline steps (beyond the
+    # reference's SQL-only app model — the ops/ layer exposed to the
+    # `dozer run` UX). Each entry registers its output as a table the
+    # SQL stage and sinks can reference; entries run in declaration
+    # order, so an op can consume an earlier op's output.
+    for name, spec in (config.get("ops") or {}).items():
+        fn = _APP_OPS.get(spec.get("op"))
+        if fn is None:
+            raise ValueError(
+                f"ops.{name}: unknown op {spec.get('op')!r} "
+                f"(available: {sorted(_APP_OPS)})"
+            )
+        out = fn(cat.df(spec["input"]), **(spec.get("args") or {}))
+        cat.register(name, out)
+        result.outputs[name] = out
+        if name in sinks:
+            result.written[name] = _run_sink(spark, cat, out, name,
+                                             sinks[name])
+
     statements = _split_statements(config.get("sql", ""))
     for i, stmt in enumerate(statements):
         df, into = statement_to_dataframe(spark, stmt, cat)
@@ -154,47 +188,102 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
         cat.register(into, df)
         result.outputs[into] = df
         if into in sinks:
-            sink = sinks[into]
-            if sink.get("format") == "transactional":
-                # MERGE-by-PK sink (storage/txtable.py): atomic versioned
-                # commits + change feed; pk required (the reference's
-                # sinks are PK-keyed too, record_store.rs)
-                from dozer_spark.storage import TransactionalTable
-
-                pk = sink.get("pk") or (cat.pk(into) if hasattr(cat, "pk") else None)
-                if not pk:
-                    raise ValueError(
-                        f"transactional sink {into!r} needs a pk: [...] entry"
-                    )
-                TransactionalTable(
-                    spark, sink["path"], pk=list(pk),
-                    n_buckets=int(sink.get("n_buckets", 16)),
-                ).merge(df)
-            elif sink.get("format") == "clickhouse":
-                # native HTTP sink (sinks_clickhouse.py): DDL from the
-                # output schema, executor-side JSONEachRow inserts — the
-                # reference's SinkConfig::Clickhouse path
-                from dozer_spark.sinks_clickhouse import ClickHouseHttpSink
-
-                ch = ClickHouseHttpSink(
-                    sink["endpoint"], sink.get("database", "default"),
-                    sink.get("table", into),
-                    user=sink.get("user", "default"),
-                    password=sink.get("password", ""),
-                    order_by=list(sink.get("order_by") or []),
-                )
-                ch.create_table(df.schema)
-                ch.write(df)
-            else:
-                write_table(
-                    df,
-                    sink["path"],
-                    fmt=sink.get("format", "parquet"),
-                    mode=sink.get("mode", "overwrite"),
-                    partition_by=sink.get("partition_by"),
-                )
-            result.written[into] = sink.get("path") or sink.get("endpoint", "")
+            result.written[into] = _run_sink(spark, cat, df, into,
+                                             sinks[into])
     unknown_sinks = set(sinks) - set(result.outputs)
     if unknown_sinks:
         raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")
     return result
+
+
+def _app_ops() -> dict:
+    """Name -> op callable (df, **args). Deliberately the high-level
+    table-in/table-out subset of ops/ — pair ops, samplers, packers,
+    cleaners; anything needing a second table or a predicate stays an
+    API call."""
+    from pyspark.sql import functions as F
+
+    from dozer_spark.ops.dedup import (
+        drop_duplicated_segments,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from dozer_spark.ops.packing import token_shard_assignment
+    from dozer_spark.ops.sampling import (
+        hash_sample,
+        quota_sample,
+        stratified_hash_sample,
+        temperature_sample,
+    )
+    from dozer_spark.ops.text import gopher_quality, redact_pii, top_ngrams
+
+    def gopher_filter(df, text_col, **kw):
+        return df.filter(gopher_quality(F.col(text_col))["passes"])
+
+    def pii_redact(df, text_col, token="[PII]"):
+        return df.withColumn(text_col, redact_pii(F.col(text_col), token))
+
+    return {
+        "exact_dedup": exact_dedup,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_pairs": simhash_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "drop_duplicated_segments": drop_duplicated_segments,
+        "token_shard_assignment": token_shard_assignment,
+        "hash_sample": hash_sample,
+        "stratified_hash_sample": stratified_hash_sample,
+        "quota_sample": quota_sample,
+        "temperature_sample": temperature_sample,
+        "top_ngrams": top_ngrams,
+        "gopher_filter": gopher_filter,
+        "pii_redact": pii_redact,
+    }
+
+
+_APP_OPS = _app_ops()
+
+
+def _run_sink(spark: SparkSession, cat: Catalog, df: DataFrame, into: str,
+              sink: dict) -> str:
+    """Write one named output to its declared sink; returns the target."""
+    if sink.get("format") == "transactional":
+        # MERGE-by-PK sink (storage/txtable.py): atomic versioned
+        # commits + change feed; pk required (the reference's
+        # sinks are PK-keyed too, record_store.rs)
+        from dozer_spark.storage import TransactionalTable
+
+        pk = sink.get("pk") or (cat.pk(into) if hasattr(cat, "pk") else None)
+        if not pk:
+            raise ValueError(
+                f"transactional sink {into!r} needs a pk: [...] entry"
+            )
+        TransactionalTable(
+            spark, sink["path"], pk=list(pk),
+            n_buckets=int(sink.get("n_buckets", 16)),
+        ).merge(df)
+    elif sink.get("format") == "clickhouse":
+        # native HTTP sink (sinks_clickhouse.py): DDL from the
+        # output schema, executor-side JSONEachRow inserts — the
+        # reference's SinkConfig::Clickhouse path
+        from dozer_spark.sinks_clickhouse import ClickHouseHttpSink
+
+        ch = ClickHouseHttpSink(
+            sink["endpoint"], sink.get("database", "default"),
+            sink.get("table", into),
+            user=sink.get("user", "default"),
+            password=sink.get("password", ""),
+            order_by=list(sink.get("order_by") or []),
+        )
+        ch.create_table(df.schema)
+        ch.write(df)
+    else:
+        write_table(
+            df,
+            sink["path"],
+            fmt=sink.get("format", "parquet"),
+            mode=sink.get("mode", "overwrite"),
+            partition_by=sink.get("partition_by"),
+        )
+    return sink.get("path") or sink.get("endpoint", "")

@@ -261,3 +261,45 @@ def test_run_app_kafka_debezium_spool_source(spark, tmp_path):
     }
     out = run_app(spark, config).outputs["__result__"]
     assert sorted((r.id, r.v) for r in out.collect()) == [(1, "a2"), (2, "b")]
+
+
+def test_app_ops_stage_chains_and_feeds_sql(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"call 555-867-5309 doc {i} " + "w " * (5 + i % 3), "en")
+         for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out_dir = str(tmp_path / "shards_out")
+    cfg = {
+        "sources": {"documents": {"path": src, "format": "parquet"}},
+        "ops": {
+            "clean": {"op": "pii_redact", "input": "documents",
+                      "args": {"text_col": "text"}},
+            "shards": {"op": "token_shard_assignment", "input": "clean",
+                       "args": {"id_col": "doc_id", "text_col": "text",
+                                "budget": 100}},
+        },
+        "sql": "SELECT shard_id, COUNT(*) AS n FROM shards "
+               "GROUP BY shard_id INTO per_shard;",
+        "sinks": {"shards": {"path": out_dir, "format": "parquet"}},
+    }
+    from dozer_spark.app import run_app
+
+    res = run_app(spark, cfg)
+    # the op output was redacted before packing
+    assert res.outputs["clean"].filter(
+        res.outputs["clean"].text.contains("555-867-5309")).count() == 0
+    # chained op output feeds the SQL stage
+    assert res.outputs["per_shard"].count() >= 2
+    # and its sink was written
+    assert spark.read.parquet(out_dir).count() == 40
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown op"):
+        run_app(spark, {
+            "sources": {"documents": {"path": src, "format": "parquet"}},
+            "ops": {"x": {"op": "nope", "input": "documents"}},
+            "sql": "SELECT 1 AS one;",
+        })
