@@ -383,3 +383,29 @@ def cdc_streaming_minhash_dedup(spark, sf):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _ssh_oracle():
+    from dozer_spark.queries_ops import _simhash_oracle
+
+    return _simhash_oracle()
+
+
+@_q("cdc_streaming_simhash_dedup", _ssh_oracle())
+def cdc_streaming_simhash_dedup(spark, sf):
+    """Incremental SimHash dedup under the oracle gate: three-batch
+    replay (doc_id % 3) whose emitted-pair union must equal the
+    one-shot batch simhash_pairs — the oracle is the batch oracle.
+    Signatures are deterministic in the text, so cross-batch pairs
+    collide in the same chunks whenever the later member arrives."""
+    from dozer_spark.streaming.dedup import StreamingSimHashDedup
+
+    d = _cat(spark, sf).df("documents")
+    ssh = StreamingSimHashDedup(spark, "text", "doc_id")
+    outs = []
+    for k in range(3):
+        outs.append(ssh.process_batch(d.filter(F.col("doc_id") % 3 == k)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -225,3 +225,41 @@ def cube_status_priority(spark, sf):
         F.grouping_id().cast("int").alias("gid"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n")
+
+
+@_q(
+    "agg_salted_skew_equivalence",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(l_linenumber) AS BIGINT) AS max_line
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_equivalence(spark, sf):
+    """Salted two-phase aggregation under the oracle gate: lineitem's
+    l_returnflag has only 3 values — exactly the hot-group shape that
+    sends one reducer the whole table. The salted plan computes
+    partials per (group, salt) and combines per group; the oracle is
+    the PLAIN one-phase SQL, so the hash check proves the salt
+    decomposition is invisible in the result (sum->sum, count->sum,
+    max->max combine laws)."""
+    from dozer_spark.operators.skew import salted_aggregate
+
+    li = _cat(spark, sf).df("lineitem")
+    return salted_aggregate(
+        li.select("l_returnflag", "l_quantity", "l_linenumber"),
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("long")).alias("ps"),
+            F.count(F.lit(1)).alias("pc"),
+            F.max("l_linenumber").alias("pm"),
+        ],
+        final_aggs=[
+            F.sum("ps").cast("long").alias("sum_qty"),
+            F.sum("pc").cast("long").alias("n"),
+            F.max("pm").cast("long").alias("max_line"),
+        ],
+        salt=16,
+    )

@@ -209,3 +209,133 @@ class StreamingMinHashDedup:
             self._toks = merged_t.localCheckpoint(eager=True)
         self._prev_caches = [sigs, bands_new]
         return pairs
+
+
+class StreamingSimHashDedup:
+    """Incremental SimHash near-dup detection — the streaming face of
+    ops/dedup.simhash_pairs, same state-probe shape as
+    StreamingMinHashDedup but lighter: the signature IS the verifier
+    (hamming over two int64s), so the only state is the chunk table
+    (id, simhash, chunk, chunk_val) — a few ints per doc per chunk,
+    delta-log durable when state_dir is set.
+
+    Exactly-once pairs for the same reason as MinHash: signatures are
+    deterministic in the text, a pair collides in the same chunks
+    whenever both members exist, and new-vs-old only pairs a new doc
+    with strictly-older state. The union of all emitted pairs equals
+    the one-shot batch simhash_pairs — the exact oracle
+    cdc_streaming_simhash_dedup replays.
+    """
+
+    def __init__(self, spark, text_col: str, id_col: str,
+                 max_hamming: int = 3, n_bits: int = 32,
+                 state_dir: str | None = None,
+                 broadcast_gate_bytes: int | None = None):
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.n_bits = n_bits
+        self.gate = broadcast_gate_bytes
+        self._chunks = None  # (id, simhash, chunk, chunk_val)
+        self._store = None
+        self._prev_caches: list = []
+        if state_dir is not None:
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(spark, state_dir)
+            self._chunktx = DiffStateTable(
+                spark, diff_state_path(state_dir, "chunks"),
+                key_cols=["__ck"], internal_key=True,
+            )
+            if self._store.epoch > 0:
+                self._chunks = self._chunktx.read_committed(
+                    self._store.load_meta("chunks_txv"))
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Pairs (id_a, id_b, hamming) newly discoverable this batch."""
+        from pyspark.sql import functions as F
+
+        from dozer_spark.ops.dedup import (
+            _blocked_self_join_pairs,
+            simhash,
+        )
+        from dozer_spark.streaming.changelog import row_digest
+
+        for df in self._prev_caches:
+            df.unpersist()
+        self._prev_caches = []
+
+        sigs = simhash(docs, self.text_col, self.id_col, self.n_bits).persist()
+        n_chunks = self.max_hamming + 1
+        chunk_bits = self.n_bits // n_chunks
+        chunks_new = None
+        for ci in range(n_chunks):
+            c = sigs.select(
+                F.col(self.id_col), F.col("simhash"),
+                F.lit(ci).alias("chunk"),
+                F.shiftright(F.col("simhash"), ci * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            chunks_new = c if chunks_new is None else chunks_new.unionByName(c)
+        chunks_new = chunks_new.persist()
+
+        cand = _blocked_self_join_pairs(
+            chunks_new, ["chunk", "chunk_val"], self.id_col,
+            hot_cap=4096, broadcast_gate_bytes=self.gate,
+            carry=(("sig_a", "sig_b", "simhash"),),
+        )
+        if self._chunks is not None:
+            a = chunks_new.alias("a")
+            o = self._chunks.alias("b")
+            aid, bid = F.col(f"a.{self.id_col}"), F.col(f"b.{self.id_col}")
+            # canonical orientation: sig_a belongs to the smaller id,
+            # whichever side it arrived on
+            no = (
+                a.join(o, ["chunk", "chunk_val"])
+                .filter(aid != bid)
+                .select(
+                    F.least(aid, bid).alias("id_a"),
+                    F.greatest(aid, bid).alias("id_b"),
+                    F.when(aid < bid, F.col("a.simhash"))
+                    .otherwise(F.col("b.simhash")).alias("sig_a"),
+                    F.when(aid < bid, F.col("b.simhash"))
+                    .otherwise(F.col("a.simhash")).alias("sig_b"),
+                )
+                .distinct()
+            )
+            cand = cand.unionByName(no).distinct()
+
+        pairs = (
+            cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                .cast("long"),
+            )
+            .filter(F.col("hamming") <= self.max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .localCheckpoint(eager=False)
+        )
+
+        if self._store is not None:
+            epoch = self._store.epoch + 1
+            meta = self._chunktx.advance(
+                chunks_new.withColumn(
+                    "__ck", row_digest(["chunk", "chunk_val", self.id_col])
+                ).withColumn("__del", F.lit(False)),
+                epoch=epoch, app_id="ssh_chunks",
+            )
+            self._store.stage_meta("chunks_txv", meta)
+            self._chunks = self._chunktx.read_live()
+            self._store.commit()
+        else:
+            merged = (chunks_new if self._chunks is None
+                      else self._chunks.unionByName(chunks_new))
+            self._chunks = merged.localCheckpoint(eager=True)
+        self._prev_caches = [sigs, chunks_new]
+        return pairs

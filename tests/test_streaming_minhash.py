@@ -59,3 +59,36 @@ def test_durable_resume_continues_dedup(spark, tmp_path):
     out = s2.process_batch(docs.filter(docs.doc_id == 4))
     p = _pairs(out)
     assert p and p[0][:2] == (1, 4)
+
+
+def test_streamed_simhash_equals_batch(spark):
+    from dozer_spark.ops.dedup import simhash_pairs
+    from dozer_spark.streaming.dedup import StreamingSimHashDedup
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    want = sorted((r.id_a, r.id_b, r.hamming) for r in
+                  simhash_pairs(docs, "text", "doc_id").collect())
+    assert want, "fixture must produce at least one simhash pair"
+    ssh = StreamingSimHashDedup(spark, "text", "doc_id")
+    got = []
+    for k in (0, 1, 2):
+        got.extend(
+            (r.id_a, r.id_b, r.hamming)
+            for r in ssh.process_batch(
+                docs.filter((docs.doc_id % 3) == k)).collect()
+        )
+    assert sorted(got) == want
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_simhash_durable_resume(spark, tmp_path):
+    from dozer_spark.streaming.dedup import StreamingSimHashDedup
+
+    sd = str(tmp_path / "ssh")
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    s1 = StreamingSimHashDedup(spark, "text", "doc_id", state_dir=sd)
+    assert s1.process_batch(docs.filter(docs.doc_id == 1)).count() == 0
+    s2 = StreamingSimHashDedup(spark, "text", "doc_id", state_dir=sd)
+    out = [(r.id_a, r.id_b, r.hamming) for r in
+           s2.process_batch(docs.filter(docs.doc_id == 4)).collect()]
+    assert out and out[0][:2] == (1, 4) and out[0][2] == 0
