@@ -302,3 +302,102 @@ def lsh_ann_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+class StreamingAnnIndex:
+    """Incrementally maintained LSH ANN index: vector batches append to
+    a bucketed corpus state (one bucket computation per NEW vector,
+    never recomputing old ones); query batches probe only their bucket
+    — the streaming-ingest face of lsh_ann_topk.
+
+    State = (neighbor_id, cv, bucket): one row per vector, delta-log
+    DiffStateTable when durable (O(batch) epoch IO, shared crash
+    contract). The bucket assignment is a deterministic function of the
+    vector (md5-derived hyperplanes), so an index built across ANY
+    batch partitioning serves identical results to the one-shot batch
+    build — which is the exact oracle cdc_streaming_ann_index replays.
+    """
+
+    def __init__(self, spark, vec_col: str, id_col: str,
+                 n_planes: int = 8, dim: int = 64,
+                 state_dir: str | None = None):
+        self.spark = spark
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.n_planes = n_planes
+        self.dim = dim
+        self._corpus = None  # (neighbor_id, cv, bucket)
+        self._store = None
+        if state_dir is not None:
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(spark, state_dir)
+            self._tx = DiffStateTable(
+                spark, diff_state_path(state_dir, "ann"),
+                key_cols=["neighbor_id"],
+            )
+            if self._store.epoch > 0:
+                self._corpus = self._tx.read_committed(
+                    self._store.load_meta("ann_txv"))
+
+    def add_batch(self, vectors: DataFrame) -> None:
+        """Index a batch of new vectors (upsert by id: a re-sent vector
+        replaces its old image — its bucket moves with it)."""
+        planes = _hyperplanes(self.n_planes, self.dim)
+        rows = vectors.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("cv"),
+            lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+        )
+        if self._store is not None:
+            meta = self._tx.advance(
+                rows.withColumn("__del", F.lit(False)),
+                epoch=self._store.epoch + 1, app_id="ann_idx",
+            )
+            self._store.stage_meta("ann_txv", meta)
+            self._corpus = self._tx.read_live()
+            self._store.commit()
+        else:
+            merged = (
+                rows if self._corpus is None
+                else self._corpus.join(
+                    rows.select("neighbor_id"), "neighbor_id", "left_anti"
+                ).unionByName(rows)
+            )
+            self._corpus = merged.localCheckpoint(eager=True)
+
+    def topk(self, queries: DataFrame, k: int = 5,
+             query_id_col: str | None = None) -> DataFrame:
+        """Top-k neighbors from the CURRENT index for each query vector
+        (same plan as the batch lsh_ann_topk probe: bounded query set
+        broadcast into the bucket join, per-query window top-k)."""
+        if self._corpus is None:
+            raise ValueError("index is empty — add_batch first")
+        planes = _hyperplanes(self.n_planes, self.dim)
+        qid = query_id_col or self.id_col
+        q = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(self.vec_col).alias("qv"),
+            lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+        )
+        scored = (
+            self._corpus.join(F.broadcast(q), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )

@@ -409,3 +409,28 @@ def cdc_streaming_simhash_dedup(spark, sf):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _ann_oracle():
+    from dozer_spark.queries_ops import _lsh_ann_oracle
+
+    return _lsh_ann_oracle()
+
+
+@_q("cdc_streaming_ann_index", _ann_oracle())
+def cdc_streaming_ann_index(spark, sf):
+    """Incrementally built ANN index under the oracle gate: the
+    embedding corpus arrives in three batches (vec_id % 3), the index
+    state advances per batch, and the SAME query set as the one-shot
+    ann_lsh_topk entry probes the final index — bucket assignment is
+    deterministic in the vector, so the results (and the oracle) are
+    IDENTICAL to the batch build."""
+    from dozer_spark.ops.similarity import StreamingAnnIndex
+
+    e = _cat(spark, sf).df("embeddings")
+    idx = StreamingAnnIndex(spark, "embedding", "vec_id",
+                            n_planes=8, dim=64)
+    for k in range(3):
+        idx.add_batch(e.filter(F.col("vec_id") % 3 == k))
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return idx.topk(q, k=5)

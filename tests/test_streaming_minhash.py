@@ -92,3 +92,33 @@ def test_simhash_durable_resume(spark, tmp_path):
     out = [(r.id_a, r.id_b, r.hamming) for r in
            s2.process_batch(docs.filter(docs.doc_id == 4)).collect()]
     assert out and out[0][:2] == (1, 4) and out[0][2] == 0
+
+
+def test_streaming_ann_index_equals_batch_and_resumes(spark, tmp_path):
+    import random
+
+    from dozer_spark.ops.similarity import StreamingAnnIndex, lsh_ann_topk
+
+    rnd = random.Random(5)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(df.vec_id % 20 == 0)
+    want = sorted(map(tuple, lsh_ann_topk(
+        df, q, "embedding", "vec_id", k=3, n_planes=4, dim=16).collect()))
+
+    sd = str(tmp_path / "ann_idx")
+    idx = StreamingAnnIndex(spark, "embedding", "vec_id",
+                            n_planes=4, dim=16, state_dir=sd)
+    idx.add_batch(df.filter(df.vec_id % 2 == 0))
+    # crash: a fresh instance resumes the committed index
+    idx2 = StreamingAnnIndex(spark, "embedding", "vec_id",
+                             n_planes=4, dim=16, state_dir=sd)
+    idx2.add_batch(df.filter(df.vec_id % 2 == 1))
+    got = sorted(map(tuple, idx2.topk(q, k=3).collect()))
+    assert got == want
+    # upsert semantics: re-adding a vector with new values moves it
+    moved = spark.createDataFrame(
+        [(0, [1.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    idx2.add_batch(moved)
+    assert idx2._corpus.filter("neighbor_id = 0").count() == 1
