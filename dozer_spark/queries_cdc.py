@@ -434,3 +434,33 @@ def cdc_streaming_ann_index(spark, sf):
         idx.add_batch(e.filter(F.col("vec_id") % 3 == k))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return idx.topk(q, k=5)
+
+
+def _cc_oracle():
+    from dozer_spark.queries_ops import _clusters_oracle
+
+    return _clusters_oracle()
+
+
+@_q("cdc_streaming_dedup_clusters", _cc_oracle())
+def cdc_streaming_dedup_clusters(spark, sf):
+    """TWO streaming operators composed under one exact oracle: the
+    corpus arrives in three batches, StreamingMinHashDedup emits each
+    batch's newly-discoverable near-dup pairs, and StreamingClusters
+    folds them into incrementally-maintained connected components
+    (only affected components recompute, prior connectivity contracted
+    to star edges). The final label table must equal the one-shot
+    batch pipeline — minhash_lsh_pairs -> dedup_clusters — whose
+    recursive-CTE oracle this query reuses."""
+    from dozer_spark.streaming.dedup import (
+        StreamingClusters,
+        StreamingMinHashDedup,
+    )
+
+    d = _cat(spark, sf).df("documents")
+    smh = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9)
+    cc = StreamingClusters(spark)
+    for k in range(3):
+        pairs = smh.process_batch(d.filter(F.col("doc_id") % 3 == k))
+        cc.process_batch(pairs)
+    return cc.current().select("id", "cluster_id")

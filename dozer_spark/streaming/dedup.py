@@ -339,3 +339,112 @@ class StreamingSimHashDedup:
             self._chunks = merged.localCheckpoint(eager=True)
         self._prev_caches = [sigs, chunks_new]
         return pairs
+
+
+class StreamingClusters:
+    """Incrementally maintained connected components over a stream of
+    near-dup pairs — the keep-one-per-cluster step running continuously
+    (the downstream consumer of StreamingMinHashDedup /
+    StreamingSimHashDedup output).
+
+    State = the label table (id, cluster_id), PK-keyed delta-log when
+    durable. Per batch of new edges, only the AFFECTED components are
+    recomputed:
+
+    1. affected labels = labels of the new edges' endpoints;
+    2. the members of those components are pulled from state and
+       contracted to STAR edges (member — cluster_id): the cluster id
+       is the component's min id, hence itself a member, so the star
+       exactly preserves prior intra-component connectivity without
+       storing any historical edges;
+    3. min-label propagation runs over new edges + star edges — a
+       subgraph bounded by the touched components, not the corpus;
+    4. the resulting labels upsert into state (O(affected) epoch IO).
+
+    Labels converge to the min id of each component across all batches,
+    so the final state equals the one-shot batch connected components
+    over the union of all edges — the exact (recursive-CTE) oracle
+    cdc_streaming_dedup_clusters replays.
+    """
+
+    def __init__(self, spark, state_dir: str | None = None):
+        self.spark = spark
+        self._labels = None  # (id, cluster_id)
+        self._store = None
+        if state_dir is not None:
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(spark, state_dir)
+            self._tx = DiffStateTable(
+                spark, diff_state_path(state_dir, "labels"),
+                key_cols=["id"],
+            )
+            if self._store.epoch > 0:
+                self._labels = self._tx.read_committed(
+                    self._store.load_meta("labels_txv"))
+
+    def process_batch(self, pairs: DataFrame,
+                      id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+        """Consume a batch of undirected near-dup pairs; returns the
+        updated labels of every node in an affected component."""
+        from pyspark.sql import functions as F
+
+        from dozer_spark.operators.hints import maybe_broadcast
+        from dozer_spark.ops.dedup import dedup_clusters
+
+        new_edges = pairs.select(
+            F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+        ).distinct().localCheckpoint(eager=True)
+
+        sub_edges = new_edges
+        if self._labels is not None:
+            touched = (
+                new_edges.select(F.col("id_a").alias("id"))
+                .unionByName(new_edges.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            # labels of the touched nodes -> every member of those
+            # components (the affected-label set is batch-bounded, so
+            # the membership probe is a gated-broadcast semi-join)
+            aff_labels = (
+                self._labels.join(maybe_broadcast(touched), "id")
+                .select("cluster_id").distinct()
+            )
+            members = self._labels.join(
+                maybe_broadcast(aff_labels), "cluster_id"
+            )
+            stars = members.filter(
+                F.col("id") != F.col("cluster_id")
+            ).select(
+                F.col("cluster_id").alias("id_a"), F.col("id").alias("id_b")
+            )
+            sub_edges = new_edges.unionByName(stars)
+
+        updated = dedup_clusters(sub_edges).localCheckpoint(eager=True)
+
+        if self._store is not None:
+            meta = self._tx.advance(
+                updated.withColumn("__del", F.lit(False)),
+                epoch=self._store.epoch + 1, app_id="cc_labels",
+            )
+            self._store.stage_meta("labels_txv", meta)
+            self._labels = self._tx.read_live()
+            self._store.commit()
+        else:
+            merged = (
+                updated if self._labels is None
+                else self._labels.join(
+                    updated.select("id"), "id", "left_anti"
+                ).unionByName(updated)
+            )
+            self._labels = merged.localCheckpoint(eager=True)
+        return updated
+
+    def current(self) -> DataFrame:
+        if self._labels is None:
+            raise ValueError("no batches processed yet")
+        return self._labels

@@ -122,3 +122,32 @@ def test_streaming_ann_index_equals_batch_and_resumes(spark, tmp_path):
     )
     idx2.add_batch(moved)
     assert idx2._corpus.filter("neighbor_id = 0").count() == 1
+
+
+def test_streaming_clusters_merge_and_resume(spark, tmp_path):
+    from dozer_spark.streaming.dedup import StreamingClusters
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    sd = str(tmp_path / "cc")
+    cc = StreamingClusters(spark, state_dir=sd)
+    # batch 1: two separate components {1,2} and {5,6}
+    cc.process_batch(pairs([(1, 2), (5, 6)]))
+    got = {r.id: r.cluster_id for r in cc.current().collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+    # batch 2: an edge MERGES the two components through non-minimal
+    # members — every member of both must relabel to the global min
+    cc.process_batch(pairs([(2, 6)]))
+    got = {r.id: r.cluster_id for r in cc.current().collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+    # crash/resume: a new instance continues from the committed labels
+    cc2 = StreamingClusters(spark, state_dir=sd)
+    # batch 3: attach a new smaller id -> the whole component relabels
+    cc2.process_batch(pairs([(0, 5)]))
+    got = {r.id: r.cluster_id for r in cc2.current().collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0}
+    # untouched components stay untouched
+    cc2.process_batch(pairs([(100, 101)]))
+    got = {r.id: r.cluster_id for r in cc2.current().collect()}
+    assert got[1] == 0 and got[100] == 100 and got[101] == 100
