@@ -297,3 +297,59 @@ def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+def window_duplication_score(docs, text_col: str, id_col: str,
+                             window: int = 20):
+    """Substring-level duplication signal: for each document, the
+    fraction of its token WINDOWS (md5 rolling fingerprints of `window`
+    consecutive tokens) that also occur in at least one OTHER document
+    — the fixed-window approximation of suffix-array substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"), and the duplication metric of RefinedWeb-style
+    corpus reports. Detection-only by design: removal at window
+    granularity needs overlap reconciliation, which segment-level
+    dedup (drop_duplicated_segments) handles for line-shaped text.
+
+    100 TB design: same shape as the n-gram census — windows are
+    per-doc distinct-reduced before the explode, the cross-doc census
+    shuffles 32B digests with map-side combine, and the duplicated-
+    window set joins back under a size gate. Documents shorter than
+    `window` tokens score 0 over 0 windows (reported as 0.0).
+    """
+    from dozer_spark.operators.hints import (
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(window - 1))
+    wins = F.when(
+        F.size(t) >= window,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice(t, i, window), " "))
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = ensure_min_partitions(docs).select(
+        F.col(id_col), F.explode_outer(wins).alias("__w")
+    )
+    dup = (
+        base.filter(F.col("__w").isNotNull())
+        .groupBy("__w")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__w")
+    )
+    marked = base.join(
+        maybe_broadcast(dup.withColumn("__dup", F.lit(True))), "__w", "left"
+    )
+    n_wins = F.count(F.col("__w")).cast("long")
+    return marked.groupBy(id_col).agg(
+        n_wins.alias("n_windows"),
+        F.count("__dup").cast("long").alias("n_duplicated"),
+        (F.count("__dup").cast("double")
+         / F.greatest(n_wins, F.lit(1)).cast("double")).alias("dup_score"),
+    )

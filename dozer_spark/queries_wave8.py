@@ -263,3 +263,43 @@ def agg_salted_skew_equivalence(spark, sf):
         ],
         salt=16,
     )
+
+
+@_q(
+    "text_window_duplication_score",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 19, 0)),
+          i -> md5(array_to_string(list_slice(toks, i, i + 19), ' ')))) AS ws
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(ws) AS w FROM w
+    ), dup AS (
+      SELECT w FROM e GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+      CAST(len(w.ws) AS BIGINT) AS n_windows,
+      CAST(coalesce(d.n, 0) AS BIGINT) AS n_duplicated,
+      CAST(coalesce(d.n, 0) AS DOUBLE)
+        / greatest(len(w.ws), 1) AS dup_score
+    FROM w LEFT JOIN (
+      SELECT e.doc_id, COUNT(*) AS n
+      FROM e JOIN dup USING (w) GROUP BY e.doc_id
+    ) d USING (doc_id)
+    """,
+)
+def text_window_duplication_score(spark, sf):
+    """Per-document substring duplication score: fraction of 20-token
+    rolling windows shared with any other document (the fixed-window
+    approximation of suffix-array substring dedup; a standard corpus-
+    quality report metric). Same scale shape as the n-gram census:
+    per-doc distinct windows, 32B digests on the wire, map-side
+    combine, gated-broadcast duplicated set."""
+    from dozer_spark.ops.text import window_duplication_score
+
+    d = _cat(spark, sf).df("documents")
+    return window_duplication_score(d, "text", "doc_id", window=20)

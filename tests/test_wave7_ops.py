@@ -265,3 +265,26 @@ def test_wav_non_pcm_formats_stay_stubbed(spark):
     assert b[12:16] == b"fmt "
     b[20:22] = struct.pack("<H", 2)
     assert wav_audio_features(bytes(b)) is None
+
+
+def test_window_duplication_score(spark):
+    from dozer_spark.ops.text import window_duplication_score
+
+    shared = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two three four five"),
+            (2, shared + " other ending six seven eight nine ten"),
+            (3, "entirely distinct " + " ".join(f"x{i}" for i in range(30))),
+            (4, "short doc"),  # < window tokens -> 0 windows, score 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           window_duplication_score(df, "text", "doc_id", window=20).collect()}
+    # docs 1 and 2 share the windows fully inside the common 25-token
+    # prefix; doc 3 shares none; doc 4 has no windows at all
+    assert out[1].n_duplicated == 6 and out[2].n_duplicated == 6
+    assert 0 < out[1].dup_score < 1
+    assert out[3].n_duplicated == 0 and out[3].dup_score == 0.0
+    assert out[4].n_windows == 0 and out[4].dup_score == 0.0
