@@ -219,7 +219,7 @@ def _app_ops() -> dict:
     )
     from dozer_spark.ops.text import gopher_quality, redact_pii, top_ngrams
 
-    def gopher_filter(df, text_col, **kw):
+    def gopher_filter(df, text_col):
         return df.filter(gopher_quality(F.col(text_col))["passes"])
 
     def pii_redact(df, text_col, token="[PII]"):
@@ -242,7 +242,28 @@ def _app_ops() -> dict:
     }
 
 
-_APP_OPS = _app_ops()
+_APP_OPS_CACHE: dict | None = None
+
+
+class _LazyOps:
+    """Memoized view over _app_ops(): keeps the module's lazy-import
+    convention — the ops subtree loads only when a config actually has
+    an ops: stage."""
+
+    def _reg(self) -> dict:
+        global _APP_OPS_CACHE
+        if _APP_OPS_CACHE is None:
+            _APP_OPS_CACHE = _app_ops()
+        return _APP_OPS_CACHE
+
+    def get(self, name):
+        return self._reg().get(name)
+
+    def __iter__(self):
+        return iter(self._reg())
+
+
+_APP_OPS = _LazyOps()
 
 
 def _run_sink(spark: SparkSession, cat: Catalog, df: DataFrame, into: str,

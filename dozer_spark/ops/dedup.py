@@ -220,6 +220,65 @@ def _blocked_self_join_pairs(
     )
 
 
+def minhash_band_table(sigs: DataFrame, id_col: str,
+                       n_hashes: int = MINHASH_HASHES,
+                       n_bands: int = MINHASH_BANDS) -> DataFrame:
+    """Per-doc LSH band rows (id, sz, band, band_key) from a signature
+    table — SINGLE source of the band-key geometry (md5 of the band's
+    minhashes, truncated to 64 bits), shared by the batch pair join and
+    the streaming state so the two can never drift apart."""
+    rows_per_band = n_hashes // n_bands
+
+    def band_key(b: int) -> Column:
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.substring(F.md5(F.concat_ws(":", *cols)), 1, 16)
+
+    bands = None
+    for b in range(n_bands):
+        one = sigs.select(
+            F.col(id_col),
+            F.size("toksh").alias("sz"),
+            F.lit(b).alias("band"),
+            band_key(b).alias("band_key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    return bands
+
+
+def minhash_size_pred(threshold: float) -> Column:
+    """The size-ratio prefilter over join aliases a/b: jaccard <=
+    min(|A|,|B|)/max(|A|,|B|), so size-incompatible pairs can never
+    verify. Shared by batch and streaming joins."""
+    return (
+        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+        >= F.lit(threshold)
+        * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+    )
+
+
+def simhash_chunk_table(sigs: DataFrame, id_col: str, n_bits: int = 32,
+                        max_hamming: int = 3) -> DataFrame:
+    """Per-doc pigeonhole chunk rows (id, simhash, chunk, chunk_val) —
+    single source of the chunk geometry, shared batch/streaming."""
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    chunks = None
+    for ci in range(n_chunks):
+        c = sigs.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(ci).alias("chunk"),
+            F.shiftright(F.col("simhash"), ci * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("chunk_val"),
+        )
+        chunks = c if chunks is None else chunks.unionByName(c)
+    return chunks
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -252,7 +311,6 @@ def minhash_lsh_pairs(
     than the parallelism returns (measured 2.5x slower at sf0.1 with
     cap=512, where the hottest bucket is 2.3k rows ~ 0.5s of work).
     """
-    rows_per_band = n_hashes // n_bands
     # persist: the signature scan (16 md5 transforms per token) feeds both
     # the band branch and the verification branch — without this Catalyst
     # recomputes it twice. The string token arrays are dropped BEFORE the
@@ -262,23 +320,9 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n_hashes).drop("toks").persist()
 
     # per-doc band keys, truncated to 16 hex chars (64 bits — collision
-    # probability negligible at any corpus size, half the shuffle width)
-    def band_key(b: int) -> Column:
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        return F.substring(F.md5(F.concat_ws(":", *cols)), 1, 16)
-
-    bands = None
-    for b in range(n_bands):
-        one = sigs.select(
-            F.col(id_col),
-            F.size("toksh").alias("sz"),
-            F.lit(b).alias("band"),
-            band_key(b).alias("band_key"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
+    # probability negligible at any corpus size, half the shuffle width);
+    # geometry shared with the streaming operator (minhash_band_table)
+    bands = minhash_band_table(sigs, id_col, n_hashes, n_bands)
 
     # SIZE-RATIO prefilter inside the join: jaccard <= min(|A|,|B|) /
     # max(|A|,|B|), so pairs whose token-set sizes differ by more than
@@ -286,10 +330,7 @@ def minhash_lsh_pairs(
     # distinct and before their token arrays enter the verify join.
     # Sound (upper bound), no false negatives; prunes ~45% of raw band
     # collisions at threshold 0.9 on the sf0.1 corpus.
-    size_compatible = (
-        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
-        >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
-    )
+    size_compatible = minhash_size_pred(threshold)
 
     # SKEW PROBE + HOT-BAND FRAGMENT SPLIT (shared helper). The probe's
     # count also front-loads the signature materialization that every
@@ -410,19 +451,8 @@ def simhash_pairs(
     # sides of the self-join — without it the explode+groupBy recomputes
     # per branch
     sigs = simhash(df, text_col, id_col, n_bits).persist()
-    n_chunks = max_hamming + 1
-    chunk_bits = n_bits // n_chunks
-    chunks = None
-    for ci in range(n_chunks):
-        c = sigs.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(ci).alias("chunk"),
-            F.shiftright(F.col("simhash"), ci * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("chunk_val"),
-        )
-        chunks = c if chunks is None else chunks.unionByName(c)
+    # chunk geometry shared with the streaming operator
+    chunks = simhash_chunk_table(sigs, id_col, n_bits, max_hamming)
     cand = _blocked_self_join_pairs(
         chunks,
         ["chunk", "chunk_val"],

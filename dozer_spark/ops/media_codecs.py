@@ -97,6 +97,12 @@ def wav_info(b: bytes) -> dict | None:
             audio_format, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", b[i + 8:i + 24]
             )
+            # WAVE_FORMAT_EXTENSIBLE (0xFFFE, standard for >2 channels):
+            # the REAL format code is the first 2 bytes of the SubFormat
+            # GUID at fmt offset 24 — resolve it so extensible integer
+            # PCM decodes like plain PCM
+            if audio_format == 0xFFFE and size >= 40 and i + 8 + 26 <= n:
+                audio_format = struct.unpack("<H", b[i + 32:i + 34])[0]
             fmt = {"format": audio_format, "channels": channels,
                    "sample_rate": rate, "bits": bits}
         elif cid == b"data":

@@ -346,12 +346,27 @@ class StreamingAnnIndex:
 
     def add_batch(self, vectors: DataFrame) -> None:
         """Index a batch of new vectors (upsert by id: a re-sent vector
-        replaces its old image — its bucket moves with it)."""
+        replaces its old image — its bucket moves with it). Duplicate
+        ids WITHIN a batch reduce to one row deterministically (the
+        lexicographically-greatest vector digest wins) — otherwise topk
+        could return the same neighbor at two ranks."""
         planes = _hyperplanes(self.n_planes, self.dim)
-        rows = vectors.select(
-            F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("cv"),
-            lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+        vdigest = F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col(self.vec_col),
+                                 lambda x: x.cast("string"))
+            )
+        )
+        w = Window.partitionBy(self.id_col).orderBy(F.desc(vdigest))
+        rows = (
+            vectors.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .select(
+                F.col(self.id_col).alias("neighbor_id"),
+                F.col(self.vec_col).alias("cv"),
+                lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+            )
         )
         if self._store is not None:
             meta = self._tx.advance(

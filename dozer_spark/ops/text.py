@@ -318,6 +318,7 @@ def window_duplication_score(docs, text_col: str, id_col: str,
     `window` tokens score 0 over 0 windows (reported as 0.0).
     """
     from dozer_spark.operators.hints import (
+        cache_materialized,
         ensure_min_partitions,
         maybe_broadcast,
     )
@@ -333,8 +334,13 @@ def window_duplication_score(docs, text_col: str, id_col: str,
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = ensure_min_partitions(docs).select(
-        F.col(id_col), F.explode_outer(wins).alias("__w")
+    # base feeds both the census and the marked join — cache the slim
+    # (id, 32B digest) projection so the window fingerprinting (the
+    # dominant cost: ~size(t) md5s per doc) runs once, not twice
+    base = cache_materialized(
+        ensure_min_partitions(docs).select(
+            F.col(id_col), F.explode_outer(wins).alias("__w")
+        )
     )
     dup = (
         base.filter(F.col("__w").isNotNull())

@@ -106,34 +106,34 @@ class StreamingMinHashDedup:
         )
         from dozer_spark.streaming.changelog import row_digest
 
+        from dozer_spark.ops.dedup import (
+            minhash_band_table,
+            minhash_size_pred,
+        )
+
         for df in self._prev_caches:
             df.unpersist()
         self._prev_caches = []
 
+        # at-least-once sources re-deliver: a doc id already in state is
+        # SKIPPED (first write wins — ids are immutable doc identities),
+        # and within-batch duplicates reduce to one row, so the
+        # exactly-once pair contract holds under re-delivery too
+        docs = docs.dropDuplicates([self.id_col])
+        if self._toks is not None:
+            docs = docs.join(
+                self._toks.select(self.id_col), self.id_col, "left_anti"
+            )
+
         sigs = minhash_signatures(
             docs, self.text_col, self.id_col, self.n_hashes
         ).drop("toks").persist()
-        rows_per_band = self.n_hashes // self.n_bands
-
-        def band_key(b: int):
-            cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)]
-            return F.substring(F.md5(F.concat_ws(":", *cols)), 1, 16)
-
-        bands_new = None
-        for b in range(self.n_bands):
-            one = sigs.select(
-                F.col(self.id_col), F.size("toksh").alias("sz"),
-                F.lit(b).alias("band"), band_key(b).alias("band_key"),
-            )
-            bands_new = one if bands_new is None else bands_new.unionByName(one)
-        bands_new = bands_new.persist()
-
-        size_ok = (
-            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
-            >= F.lit(self.threshold)
-            * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
-        )
+        # band geometry + size prefilter are the BATCH code (shared
+        # helpers) — the streaming output can't drift from the oracle
+        bands_new = minhash_band_table(
+            sigs, self.id_col, self.n_hashes, self.n_bands
+        ).persist()
+        size_ok = minhash_size_pred(self.threshold)
         # new-vs-new: the full batch machinery (skew probe + hot split)
         cand = _blocked_self_join_pairs(
             bands_new, ["band", "band_key"], self.id_col,
@@ -156,8 +156,9 @@ class StreamingMinHashDedup:
                     F.greatest(F.col(f"a.{self.id_col}"),
                                F.col(f"b.{self.id_col}")).alias("id_b"),
                 )
-                .distinct()
             )
+            # one distinct over the union (an inner distinct on `no`
+            # would just add a second full shuffle)
             cand = cand.unionByName(no).distinct()
 
         toks_all = sigs.select(self.id_col, "toksh")
@@ -266,24 +267,26 @@ class StreamingSimHashDedup:
         )
         from dozer_spark.streaming.changelog import row_digest
 
+        from dozer_spark.ops.dedup import simhash_chunk_table
+
         for df in self._prev_caches:
             df.unpersist()
         self._prev_caches = []
 
-        sigs = simhash(docs, self.text_col, self.id_col, self.n_bits).persist()
-        n_chunks = self.max_hamming + 1
-        chunk_bits = self.n_bits // n_chunks
-        chunks_new = None
-        for ci in range(n_chunks):
-            c = sigs.select(
-                F.col(self.id_col), F.col("simhash"),
-                F.lit(ci).alias("chunk"),
-                F.shiftright(F.col("simhash"), ci * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("chunk_val"),
+        # re-delivery idempotence: skip ids already indexed (same
+        # contract as StreamingMinHashDedup)
+        docs = docs.dropDuplicates([self.id_col])
+        if self._chunks is not None:
+            docs = docs.join(
+                self._chunks.select(self.id_col).distinct(),
+                self.id_col, "left_anti",
             )
-            chunks_new = c if chunks_new is None else chunks_new.unionByName(c)
-        chunks_new = chunks_new.persist()
+
+        sigs = simhash(docs, self.text_col, self.id_col, self.n_bits).persist()
+        # chunk geometry is the batch code (shared helper)
+        chunks_new = simhash_chunk_table(
+            sigs, self.id_col, self.n_bits, self.max_hamming
+        ).persist()
 
         cand = _blocked_self_join_pairs(
             chunks_new, ["chunk", "chunk_val"], self.id_col,
@@ -307,8 +310,8 @@ class StreamingSimHashDedup:
                     F.when(aid < bid, F.col("b.simhash"))
                     .otherwise(F.col("a.simhash")).alias("sig_b"),
                 )
-                .distinct()
             )
+            # one distinct over the union (see StreamingMinHashDedup)
             cand = cand.unionByName(no).distinct()
 
         pairs = (

@@ -151,3 +151,40 @@ def test_streaming_clusters_merge_and_resume(spark, tmp_path):
     cc2.process_batch(pairs([(100, 101)]))
     got = {r.id: r.cluster_id for r in cc2.current().collect()}
     assert got[1] == 0 and got[100] == 100 and got[101] == 100
+
+
+def test_redelivered_docs_do_not_duplicate_pairs(spark):
+    from dozer_spark.streaming.dedup import (
+        StreamingMinHashDedup,
+        StreamingSimHashDedup,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    for cls in (StreamingMinHashDedup, StreamingSimHashDedup):
+        s = cls(spark, "text", "doc_id")
+        first = s.process_batch(docs).count()
+        assert first > 0
+        # at-least-once re-delivery of the WHOLE corpus: no new pairs,
+        # and the state holds one row set per doc (no multiplication)
+        assert s.process_batch(docs).count() == 0
+        # a batch containing the same doc twice reduces to one
+        dup_batch = docs.filter(docs.doc_id == 1).unionByName(
+            docs.filter(docs.doc_id == 1))
+        assert s.process_batch(dup_batch).count() == 0
+
+
+def test_ann_duplicate_ids_within_batch_reduce(spark):
+    from dozer_spark.ops.similarity import StreamingAnnIndex
+
+    idx = StreamingAnnIndex(spark, "embedding", "vec_id", n_planes=2, dim=4)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.add_batch(df)
+    assert idx._corpus.filter("neighbor_id = 1").count() == 1
+    q = spark.createDataFrame([(2, [0.9, 0.1, 0.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    ranks = [r.neighbor_id for r in idx.topk(q, k=3).collect()]
+    assert ranks.count(1) == 1  # no neighbor at two ranks

@@ -288,3 +288,35 @@ def test_window_duplication_score(spark):
     assert 0 < out[1].dup_score < 1
     assert out[3].n_duplicated == 0 and out[3].dup_score == 0.0
     assert out[4].n_windows == 0 and out[4].dup_score == 0.0
+
+
+def test_wav_extensible_pcm_decodes(spark):
+    import struct
+
+    from dozer_spark.ops.media_codecs import make_wav, wav_audio_features
+
+    plain = make_wav(8000, 4, channels=2, waveform="sawtooth")
+    want = wav_audio_features(plain)
+
+    # rebuild as WAVE_FORMAT_EXTENSIBLE: fmt chunk grows to 40 bytes
+    # (cbSize=22, validBits, channelMask, SubFormat GUID starting with
+    # the real format code 1 = PCM)
+    body = plain[12:]
+    assert body[:4] == b"fmt "
+    old_fmt = body[8:8 + 16]
+    data_part = body[8 + 16:]
+    guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    ext = struct.pack("<HHI", 22, 16, 0b11) + struct.pack("<H", 1) + guid_tail
+    new_fmt = (b"fmt " + struct.pack("<I", 40)
+               + b"\xfe\xff" + old_fmt[2:] + ext)
+    new_body = b"WAVE" + new_fmt + data_part
+    wav = b"RIFF" + struct.pack("<I", len(new_body) + 4) + new_body
+    got = wav_audio_features(wav)
+    assert got == want
+    # extensible with a NON-PCM subformat still stays stubbed
+    ext_bad = struct.pack("<HHI", 22, 16, 0b11) + struct.pack("<H", 2) + guid_tail
+    bad_fmt = (b"fmt " + struct.pack("<I", 40)
+               + b"\xfe\xff" + old_fmt[2:] + ext_bad)
+    bad_body = b"WAVE" + bad_fmt + data_part
+    bad = b"RIFF" + struct.pack("<I", len(bad_body) + 4) + bad_body
+    assert wav_audio_features(bad) is None
