@@ -18,6 +18,7 @@ from dozer_spark.ops.text import (
     redact_pii,
     gopher_quality,
     top_ngrams,
+    window_duplication_score,
 )
 from dozer_spark.ops.packing import token_shard_assignment
 from dozer_spark.ops.sampling import (
@@ -82,4 +83,5 @@ __all__ = [
     "top_ngrams",
     "drop_duplicated_segments",
     "extract_audio_features",
+    "window_duplication_score",
 ]

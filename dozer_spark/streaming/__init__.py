@@ -34,6 +34,13 @@ from dozer_spark.streaming.join import RetractingJoin
 from dozer_spark.streaming.setops import RetractingUnion
 from dozer_spark.streaming.native_join import stream_stream_join
 from dozer_spark.streaming.custom_state import KeyedAccumulator
+from dozer_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    StreamingMinHashDedup,
+    StreamingSimHashDedup,
+    StreamingClusters,
+)
+from dozer_spark.streaming.enrich import TemporalEnrich
 from dozer_spark.streaming.state import StateStore
 
 __all__ = [
@@ -51,5 +58,10 @@ __all__ = [
     "RetractingAggregation",
     "stream_stream_join",
     "KeyedAccumulator",
+    "streaming_exact_dedup",
+    "StreamingMinHashDedup",
+    "StreamingSimHashDedup",
+    "StreamingClusters",
+    "TemporalEnrich",
     "StateStore",
 ]
