@@ -732,3 +732,33 @@ def quota_mixture_sample(spark, sf):
     return quota_sample(
         d, "doc_id", "lang", {"en": 120, "es": 40}, default_quota=15
     ).select("lang", "doc_id")
+
+
+def _cross_corpus_oracle() -> str:
+    pairs = _minhash_oracle(0.9).strip()
+    return f"""
+    WITH allpairs AS (
+      {pairs}
+    )
+    SELECT id_a, id_b, jaccard FROM allpairs
+    WHERE NOT (id_a % 2 = 0 AND id_b % 2 = 0)
+    """
+
+
+@_q("dedup_cross_corpus", _cross_corpus_oracle())
+def dedup_cross_corpus(spark, sf):
+    """Cross-corpus dedup: check a NEW corpus (odd doc_ids — "this
+    week's crawl") against an EXISTING one (even doc_ids) plus itself,
+    WITHOUT re-pairing the existing corpus against itself — the
+    incremental-crawl shape of production dedup. Implemented by
+    seeding the streaming dedup state with the existing corpus
+    (discarding its internal pairs) and processing the new corpus as
+    one batch; the oracle is the full batch pair set minus
+    existing-internal pairs. Existing-side signatures are computed
+    once and never re-verified against each other."""
+    from dozer_spark.streaming.dedup import StreamingMinHashDedup
+
+    d = _cat(spark, sf).df("documents")
+    smh = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9)
+    smh.process_batch(d.filter(F.col("doc_id") % 2 == 0))  # seed: existing
+    return smh.process_batch(d.filter(F.col("doc_id") % 2 == 1))
