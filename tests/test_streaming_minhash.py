@@ -188,3 +188,47 @@ def test_ann_duplicate_ids_within_batch_reduce(spark):
                               "vec_id long, embedding array<float>")
     ranks = [r.neighbor_id for r in idx.topk(q, k=3).collect()]
     assert ranks.count(1) == 1  # no neighbor at two ranks
+
+
+def test_streaming_clusters_fuzz_vs_union_find(spark):
+    # randomized edge batches vs a pure-Python union-find reference:
+    # after every batch the full label table must equal the components
+    # of all edges seen so far (labels = component min id)
+    import random
+
+    from dozer_spark.streaming.dedup import StreamingClusters
+
+    rnd = random.Random(42)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    cc = StreamingClusters(spark)
+    for _ in range(4):
+        batch = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(12)]
+        batch = [(a, b) for a, b in batch if a != b]
+        for a, b in batch:
+            union(a, b)
+        cc.process_batch(
+            spark.createDataFrame(batch, "id_a long, id_b long")
+        )
+        got = {r.id: r.cluster_id for r in cc.current().collect()}
+        # reference: min id per component (roots are already minimal,
+        # but re-derive per node for safety)
+        comp: dict[int, int] = {}
+        for n in parent:
+            r = find(n)
+            comp[r] = min(comp.get(r, n), n)
+        want = {n: comp[find(n)] for n in parent}
+        assert got == want

@@ -194,3 +194,49 @@ def test_prune_drops_tombstone_boundary(spark):
         (9, 1, _ts("2024-02-02 00:00:00")),
     ]))
     assert out2.first().price is None
+
+
+def test_enrich_fuzz_vs_reference_model(spark):
+    # random multi-batch version histories + facts vs a brute-force
+    # Python point-in-time model (latest version at-or-before fact ts;
+    # tombstone -> None)
+    import random
+
+    rnd = random.Random(7)
+    base = _ts("2024-06-01 00:00:00")
+
+    def t(mins):
+        return base + dt.timedelta(minutes=mins)
+
+    e = TemporalEnrich(spark, ["k"], "ts", "vts", ["price"])
+    history: dict[tuple[int, dt.datetime], tuple[float | None, bool]] = {}
+    txid = 0
+    for _ in range(3):
+        batch = []
+        for _ in range(15):
+            txid += 1
+            k = rnd.randrange(4)
+            vts = t(rnd.randrange(500))
+            if rnd.random() < 0.25:
+                batch.append(("D", txid, 1, k, vts, None))
+                history[(k, vts)] = (None, True)
+            else:
+                price = float(rnd.randrange(1000))
+                batch.append(("I", txid, 1, k, vts, price))
+                history[(k, vts)] = (price, False)
+        e.process_batch(_dim(spark, batch), None)
+
+    facts = [(i, rnd.randrange(5), t(rnd.randrange(550)))
+             for i in range(60)]
+    out = e.process_batch(None, _facts(spark, facts))
+    got = {r.fid: r.price for r in out.collect()}
+
+    for fid, k, fts in facts:
+        versions = [(vts, pv) for (kk, vts), pv in history.items()
+                    if kk == k and vts <= fts]
+        if not versions:
+            want = None
+        else:
+            _, (price, tomb) = max((vts, pv) for vts, pv in versions)
+            want = None if tomb else price
+        assert got[fid] == want, (fid, k, fts, got[fid], want)
