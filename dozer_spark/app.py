@@ -166,7 +166,22 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
                 f"ops.{name}: unknown op {spec.get('op')!r} "
                 f"(available: {sorted(_APP_OPS)})"
             )
-        out = fn(cat.df(spec["input"]), **(spec.get("args") or {}))
+        if cat.has(name):
+            # an op output named like an existing source/op would
+            # silently shadow that table for the SQL stage
+            raise ValueError(
+                f"ops.{name}: name collides with an existing table — "
+                "rename the op entry or the source"
+            )
+        inp = spec.get("input")
+        if not inp:
+            raise ValueError(f"ops.{name}: missing required key 'input'")
+        if not cat.has(inp):
+            raise ValueError(
+                f"ops.{name}: unknown input table {inp!r} "
+                f"(known: {sorted(cat.names())})"
+            )
+        out = fn(cat.df(inp), **(spec.get("args") or {}))
         cat.register(name, out)
         result.outputs[name] = out
         if name in sinks:

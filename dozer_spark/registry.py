@@ -93,6 +93,12 @@ class Catalog:
             )
         return self.tables[name].df
 
+    def has(self, name: str) -> bool:
+        return name in self.tables
+
+    def names(self) -> list[str]:
+        return list(self.tables)
+
     def pk(self, name: str) -> list[str]:
         return self.tables[name].schema.primary_index
 

@@ -202,12 +202,18 @@ class StreamingMinHashDedup:
             self._toks = self._tokstx.read_live()
             self._store.commit()
         else:
-            merged_b = (bands_new if self._bands is None
-                        else self._bands.unionByName(bands_new))
-            self._bands = merged_b.localCheckpoint(eager=True)
-            merged_t = (toks_new if self._toks is None
-                        else self._toks.unionByName(toks_new))
-            self._toks = merged_t.localCheckpoint(eager=True)
+            # ephemeral state is append-only: checkpoint ONLY the new
+            # rows (O(batch) work) and extend the union lazily — the
+            # earlier checkpoints stay materialized. Plan depth grows
+            # with batch count, so ephemeral mode is for tests/oracle
+            # replays; long-running deployments use state_dir (delta-log
+            # tables, flat plans at any epoch).
+            b_ck = bands_new.localCheckpoint(eager=True)
+            self._bands = (b_ck if self._bands is None
+                           else self._bands.unionByName(b_ck))
+            t_ck = toks_new.localCheckpoint(eager=True)
+            self._toks = (t_ck if self._toks is None
+                          else self._toks.unionByName(t_ck))
         self._prev_caches = [sigs, bands_new]
         return pairs
 
@@ -337,9 +343,11 @@ class StreamingSimHashDedup:
             self._chunks = self._chunktx.read_live()
             self._store.commit()
         else:
-            merged = (chunks_new if self._chunks is None
-                      else self._chunks.unionByName(chunks_new))
-            self._chunks = merged.localCheckpoint(eager=True)
+            # append-only ephemeral state: checkpoint just the new rows,
+            # union lazily (see StreamingMinHashDedup)
+            c_ck = chunks_new.localCheckpoint(eager=True)
+            self._chunks = (c_ck if self._chunks is None
+                            else self._chunks.unionByName(c_ck))
         self._prev_caches = [sigs, chunks_new]
         return pairs
 

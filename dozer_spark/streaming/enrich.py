@@ -49,7 +49,16 @@ class TemporalEnrich:
     keys: join key columns (same names on both sides; the dimension's
     PK). fact_ts / dim_ts: event-time columns. payload_cols: dimension
     columns to attach. retain: SQL interval string for version
-    retention (None keeps all versions). state_dir: durable resume.
+    retention (None keeps all versions). lateness: extra SQL-interval
+    slack subtracted from the prune cutoff (Flink-watermark style) so
+    facts up to `lateness` behind the stream's max event time still
+    meet real versions; a fact later than retain+lateness gets
+    boundary-version semantics (the oldest retained image, or NULL).
+    payload_types: optional {payload_col: Spark DDL type} — when set,
+    a facts-before-any-dimension batch emits TYPED null payloads, so
+    the output schema is identical across that boundary (a parquet /
+    transactional sink or a cross-batch union never sees NullType).
+    state_dir: durable resume.
     """
 
     spark: SparkSession
@@ -58,6 +67,8 @@ class TemporalEnrich:
     dim_ts: str
     payload_cols: list[str]
     retain: str | None = None
+    lateness: str | None = None
+    payload_types: dict[str, str] | None = None
     prune_every: int = 8
     state_dir: str | None = None
 
@@ -125,6 +136,8 @@ class TemporalEnrich:
         at-or-before-cutoff version per key (still the valid image for
         any fact inside the horizon)."""
         cutoff = F.lit(self._watermark) - F.expr(f"INTERVAL {self.retain}")
+        if self.lateness is not None:
+            cutoff = cutoff - F.expr(f"INTERVAL {self.lateness}")
         old = F.col("__vts") < cutoff
         ranked = versions.withColumn(
             "__old_rn",
@@ -225,10 +238,20 @@ class TemporalEnrich:
             ]
             out = out.select(*facts.columns, *nulled)
         elif facts is not None:
-            # no versions yet: every fact is unmatched
+            # no versions yet: every fact is unmatched. With
+            # payload_types the NULLs are cast to the dimension's real
+            # types so this batch's schema equals every later matched
+            # batch's; without it they are NullType (void — unwritable
+            # to parquet) and the caller owns the schema alignment.
+            def _null(c):
+                lit = F.lit(None)
+                if self.payload_types and c in self.payload_types:
+                    lit = lit.cast(self.payload_types[c])
+                return lit.alias(c)
+
             out = facts.select(
                 *facts.columns,
-                *[F.lit(None).alias(c) for c in self.payload_cols],
+                *[_null(c) for c in self.payload_cols],
             )
         if facts is not None:
             # advance the event-time watermark from the facts
