@@ -6,8 +6,8 @@ Scale design (the whole point at 100 TB):
 - minhash: signatures are a single scan (no shuffle); LSH banding turns
   O(n^2) pair search into a shuffle on band keys + per-bucket self-join.
   Candidate verification (true Jaccard) only touches candidate pairs.
-- simhash: single scan to a 32-bit signature; near-dup = same-bucket
-  (prefix) join + hamming<=k filter.
+- simhash: single scan to a 60-bit signature (the Manku-standard
+  geometry); near-dup = same-chunk join + hamming<=k filter.
 - All hashing is md5-based so results are engine-deterministic and
   oracle-checkable in DuckDB (same md5, same lexicographic min).
 """
@@ -259,7 +259,7 @@ def minhash_size_pred(threshold: float) -> Column:
     )
 
 
-def simhash_chunk_table(sigs: DataFrame, id_col: str, n_bits: int = 32,
+def simhash_chunk_table(sigs: DataFrame, id_col: str, n_bits: int = 60,
                         max_hamming: int = 3) -> DataFrame:
     """Per-doc pigeonhole chunk rows (id, simhash, chunk, chunk_val) —
     single source of the chunk geometry, shared batch/streaming."""
@@ -391,7 +391,7 @@ def _md5_bits(c: Column, n_bits: int) -> Column:
     return F.conv(F.substring(F.md5(c), 1, n_hex), 16, 10).cast("long")
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> DataFrame:
     """SimHash signature: per-token md5 bit votes, sign -> bit.
 
     Implemented as explode + one groupBy(id) with n_bits conditional sums
@@ -428,7 +428,7 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    n_bits: int = 32,
+    n_bits: int = 60,
     hot_chunk_cap: int = 4096,
     broadcast_gate_bytes: int | None = None,
 ) -> DataFrame:
@@ -437,15 +437,19 @@ def simhash_pairs(
     Blocking: two docs within hamming<=k share at least one of k+1 equal
     signature chunks (pigeonhole) — join per chunk, then verify hamming.
 
-    The (chunk, chunk_val) key space is SMALL (k+1 chunks x 2^chunk_bits
-    values — 4x256 at the 32-bit default), so at corpus scale every
-    bucket holds ~n/256 docs and the plain self-join does ~n^2/256 pair
-    work in single join partitions. hot_chunk_cap routes buckets over
-    the cap through the same triangle-fragment split the MinHash band
-    join uses — identical pairs, bounded per-cell work (~cap^2). For
-    higher-entropy blocking, n_bits up to 60 widens chunk_bits (15-bit
-    chunks -> 32k buckets) at the cost of proportionally more vote
-    aggregation.
+    DEFAULT GEOMETRY is the published near-duplicate standard (Manku,
+    Jain, Sarma, WWW'07: 64-bit fingerprint, k=3 — here 60 bits, the
+    widest an md5-prefix BIGINT carries): 4 chunks x 15 bits = 32768
+    blocking buckets per chunk, so candidate volume is ~n^2/2^15 — a
+    128x reduction over the old 32-bit default's 4x256 buckets, which
+    funneled ~n^2/256 pair work through the join at corpus scale.
+    hot_chunk_cap additionally routes any bucket over the cap through
+    the triangle-fragment split the MinHash band join uses — identical
+    pairs, bounded per-cell work (~cap^2). Hamming thresholds are
+    RELATIVE to n_bits (each bit is a vote sign, so a given text
+    perturbation flips a constant FRACTION of bits): k=3 at 60 bits is
+    stricter than k=3 at 32 — scale max_hamming with n_bits if you
+    lower n_bits.
     """
     # persist: the signature table feeds n_chunks union branches AND both
     # sides of the self-join — without it the explode+groupBy recomputes

@@ -127,7 +127,7 @@ def dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
 
 
-def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(n_bits: int = 60, max_hamming: int = 3) -> str:
     votes = ",\n        ".join(
         f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(n_bits)
@@ -145,7 +145,7 @@ def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3) -> str:
       SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
       FROM documents
     ), hashed AS (
-      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, {(n_bits + 3) // 4})) AS BIGINT) AS h FROM tok
     ), votes AS (
       SELECT doc_id,
         {votes}
@@ -167,10 +167,12 @@ def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3) -> str:
 
 @_q("dedup_simhash", _simhash_oracle(), headline=True)
 def dedup_simhash(spark, sf):
-    """SimHash near-dup with pigeonhole chunk blocking; oracle replays the
-    same 32-bit md5 vote signature in SQL."""
+    """SimHash near-dup with pigeonhole chunk blocking at the default
+    Manku-standard geometry (60-bit signature, hamming<=3, 15-bit
+    chunks -> 32k blocking buckets); oracle replays the same md5 vote
+    signature in SQL."""
     d = _cat(spark, sf).df("documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=3, n_bits=32)
+    return simhash_pairs(d, "text", "doc_id")
 
 
 @_q(

@@ -235,7 +235,7 @@ class StreamingSimHashDedup:
     """
 
     def __init__(self, spark, text_col: str, id_col: str,
-                 max_hamming: int = 3, n_bits: int = 32,
+                 max_hamming: int = 3, n_bits: int = 60,
                  state_dir: str | None = None,
                  broadcast_gate_bytes: int | None = None):
         self.spark = spark

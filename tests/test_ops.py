@@ -47,7 +47,10 @@ def test_simhash_near_identical(spark):
         [(1, base), (2, base + " extra"), (3, "completely unrelated content entirely elsewhere")],
         ["id", "text"],
     )
-    pairs = simhash_pairs(df, "text", "id", max_hamming=6).collect()
+    # hamming thresholds are relative to n_bits: ~6/32 scales to ~11/60
+    # at the new default geometry (measured: the near-identical pair is
+    # at hamming 8, the unrelated ones at 29-33)
+    pairs = simhash_pairs(df, "text", "id", max_hamming=11).collect()
     got = {(p.id_a, p.id_b) for p in pairs}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
