@@ -44,6 +44,7 @@ from dozer_spark.ops.dedup import (
     simhash_pairs,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     drop_duplicated_segments,
 )
 from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
@@ -62,6 +63,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
     "cosine_sim",
     "brute_force_topk",
     "lsh_ann_topk",

@@ -591,17 +591,29 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force all-pairs).
 
-    Correctness baseline: O(n^2) crossJoin with the smaller side
-    broadcast when possible. The scale path is lsh_ann_topk in
-    similarity.py (bucketed); this exact variant is the oracle-checkable
-    reference.
+    Exact-recall baseline: O(n^2) self-join. That is the DESIGN — it is
+    the verification reference for embedding_neardup_pairs_lsh (the
+    scale path) and the only variant with recall 1.0 — and max_rows
+    ENFORCES the contract (same treatment as brute_force_topk_fast):
+    past the bound the call fails fast pointing at the LSH pipeline
+    instead of launching a 10^18-pair cartesian.
     """
     from dozer_spark.ops.similarity import cosine_sim
 
+    probed = df.limit(max_rows + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"corpus exceeds max_rows={max_rows}: embedding_neardup_pairs "
+            "is the O(n^2) exact-recall baseline; use "
+            "embedding_neardup_pairs_lsh (bucketed candidates + exact "
+            "cosine verify) at corpus scale, or raise max_rows "
+            "deliberately"
+        )
     v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -612,6 +624,87 @@ def embedding_neardup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    n_bands: int = 8,
+    band_bits: int | None = None,
+    dim: int = 64,
+    hot_bucket_cap: int = 4096,
+    broadcast_gate_bytes: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: banded random-hyperplane LSH
+    blocking + exact cosine verification — the minhash_lsh_pairs shape
+    for vectors, replacing the all-pairs cartesian.
+
+    Each vector gets n_bands bucket ids (band b = the sign bits of its
+    band_bits hyperplanes, planes md5-deterministic — the oracle replays
+    them as SQL literals); candidates are same-(band, bucket) pairs via
+    the shared hot-bucket triangle-fragment self-join, then EXACT cosine
+    filters them. Recall < 1 by construction (a pair missed by all
+    bands is never scored): P[pair found] = 1-(1-p^band_bits)^n_bands
+    with p = 1 - acos(cos)/pi, so high-cosine near-dups are found with
+    high probability and the band count tunes the knee.
+
+    band_bits=None derives the geometry from a corpus count: bucket
+    size ~16 (band_bits = log2(n/16), clamped [8, 26]), making expected
+    candidate volume ~8n per band — LINEAR in the corpus, vs n^2/2 for
+    the brute-force baseline. Pass band_bits explicitly for a
+    replayable oracle.
+    """
+    import math
+
+    from dozer_spark.ops.similarity import _dot, _hyperplanes, cosine_sim
+
+    if band_bits is None:
+        n = df.count()
+        band_bits = min(26, max(8, math.ceil(math.log2(max(n, 32) / 16))))
+    planes = _hyperplanes(n_bands * band_bits, dim)
+    v = ensure_min_partitions(df).select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    )
+    # all n_bands*band_bits sign bits in ONE projection (one scan, one
+    # explode) — no per-band union branches recomputing the dot folds
+    band_structs = []
+    for b in range(n_bands):
+        acc = F.lit(0).cast("long")
+        for i in range(band_bits):
+            w = F.array(*[F.lit(float(x)) for x in planes[b * band_bits + i]])
+            acc = acc + F.when(
+                _dot(F.col("__v"), w) >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), acc.alias("bucket"))
+        )
+    rows = cache_materialized(
+        v.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            F.col(id_col),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    cand = _blocked_self_join_pairs(
+        rows, ["band", "bucket"], id_col,
+        hot_cap=hot_bucket_cap, broadcast_gate_bytes=broadcast_gate_bytes,
+    )
+    # exact verify: re-attach vectors (one row per vector vs the larger
+    # candidate table — size-gated broadcast, shuffled join past the gate)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(maybe_broadcast(va, broadcast_gate_bytes), "id_a")
+        .join(maybe_broadcast(vb, broadcast_gate_bytes), "id_b")
+        .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
     )
 

@@ -200,33 +200,68 @@ def dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.35, n=4, prefix_chars=200)
 
 
-@_q(
-    "dedup_embedding_cosine",
+def _embedding_lsh_oracle(threshold: float = 0.45, n_bands: int = 8,
+                          band_bits: int = 8, dim: int = 64) -> str:
+    """EXACT oracle for the LSH-bucketed embedding near-dup: the
+    hyperplanes are deterministic md5 constants, inlined as one VALUES
+    table; bucket assignment + candidate join + exact cosine verify are
+    replayed in SQL (same pattern as _lsh_ann_oracle)."""
+    from dozer_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_bands * band_bits, dim)
+    vals = ",\n      ".join(
+        f"({p}, [{', '.join(repr(x) for x in row)}])"
+        for p, row in enumerate(planes)
+    )
+    cos = """
+        list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))))"""
+    return f"""
+    WITH planes(pid, w) AS (VALUES
+      {vals}
+    ), bits AS (
+      SELECT vec_id, pid,
+        CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+          i -> CAST(embedding[i] AS DOUBLE) * w[i])) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings CROSS JOIN planes
+    ), buckets AS (
+      SELECT vec_id, pid // {band_bits} AS band,
+             CAST(SUM(bit * (1 << (pid % {band_bits}))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, pid // {band_bits}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), verified AS (
+      SELECT id_a, id_b, {cos} AS cos_raw
+      FROM cand
+      JOIN embeddings va ON va.vec_id = cand.id_a
+      JOIN embeddings vb ON vb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+    FROM verified WHERE cos_raw >= {threshold}
     """
-    WITH v AS (SELECT vec_id, embedding FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(
-             list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(generate_series(1, 64),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-           , 6) AS cosine
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(generate_series(1, 64),
-            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-          >= 0.45
-    """,
-)
+
+
+@_q("dedup_embedding_cosine", _embedding_lsh_oracle(band_bits=5))
 def dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup (exact all-pairs baseline)."""
+    """Embedding-cosine near-dup via banded hyperplane-LSH candidates +
+    exact cosine verify — no cartesian at any scale (the all-pairs
+    baseline embedding_neardup_pairs remains the recall-1.0 reference,
+    gated behind a fail-fast row bound). band_bits pinned to 5 — the
+    auto-derive target (bucket size ~16) for this 500-vector corpus,
+    recall 12/14 vs the baseline at the 0.45 borderline — so the
+    md5-deterministic buckets replay exactly in the oracle."""
+    from dozer_spark.ops.dedup import embedding_neardup_pairs_lsh
+
     e = _cat(spark, sf).df("embeddings")
-    return embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.45)
+    return embedding_neardup_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.45, n_bands=8, band_bits=5
+    )
 
 
 # ---------------------------------------------------------------------------

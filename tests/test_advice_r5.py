@@ -155,3 +155,49 @@ def test_ephemeral_dedup_incremental_checkpoint_equivalence(spark):
                                        threshold=0.5).collect()]
     assert sorted(got) == sorted(want)
     assert len(got) == len(set(got))  # exactly-once
+
+
+def test_embedding_lsh_subset_of_bruteforce_with_good_recall(spark):
+    """Every LSH pair is a true pair (exact verify), and recall on the
+    deterministic fixture geometry is high."""
+    import math
+
+    from dozer_spark.ops.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    # deterministic clustered vectors: 3 groups of near-identical
+    # directions plus noise dims
+    rows = []
+    for i in range(60):
+        g = i % 3
+        base = [1.0 if d == g else 0.0 for d in range(8)]
+        base[(g + 3) % 8] = 0.05 * ((i * 7) % 5)  # slight jitter
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(
+        df, "embedding", "vec_id", threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(
+        df, "embedding", "vec_id", threshold=0.9,
+        n_bands=8, band_bits=4, dim=8).collect()}
+    assert lsh <= exact, "LSH emitted a pair the exact baseline rejects"
+    assert exact, "fixture must produce exact pairs"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_embedding_bruteforce_fail_fast_bound(spark):
+    import pytest as _pytest
+
+    from dozer_spark.ops.dedup import embedding_neardup_pairs
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="max_rows"):
+        embedding_neardup_pairs(df, "embedding", "vec_id", max_rows=10)
+    # raising the bound deliberately works
+    assert embedding_neardup_pairs(
+        df, "embedding", "vec_id", max_rows=5000
+    ).count() == 50 * 49 // 2

@@ -157,3 +157,12 @@ def test_q15_scalar_max_single_row(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_embedding_cosine_registry_has_no_cartesian(spark):
+    """The registry entry must route through LSH buckets — the r5 weak
+    item was an all-pairs crossJoin wired into the public registry."""
+    df = registry()["dedup_embedding_cosine"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
