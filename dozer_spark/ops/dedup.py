@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dozer_spark.operators.hints import (
     cache_materialized,
@@ -236,16 +237,22 @@ def minhash_band_table(sigs: DataFrame, id_col: str,
         ]
         return F.substring(F.md5(F.concat_ws(":", *cols)), 1, 16)
 
-    bands = None
-    for b in range(n_bands):
-        one = sigs.select(
-            F.col(id_col),
-            F.size("toksh").alias("sz"),
-            F.lit(b).alias("band"),
-            band_key(b).alias("band_key"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    return bands
+    # ONE scan + explode (not n_bands union branches): a union re-reads
+    # the signature source per branch and multiplies the partition count
+    # by n_bands, widening every downstream stage for no parallelism gain
+    structs = [
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.size("toksh").alias("sz"),
+        F.explode(F.array(*structs)).alias("__bb"),
+    ).select(
+        F.col(id_col), F.col("sz"),
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.band_key").alias("band_key"),
+    )
 
 
 def minhash_size_pred(threshold: float) -> Column:
@@ -265,18 +272,24 @@ def simhash_chunk_table(sigs: DataFrame, id_col: str, n_bits: int = 60,
     single source of the chunk geometry, shared batch/streaming."""
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
-    chunks = None
-    for ci in range(n_chunks):
-        c = sigs.select(
-            F.col(id_col),
-            F.col("simhash"),
+    # one scan + explode, same rationale as minhash_band_table
+    structs = [
+        F.struct(
             F.lit(ci).alias("chunk"),
             F.shiftright(F.col("simhash"), ci * chunk_bits)
             .bitwiseAND(F.lit((1 << chunk_bits) - 1))
             .alias("chunk_val"),
         )
-        chunks = c if chunks is None else chunks.unionByName(c)
-    return chunks
+        for ci in range(n_chunks)
+    ]
+    return sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*structs)).alias("__cc"),
+    ).select(
+        F.col(id_col), F.col("simhash"),
+        F.col("__cc.chunk").alias("chunk"),
+        F.col("__cc.chunk_val").alias("chunk_val"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -538,17 +551,56 @@ def ngram_jaccard_pairs(
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20,
+                   driver_max_edges: int | None = 200_000) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = min id in the component; the canonical "keep one per
     cluster" step after any pairwise dedup.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(diameter) rounds (~log n for dedup graphs, which are mostly tiny
-    cliques). Each round is two shuffles — the standard large-graph CC
-    pattern without requiring GraphFrames.
+    SIZE-GATED DRIVER FAST PATH: near-dup edge sets are usually tiny
+    relative to the corpus (dups are the exception, and upstream LSH
+    already filtered to verified pairs). When a limit-probe shows at
+    most driver_max_edges edges, they are collected and resolved with
+    union-find in one pass — two jobs total instead of O(diameter)
+    two-shuffle label-propagation rounds, with IDENTICAL output
+    (min-id-per-component either way). Past the bound — or with
+    driver_max_edges=None — the distributed path runs unchanged:
+    iterative min-label propagation, each round two shuffles, converges
+    in O(diameter) rounds (~log n for dedup graphs, which are mostly
+    tiny cliques) — the standard large-graph CC pattern without
+    requiring GraphFrames.
     """
+    edges_slim = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if driver_max_edges is not None:
+        probed = edges_slim.limit(driver_max_edges + 1).collect()
+        if len(probed) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probed:
+                a, b = r.a, r.b
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by label order keeps the min id at the root
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out_schema = T.StructType([
+                T.StructField("id", pairs.schema[id_a].dataType),
+                T.StructField("cluster_id", pairs.schema[id_a].dataType),
+            ])
+            rows = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(rows, out_schema)
+
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))

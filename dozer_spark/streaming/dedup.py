@@ -185,17 +185,21 @@ class StreamingMinHashDedup:
         toks_new = sigs.select(self.id_col, "toksh")
         if self._store is not None:
             epoch = self._store.epoch + 1
-            bmeta = self._bandtx.advance(
-                bands_new.withColumn(
-                    "__bk",
-                    row_digest(["band", "band_key", self.id_col])
-                ).withColumn("__del", F.lit(False)),
-                epoch=epoch, app_id="smh_bands",
-            )
-            tmeta = self._tokstx.advance(
-                toks_new.withColumn("__del", F.lit(False)),
-                epoch=epoch, app_id="smh_toks",
-            )
+            # the two state tables are independent dirs: submit both
+            # delta appends concurrently so the epoch pays ONE write
+            # job's wall-clock, not two in sequence
+            from concurrent.futures import ThreadPoolExecutor
+
+            bands_delta = bands_new.withColumn(
+                "__bk", row_digest(["band", "band_key", self.id_col])
+            ).withColumn("__del", F.lit(False))
+            toks_delta = toks_new.withColumn("__del", F.lit(False))
+            with ThreadPoolExecutor(2) as ex:
+                fb = ex.submit(self._bandtx.advance, bands_delta,
+                               epoch, "smh_bands")
+                ft = ex.submit(self._tokstx.advance, toks_delta,
+                               epoch, "smh_toks")
+                bmeta, tmeta = fb.result(), ft.result()
             self._store.stage_meta("bands_txv", bmeta)
             self._store.stage_meta("toks_txv", tmeta)
             self._bands = self._bandtx.read_live()
