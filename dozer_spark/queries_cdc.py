@@ -385,6 +385,63 @@ def cdc_streaming_minhash_dedup(spark, sf):
     return out
 
 
+def _mh_ttl_oracle():
+    """Batch MinHash pairs restricted to the sliding event-time window:
+    a pair qualifies iff BOTH members' ts are within `retain` of the
+    watermark (cumulative max ts) at the LATER member's arrival batch —
+    exactly the bounded-recall operator's emission rule."""
+    from dozer_spark.queries_ops import _minhash_oracle
+
+    base = _minhash_oracle(0.9)
+    return f"""
+    WITH base AS (
+      {base}
+    ), meta AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+      FROM documents
+    ), wm AS (
+      SELECT b, MAX(mx) OVER (ORDER BY b) AS wm
+      FROM (SELECT b, MAX(ts) AS mx FROM meta GROUP BY b)
+    )
+    SELECT p.id_a, p.id_b, p.jaccard
+    FROM base p
+    JOIN meta ma ON ma.doc_id = p.id_a
+    JOIN meta mb ON mb.doc_id = p.id_b
+    JOIN wm ON wm.b = greatest(ma.b, mb.b)
+    WHERE least(ma.ts, mb.ts) >= wm.wm - INTERVAL 250 MINUTE
+    """
+
+
+@_q("cdc_streaming_minhash_dedup_ttl", _mh_ttl_oracle())
+def cdc_streaming_minhash_dedup_ttl(spark, sf):
+    """BOUNDED-RECALL incremental dedup: same three-batch replay as
+    cdc_streaming_minhash_dedup, but the operator dedups against a
+    250-minute sliding event-time window (ts derived deterministically
+    from doc_id so the oracle can replay it) with per-batch physical
+    eviction (prune_every=1). The oracle is the batch result minus
+    pairs whose earlier member had left the window when the later one
+    arrived — state is O(window), not O(corpus)."""
+    from dozer_spark.streaming.dedup import StreamingMinHashDedup
+
+    d = _cat(spark, sf).df("documents").withColumn(
+        "ts",
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, doc_id, 0)"),
+    )
+    smh = StreamingMinHashDedup(
+        spark, "text", "doc_id", threshold=0.9,
+        ts_col="ts", retain="250 minutes", prune_every=1,
+    )
+    outs = []
+    for k in range(3):
+        outs.append(smh.process_batch(d.filter(F.col("doc_id") % 3 == k)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _ssh_oracle():
     from dozer_spark.queries_ops import _simhash_oracle
 

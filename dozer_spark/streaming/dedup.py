@@ -58,7 +58,21 @@ class StreamingMinHashDedup:
     def __init__(self, spark, text_col: str, id_col: str,
                  threshold: float = 0.9, n_hashes: int | None = None,
                  n_bands: int | None = None, state_dir: str | None = None,
-                 broadcast_gate_bytes: int | None = None):
+                 broadcast_gate_bytes: int | None = None,
+                 ts_col: str | None = None, retain: str | None = None,
+                 prune_every: int = 8):
+        """ts_col/retain enable BOUNDED-RECALL mode: docs are deduped
+        against a sliding event-time window instead of all history. The
+        watermark is the max ts_col seen; a pair is emitted only when
+        BOTH members' ts are >= watermark - retain at the later member's
+        arrival, and docs later than that horizon are dropped entirely
+        (they could never pair). Correctness comes from the probe-side
+        cutoff filter; the PHYSICAL state prune is amortized (every
+        prune_every batches, enrich-style), so state is O(window), not
+        O(corpus). Re-delivery idempotence then holds within the
+        window: a doc re-sent after its state was pruned re-enters as
+        new — the same bounded-state tradeoff as Spark's
+        dropDuplicatesWithinWatermark."""
         from dozer_spark.ops.dedup import MINHASH_BANDS, MINHASH_HASHES
 
         self.spark = spark
@@ -68,8 +82,15 @@ class StreamingMinHashDedup:
         self.n_hashes = n_hashes or MINHASH_HASHES
         self.n_bands = n_bands or MINHASH_BANDS
         self.gate = broadcast_gate_bytes
-        self._bands = None  # (id, sz, band, band_key)
-        self._toks = None   # (id, toksh)
+        if retain is not None and ts_col is None:
+            raise ValueError("retain requires ts_col")
+        self.ts_col = ts_col
+        self.retain = retain
+        self.prune_every = prune_every
+        self._watermark = None
+        self._batches = 0
+        self._bands = None  # (id, sz, band, band_key[, __ts])
+        self._toks = None   # (id, toksh[, __ts])
         self._store = None
         self._prev_caches: list = []
         if state_dir is not None:
@@ -93,6 +114,12 @@ class StreamingMinHashDedup:
                     self._store.load_meta("bands_txv"))
                 self._toks = self._tokstx.read_committed(
                     self._store.load_meta("toks_txv"))
+                wm = self._store.load_meta("mh_wm")
+                if wm and wm.get("wm") is not None:
+                    import datetime as _dt
+
+                    self._watermark = _dt.datetime.fromisoformat(wm["wm"])
+                self._batches = self._store.epoch
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Near-dup pairs (id_a, id_b, jaccard) newly discoverable with
@@ -125,6 +152,23 @@ class StreamingMinHashDedup:
                 self._toks.select(self.id_col), self.id_col, "left_anti"
             )
 
+        # bounded-recall mode: advance the watermark from the RAW batch,
+        # then drop docs beyond the horizon (they could never pair) and
+        # restrict the probe-side state to the window
+        cutoff = None
+        old_bands = self._bands
+        if self.retain is not None:
+            mx = docs.agg(F.max(self.ts_col)).first()[0]
+            if mx is not None and (self._watermark is None
+                                   or mx > self._watermark):
+                self._watermark = mx
+            if self._watermark is not None:
+                cutoff = (F.lit(self._watermark)
+                          - F.expr(f"INTERVAL {self.retain}"))
+                docs = docs.filter(F.col(self.ts_col) >= cutoff)
+                if old_bands is not None:
+                    old_bands = old_bands.filter(F.col("__ts") >= cutoff)
+
         sigs = minhash_signatures(
             docs, self.text_col, self.id_col, self.n_hashes
         ).drop("toks").persist()
@@ -132,7 +176,15 @@ class StreamingMinHashDedup:
         # helpers) — the streaming output can't drift from the oracle
         bands_new = minhash_band_table(
             sigs, self.id_col, self.n_hashes, self.n_bands
-        ).persist()
+        )
+        if self.retain is not None:
+            ts_map = docs.select(
+                F.col(self.id_col), F.col(self.ts_col).alias("__ts")
+            )
+            bands_new = bands_new.join(
+                maybe_broadcast(ts_map, self.gate), self.id_col
+            )
+        bands_new = bands_new.persist()
         size_ok = minhash_size_pred(self.threshold)
         # new-vs-new: the full batch machinery (skew probe + hot split)
         cand = _blocked_self_join_pairs(
@@ -143,9 +195,9 @@ class StreamingMinHashDedup:
         # new-vs-old: batch bands probe the corpus bands; canonical
         # (id_a < id_b) keeps the pair orientation identical to batch
         # mode whichever side arrived first
-        if self._bands is not None:
+        if old_bands is not None:
             a = bands_new.alias("a")
-            o = self._bands.alias("b")
+            o = old_bands.alias("b")
             no = (
                 a.join(o, ["band", "band_key"])
                 .filter(F.col(f"a.{self.id_col}") != F.col(f"b.{self.id_col}"))
@@ -163,7 +215,10 @@ class StreamingMinHashDedup:
 
         toks_all = sigs.select(self.id_col, "toksh")
         if self._toks is not None:
-            toks_all = toks_all.unionByName(self._toks)
+            # explicit projection: retention-mode state carries __ts
+            toks_all = toks_all.unionByName(
+                self._toks.select(self.id_col, "toksh")
+            )
         side_a = toks_all.select(F.col(self.id_col).alias("id_a"),
                                  F.col("toksh").alias("toks_a"))
         side_b = toks_all.select(F.col(self.id_col).alias("id_b"),
@@ -183,6 +238,23 @@ class StreamingMinHashDedup:
 
         # advance state
         toks_new = sigs.select(self.id_col, "toksh")
+        if self.retain is not None:
+            toks_new = toks_new.join(
+                maybe_broadcast(
+                    docs.select(F.col(self.id_col),
+                                F.col(self.ts_col).alias("__ts")),
+                    self.gate,
+                ),
+                self.id_col,
+            )
+        # amortized PHYSICAL prune of out-of-window state (correctness
+        # never depends on it — the probe filters by cutoff — so it can
+        # run every prune_every batches, enrich-style)
+        do_prune = (
+            self.retain is not None and cutoff is not None
+            and self._bands is not None
+            and self._batches % self.prune_every == self.prune_every - 1
+        )
         if self._store is not None:
             epoch = self._store.epoch + 1
             # the two state tables are independent dirs: submit both
@@ -194,6 +266,19 @@ class StreamingMinHashDedup:
                 "__bk", row_digest(["band", "band_key", self.id_col])
             ).withColumn("__del", F.lit(False))
             toks_delta = toks_new.withColumn("__del", F.lit(False))
+            if do_prune:
+                # delete rows never collide with this batch's upserts:
+                # new docs are inside the window, pruned rows are not
+                bands_delta = bands_delta.unionByName(
+                    self._bands.filter(F.col("__ts") < cutoff)
+                    .withColumn("__bk", row_digest(
+                        ["band", "band_key", self.id_col]))
+                    .withColumn("__del", F.lit(True))
+                )
+                toks_delta = toks_delta.unionByName(
+                    self._toks.filter(F.col("__ts") < cutoff)
+                    .withColumn("__del", F.lit(True))
+                )
             with ThreadPoolExecutor(2) as ex:
                 fb = ex.submit(self._bandtx.advance, bands_delta,
                                epoch, "smh_bands")
@@ -202,6 +287,12 @@ class StreamingMinHashDedup:
                 bmeta, tmeta = fb.result(), ft.result()
             self._store.stage_meta("bands_txv", bmeta)
             self._store.stage_meta("toks_txv", tmeta)
+            if self.retain is not None:
+                self._store.stage_meta(
+                    "mh_wm",
+                    {"wm": self._watermark.isoformat()
+                     if self._watermark is not None else None},
+                )
             self._bands = self._bandtx.read_live()
             self._toks = self._tokstx.read_live()
             self._store.commit()
@@ -218,6 +309,14 @@ class StreamingMinHashDedup:
             t_ck = toks_new.localCheckpoint(eager=True)
             self._toks = (t_ck if self._toks is None
                           else self._toks.unionByName(t_ck))
+            if do_prune:
+                self._bands = self._bands.filter(
+                    F.col("__ts") >= cutoff
+                ).localCheckpoint(eager=True)
+                self._toks = self._toks.filter(
+                    F.col("__ts") >= cutoff
+                ).localCheckpoint(eager=True)
+        self._batches += 1
         self._prev_caches = [sigs, bands_new]
         return pairs
 

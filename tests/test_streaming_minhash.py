@@ -232,3 +232,78 @@ def test_streaming_clusters_fuzz_vs_union_find(spark):
             comp[r] = min(comp.get(r, n), n)
         want = {n: comp[find(n)] for n in parent}
         assert got == want
+
+
+TTL_DOCS = [
+    # (doc_id, text, minute) — near-identical texts so every co-window
+    # pair verifies; minutes spread so the 30-minute window evicts
+    (1, "the quick brown fox jumps over the lazy dog", 0),
+    (2, "the quick brown fox jumps over the lazy dog", 5),
+    (3, "the quick brown fox jumps over the lazy dog", 50),
+    (4, "the quick brown fox jumps over the lazy dog", 55),
+    (5, "the quick brown fox jumps over the lazy dog", 70),
+]
+
+
+def _ttl_docs(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        TTL_DOCS, ["doc_id", "text", "minute"]
+    ).withColumn(
+        "ts",
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, minute, 0)"),
+    ).drop("minute")
+
+
+def test_bounded_recall_window_semantics(spark):
+    """Docs 1,2 (min 0,5) leave the 30-min window once 3,4 (min 50,55)
+    arrive: (1,2) and (3,4) pair, cross-window pairs do not; doc 5
+    (min 70) still sees 3,4."""
+    from pyspark.sql import functions as F
+
+    docs = _ttl_docs(spark)
+    sd = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9,
+                               ts_col="ts", retain="30 minutes",
+                               prune_every=1)
+    got = []
+    for ids in ([1, 2], [3, 4], [5]):
+        out = sd.process_batch(docs.filter(F.col("doc_id").isin(ids)))
+        got.extend((r.id_a, r.id_b) for r in out.collect())
+    assert sorted(got) == [(1, 2), (3, 4), (3, 5), (4, 5)]
+    # physical eviction: state holds only in-window docs (wm=70, cutoff=40)
+    live = {r.doc_id for r in sd._toks.select("doc_id").distinct().collect()}
+    assert live == {3, 4, 5}
+
+
+def test_bounded_recall_durable_crash_resume_evicts(spark, tmp_path):
+    """Durable TTL state: crash between batches, resume, window
+    semantics and physical eviction survive the restart."""
+    from pyspark.sql import functions as F
+
+    docs = _ttl_docs(spark)
+    sd_dir = str(tmp_path / "ttl")
+
+    def mk():
+        return StreamingMinHashDedup(
+            spark, "text", "doc_id", threshold=0.9, ts_col="ts",
+            retain="30 minutes", prune_every=1, state_dir=sd_dir)
+
+    got = []
+    s = mk()
+    got.extend((r.id_a, r.id_b) for r in
+               s.process_batch(docs.filter(F.col("doc_id").isin([1, 2]))).collect())
+    s = mk()  # crash + resume (watermark restored from the store)
+    got.extend((r.id_a, r.id_b) for r in
+               s.process_batch(docs.filter(F.col("doc_id").isin([3, 4]))).collect())
+    s = mk()  # crash + resume again
+    got.extend((r.id_a, r.id_b) for r in
+               s.process_batch(docs.filter(F.col("doc_id") == 5)).collect())
+    assert sorted(got) == [(1, 2), (3, 4), (3, 5), (4, 5)]
+    live = {r.doc_id for r in s._toks.select("doc_id").distinct().collect()}
+    assert live == {3, 4, 5}
+    # the band state is evicted too (not just filtered at probe time)
+    band_live = {r.doc_id for r in
+                 s._bands.select("doc_id").distinct().collect()}
+    assert band_live == {3, 4, 5}
