@@ -21,6 +21,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="print the first N rows of each output")
     ap.add_argument("--master", default=None,
                     help="Spark master override (default: session factory)")
+    ap.add_argument("--metrics-port", type=int, default=None, metavar="PORT",
+                    help="serve /metrics + /metrics.json on this port "
+                         "(0 = pick a free port) while the app runs")
     args = ap.parse_args(argv)
 
     from dozer_spark import get_spark
@@ -29,7 +32,18 @@ def main(argv: list[str] | None = None) -> int:
     extra = {"spark.master": args.master} if args.master else None
     spark = get_spark("dozer_spark_app", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
-    result = run_app(spark, args.config)
+    config = args.config
+    if args.metrics_port is not None:
+        import yaml
+
+        with open(config) as f:
+            config = yaml.safe_load(f)
+        config["metrics"] = {
+            **(config.get("metrics") or {}), "port": args.metrics_port,
+        }
+    result = run_app(spark, config)
+    if result.metrics_server is not None:
+        print(f"metrics at {result.metrics_server.url}/metrics")
     for name, path in result.written.items():
         print(f"wrote {name} -> {path}")
     if args.show:

@@ -56,6 +56,8 @@ from dozer_spark.sources.files import read_table
 class AppResult:
     outputs: dict[str, DataFrame] = field(default_factory=dict)
     written: dict[str, str] = field(default_factory=dict)  # name -> path
+    metrics: object = None          # MetricsRegistry when `metrics:` set
+    metrics_server: object = None   # MetricsServer when a port was given
 
 
 def _split_statements(sql: str) -> list[str]:
@@ -154,6 +156,34 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
     sinks = config.get("sinks") or {}
     result = AppResult()
 
+    # optional `metrics:` stage — app-level counters (rows/seconds per
+    # output) plus an embedded scrape endpoint when `port` is given
+    # (reference: dozer-tracing/src/prometheus_server.rs). Counting an
+    # output is one extra job per output — the observability tax is
+    # opt-in.
+    registry = None
+    mcfg = config.get("metrics")
+    if mcfg is not None:
+        import time as _time
+
+        from dozer_spark.metrics import MetricsRegistry, MetricsServer
+
+        registry = MetricsRegistry()
+        result.metrics = registry
+        if isinstance(mcfg, dict) and mcfg.get("port") is not None:
+            result.metrics_server = MetricsServer(
+                registry, port=int(mcfg["port"])
+            ).start()
+
+    def _record(name: str, df: DataFrame, t0: float) -> None:
+        if registry is None:
+            return
+        import time as _time
+
+        registry.inc("dozer_output_rows_total", df.count(), output=name)
+        registry.inc("dozer_output_seconds_total",
+                     _time.monotonic() - t0, output=name)
+
     # ops stage: declarative corpus-pipeline steps (beyond the
     # reference's SQL-only app model — the ops/ layer exposed to the
     # `dozer run` UX). Each entry registers its output as a table the
@@ -181,15 +211,22 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
                 f"ops.{name}: unknown input table {inp!r} "
                 f"(known: {sorted(cat.names())})"
             )
+        import time as _time
+
+        t0 = _time.monotonic()
         out = fn(cat.df(inp), **(spec.get("args") or {}))
         cat.register(name, out)
         result.outputs[name] = out
         if name in sinks:
             result.written[name] = _run_sink(spark, cat, out, name,
                                              sinks[name])
+        _record(name, out, t0)
 
     statements = _split_statements(config.get("sql", ""))
     for i, stmt in enumerate(statements):
+        import time as _time
+
+        t0 = _time.monotonic()
         df, into = statement_to_dataframe(spark, stmt, cat)
         if into is None:
             if i != len(statements) - 1:
@@ -199,12 +236,14 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
                     "reference them — builder/mod.rs:336-358)"
                 )
             result.outputs["__result__"] = df
+            _record("__result__", df, t0)
             continue
         cat.register(into, df)
         result.outputs[into] = df
         if into in sinks:
             result.written[into] = _run_sink(spark, cat, df, into,
                                              sinks[into])
+        _record(into, df, t0)
     unknown_sinks = set(sinks) - set(result.outputs)
     if unknown_sinks:
         raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")
