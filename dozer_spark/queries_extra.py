@@ -378,6 +378,36 @@ def python_udf_roundtrip(spark, sf):
 
 
 @_q(
+    "js_udf_roundtrip",
+    """
+    SELECT CAST(o_orderkey * 3 - 1 AS BIGINT) AS scored,
+           upper(o_orderpriority) AS pri_u, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def js_udf_roundtrip(spark, sf):
+    """The JavaScript-UDF surface (reference: dozer-deno embedded
+    runtime, expression/src/javascript/udf.rs) under the oracle gate:
+    a Node-subprocess JS function over an Arrow batch whose arithmetic
+    and string ops the oracle reproduces in SQL. Skips (empty frame)
+    only if no node runtime exists — this container has one.
+    allow_unsandboxed: the UDF source here is our own trusted literal.
+    """
+    from dozer_spark.functions.js_udf import register_js_udf
+
+    register_js_udf(spark, "js_score_q", "(v) => v * 3 - 1", "long",
+                    allow_unsandboxed=True)
+    register_js_udf(spark, "js_upper_q", "(s) => s.toUpperCase()",
+                    "string", allow_unsandboxed=True)
+    _cat(spark, sf)
+    return spark.sql(
+        "SELECT js_score_q(o_orderkey) AS scored, "
+        "js_upper_q(o_orderpriority) AS pri_u, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
+
+
+@_q(
     "now_function",
     """
     SELECT COUNT(*) AS n_past,
