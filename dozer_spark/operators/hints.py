@@ -34,13 +34,30 @@ def estimated_plan_bytes(df: DataFrame) -> int | None:
         return None
 
 
+# Rebalance bound for CPU-heavy scans: a shuffle under this many bytes
+# is trivial next to per-token hashing, so spending it to GUARANTEE
+# slot-wide balance is always worth it. Past it, real corpora have
+# enough actual row groups/files that the split count is trustworthy.
+CHEAP_REBALANCE_BYTES = 8 << 30
+
+
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition ONLY when the input has fewer partitions than the
-    cluster has slots. A small file (one split) would otherwise pin a
-    CPU-heavy scan (per-token hashing, decoding) to a single task. At
-    real data sizes the input naturally exceeds the core count and this
-    is a no-op — the shuffle is only paid when the input is small enough
-    for it to be trivial."""
+    """Repartition a CPU-heavy scan input so every slot gets real work.
+
+    Two triggers:
+    - fewer planned partitions than ~half the cluster's slots (a small
+      file would pin per-token hashing to one task);
+    - partition count LOOKS fine but the input is small enough that
+      rebalancing is trivial (estimated bytes under
+      CHEAP_REBALANCE_BYTES). This catches the single-giant-row-group
+      pathology: parquet splits can only begin at row-group boundaries,
+      so a 150 MB file written as ONE row group (single-writer default)
+      plans ~30 splits of which 29 are EMPTY — partition count alone
+      can't prove balance, and the whole hash scan lands on one task
+      (measured 20x stragglers on the generated 100x corpus). At real
+      data sizes the estimate exceeds the bound and the input's own
+      splits carry the parallelism — no shuffle is paid.
+    """
     try:
         sc = df.sparkSession.sparkContext
         target = min_parts or sc.defaultParallelism
@@ -52,6 +69,9 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         return df
     if n_parts < max(2, target // 2):
         return df.repartition(target)
+    est = estimated_plan_bytes(df)
+    if est is not None and est < CHEAP_REBALANCE_BYTES:
+        return df.repartition(max(target, n_parts))
     return df
 
 

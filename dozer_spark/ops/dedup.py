@@ -25,11 +25,38 @@ from dozer_spark.operators.hints import (
 )
 from dozer_spark.ops.text import tokens
 
-# default MinHash geometry: 16 hashes = 4 bands x 4 rows. The 4-row bands
-# keep the candidate set selective even on corpora with high baseline
-# similarity (P[band collision] = j^4: j=0.9 -> 0.66/band, j=0.5 -> 0.06).
+# base MinHash geometry: 4 bands; rows-per-band DERIVE from the verify
+# threshold (minhash_geometry) unless pinned. 16 hashes = 4x4 is the
+# derived geometry for threshold ~0.7.
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
+
+
+def minhash_geometry(threshold: float, n_hashes: int | None = None,
+                     n_bands: int | None = None) -> tuple[int, int]:
+    """(n_hashes, n_bands) for a verify threshold, unless pinned.
+
+    Rows-per-band r is set so the LSH S-curve half-point (1/b)^(1/r)
+    sits at the threshold — the selectivity that makes candidate volume
+    track TRUE near-dups instead of the corpus's baseline similarity.
+    This is the 100x lever: banding with r too small for the threshold
+    admits candidates at P = j_baseline^r per band, which on a corpus
+    with moderate baseline similarity (j ~ 0.2) is 1.6e-3 at r=4 —
+    ~10^8 candidate pairs at 500k docs (measured: 500s at 100x scale)
+    — versus 1e-9 at the r=13 this derives for threshold 0.9 (measured:
+    seconds). Recall at the threshold boundary is the S-curve's ~60%
+    by construction and rises steeply above it (0.94 at j=0.95);
+    verification is exact either way, so precision is always 1.0.
+    """
+    import math
+
+    if n_bands is None:
+        n_bands = MINHASH_BANDS
+    if n_hashes is not None:
+        return n_hashes, n_bands
+    t = min(max(threshold, 0.05), 0.97)
+    r = max(2, min(16, round(math.log(n_bands) / -math.log(t))))
+    return n_bands * r, n_bands
 # Carter-Wegman family modulus: smallest prime above 2^32. h1 + i*h2 for
 # i < 16 stays < 2^36 — no 64-bit overflow on either engine.
 MINHASH_PRIME = 4_294_967_311
@@ -68,19 +95,34 @@ def minhash_signatures(
     toks = _token_set(text_col)
 
     def mh(i: int):
-        def per_token(d):
-            h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
-            h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
-            return (h1 + F.lit(i) * h2) % F.lit(MINHASH_PRIME)
-
-        return F.array_min(F.transform(F.col("__digests"), per_token)).alias(f"mh{i}")
+        # h1/h2 are hoisted into __h12: the hex parse (conv) is the
+        # per-token cost, and computing it once per token instead of
+        # once per (token, i) keeps wide geometries (52 hashes at
+        # threshold 0.9) nearly as cheap as narrow ones
+        return F.array_min(
+            F.transform(
+                F.col("__h12"),
+                lambda s: (s["h1"] + F.lit(i) * s["h2"]) % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"mh{i}")
 
     # hashing is CPU-bound: spread a small (few-split) input over the
     # cluster first; no-op when the corpus already has enough splits
     base = ensure_min_partitions(df).select(
         F.col(id_col),
         toks.alias("toks"),
-    ).withColumn("__digests", F.transform("toks", lambda t: F.md5(t)))
+    ).withColumn(
+        "__digests", F.transform("toks", lambda t: F.md5(t))
+    ).withColumn(
+        "__h12",
+        F.transform(
+            "__digests",
+            lambda d: F.struct(
+                F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        ),
+    )
     # toksh: 60-bit md5-prefix token hashes. Verification intersects
     # THESE instead of the token strings — long-array array_intersect
     # measured ~1.6x the string version over ~1M candidate pairs.
@@ -297,8 +339,8 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
-    n_hashes: int = MINHASH_HASHES,
-    n_bands: int = MINHASH_BANDS,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
     prefilter: bool = False,
     broadcast_gate_bytes: int | None = None,
     hot_band_cap: int = 4096,
@@ -330,6 +372,7 @@ def minhash_lsh_pairs(
     # persist: banding and verification both run on the hashed arrays, so
     # caching the strings would only inflate the cache (they are the bulk
     # of each row).
+    n_hashes, n_bands = minhash_geometry(threshold, n_hashes, n_bands)
     sigs = minhash_signatures(df, text_col, id_col, n_hashes).drop("toks").persist()
 
     # per-doc band keys, truncated to 16 hex chars (64 bits — collision
@@ -410,14 +453,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> Data
     Implemented as explode + one groupBy(id) with n_bits conditional sums
     (single shuffle on id; at scale this is a map-side-combinable agg).
 
-    No input repartition here (unlike minhash_signatures): the per-token
-    work is a single md5, so an up-front full-text shuffle on a
-    few-split input costs more than the parallelism buys (measured:
-    +0.9s cold at sf0.1). The groupBy's own shuffle already spreads the
-    dominant aggregation across the cluster, and at real corpus sizes
-    the scan has enough splits anyway.
+    The input IS rebalanced (ensure_min_partitions): the per-token md5
+    happens BEFORE the groupBy's shuffle, so an unbalanced scan pins
+    the whole hashing pass to however many tasks hold rows — measured
+    as a 27M-token single task (80s) on a one-row-group 100x corpus.
+    The rebalance shuffle costs ~0.3s warm at sf0.1 and is skipped
+    past the cheap-rebalance byte bound where real inputs carry enough
+    splits.
     """
-    tok = df.select(
+    tok = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(_token_set(text_col)).alias("tok")
     )
     h = _md5_bits(F.col("tok"), n_bits).alias("h")

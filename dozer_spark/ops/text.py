@@ -284,7 +284,13 @@ def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
         F.coalesce(eval_pred, F.lit(False)).alias("__eval"),
         word_ngrams(F.col(text_col), n).alias("__g"),
     )
-    ev = (
+    from dozer_spark.operators.hints import cache_materialized
+
+    # materialized cache: the gate must see the eval set's REAL bytes —
+    # a lazy distinct reports unknown size, the hint is refused, and the
+    # join degrades to a corpus-sized shuffle (measured ~600s at the
+    # 100x corpus vs seconds broadcast)
+    ev = cache_materialized(
         g.filter(F.col("__eval"))
         .select(F.explode("__g").alias("__h"))
         .distinct()

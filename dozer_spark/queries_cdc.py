@@ -468,6 +468,57 @@ def cdc_streaming_simhash_dedup(spark, sf):
     return out
 
 
+def _ssh_ttl_oracle():
+    """Window-restricted batch SimHash oracle — same emission rule as
+    _mh_ttl_oracle."""
+    from dozer_spark.queries_ops import _simhash_oracle
+
+    base = _simhash_oracle()
+    return f"""
+    WITH base AS (
+      {base}
+    ), meta AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+      FROM documents
+    ), wm AS (
+      SELECT b, MAX(mx) OVER (ORDER BY b) AS wm
+      FROM (SELECT b, MAX(ts) AS mx FROM meta GROUP BY b)
+    )
+    SELECT p.id_a, p.id_b, p.hamming
+    FROM base p
+    JOIN meta ma ON ma.doc_id = p.id_a
+    JOIN meta mb ON mb.doc_id = p.id_b
+    JOIN wm ON wm.b = greatest(ma.b, mb.b)
+    WHERE least(ma.ts, mb.ts) >= wm.wm - INTERVAL 250 MINUTE
+    """
+
+
+@_q("cdc_streaming_simhash_dedup_ttl", _ssh_ttl_oracle())
+def cdc_streaming_simhash_dedup_ttl(spark, sf):
+    """Bounded-recall SimHash replay: the cdc_streaming_minhash_dedup_ttl
+    contract applied to the SimHash family (shared window/eviction
+    machinery in streaming/dedup.py)."""
+    from dozer_spark.streaming.dedup import StreamingSimHashDedup
+
+    d = _cat(spark, sf).df("documents").withColumn(
+        "ts",
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, doc_id, 0)"),
+    )
+    ssh = StreamingSimHashDedup(
+        spark, "text", "doc_id",
+        ts_col="ts", retain="250 minutes", prune_every=1,
+    )
+    outs = []
+    for k in range(3):
+        outs.append(ssh.process_batch(d.filter(F.col("doc_id") % 3 == k)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _ann_oracle():
     from dozer_spark.queries_ops import _lsh_ann_oracle
 

@@ -18,8 +18,6 @@ from dozer_spark.ops.dedup import (
     simhash_pairs,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
-    MINHASH_HASHES,
-    MINHASH_BANDS,
 )
 from dozer_spark.ops.similarity import brute_force_topk, lsh_ann_topk
 from dozer_spark.ops.text import (
@@ -48,14 +46,16 @@ def dedup_exact(spark, sf):
     return exact_dedup(d, "text", "doc_id")
 
 
-def _minhash_oracle(threshold: float, h: int = MINHASH_HASHES, bands: int = MINHASH_BANDS,
+def _minhash_oracle(threshold: float, h: int | None = None,
+                    bands: int | None = None,
                     prefilter: bool = False) -> str:
     """Must mirror minhash_lsh_pairs exactly, including the prefilter flag
-    (both default off)."""
+    (both default off) and the threshold-derived banding geometry."""
     from dozer_spark.ops.dedup import prefilter_min_matches
 
-    from dozer_spark.ops.dedup import MINHASH_PRIME
+    from dozer_spark.ops.dedup import MINHASH_PRIME, minhash_geometry
 
+    h, bands = minhash_geometry(threshold, h, bands)
     r = h // bands
     # Carter-Wegman family, digit-for-digit the Spark computation:
     # (h1 + i*h2) mod P over per-token md5 halves (minhash_signatures)

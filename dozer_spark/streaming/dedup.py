@@ -73,14 +73,16 @@ class StreamingMinHashDedup:
         window: a doc re-sent after its state was pruned re-enters as
         new — the same bounded-state tradeoff as Spark's
         dropDuplicatesWithinWatermark."""
-        from dozer_spark.ops.dedup import MINHASH_BANDS, MINHASH_HASHES
+        from dozer_spark.ops.dedup import minhash_geometry
 
         self.spark = spark
         self.text_col = text_col
         self.id_col = id_col
         self.threshold = threshold
-        self.n_hashes = n_hashes or MINHASH_HASHES
-        self.n_bands = n_bands or MINHASH_BANDS
+        # threshold-derived banding, same derivation as the batch path
+        # (and therefore the oracle) — see minhash_geometry
+        self.n_hashes, self.n_bands = minhash_geometry(
+            threshold, n_hashes, n_bands)
         self.gate = broadcast_gate_bytes
         if retain is not None and ts_col is None:
             raise ValueError("retain requires ts_col")
@@ -340,14 +342,26 @@ class StreamingSimHashDedup:
     def __init__(self, spark, text_col: str, id_col: str,
                  max_hamming: int = 3, n_bits: int = 60,
                  state_dir: str | None = None,
-                 broadcast_gate_bytes: int | None = None):
+                 broadcast_gate_bytes: int | None = None,
+                 ts_col: str | None = None, retain: str | None = None,
+                 prune_every: int = 8):
+        """ts_col/retain: bounded-recall mode, same contract as
+        StreamingMinHashDedup (probe-side cutoff filter for emission
+        correctness, amortized physical eviction for O(window) state)."""
         self.spark = spark
         self.text_col = text_col
         self.id_col = id_col
         self.max_hamming = max_hamming
         self.n_bits = n_bits
         self.gate = broadcast_gate_bytes
-        self._chunks = None  # (id, simhash, chunk, chunk_val)
+        if retain is not None and ts_col is None:
+            raise ValueError("retain requires ts_col")
+        self.ts_col = ts_col
+        self.retain = retain
+        self.prune_every = prune_every
+        self._watermark = None
+        self._batches = 0
+        self._chunks = None  # (id, simhash, chunk, chunk_val[, __ts])
         self._store = None
         self._prev_caches: list = []
         if state_dir is not None:
@@ -365,6 +379,12 @@ class StreamingSimHashDedup:
             if self._store.epoch > 0:
                 self._chunks = self._chunktx.read_committed(
                     self._store.load_meta("chunks_txv"))
+                wm = self._store.load_meta("ssh_wm")
+                if wm and wm.get("wm") is not None:
+                    import datetime as _dt
+
+                    self._watermark = _dt.datetime.fromisoformat(wm["wm"])
+                self._batches = self._store.epoch
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Pairs (id_a, id_b, hamming) newly discoverable this batch."""
@@ -382,6 +402,8 @@ class StreamingSimHashDedup:
             df.unpersist()
         self._prev_caches = []
 
+        from dozer_spark.operators.hints import maybe_broadcast
+
         # re-delivery idempotence: skip ids already indexed (same
         # contract as StreamingMinHashDedup)
         docs = docs.dropDuplicates([self.id_col])
@@ -391,20 +413,45 @@ class StreamingSimHashDedup:
                 self.id_col, "left_anti",
             )
 
+        # bounded-recall window (see StreamingMinHashDedup)
+        cutoff = None
+        old_chunks = self._chunks
+        if self.retain is not None:
+            mx = docs.agg(F.max(self.ts_col)).first()[0]
+            if mx is not None and (self._watermark is None
+                                   or mx > self._watermark):
+                self._watermark = mx
+            if self._watermark is not None:
+                cutoff = (F.lit(self._watermark)
+                          - F.expr(f"INTERVAL {self.retain}"))
+                docs = docs.filter(F.col(self.ts_col) >= cutoff)
+                if old_chunks is not None:
+                    old_chunks = old_chunks.filter(F.col("__ts") >= cutoff)
+
         sigs = simhash(docs, self.text_col, self.id_col, self.n_bits).persist()
         # chunk geometry is the batch code (shared helper)
         chunks_new = simhash_chunk_table(
             sigs, self.id_col, self.n_bits, self.max_hamming
-        ).persist()
+        )
+        if self.retain is not None:
+            chunks_new = chunks_new.join(
+                maybe_broadcast(
+                    docs.select(F.col(self.id_col),
+                                F.col(self.ts_col).alias("__ts")),
+                    self.gate,
+                ),
+                self.id_col,
+            )
+        chunks_new = chunks_new.persist()
 
         cand = _blocked_self_join_pairs(
             chunks_new, ["chunk", "chunk_val"], self.id_col,
             hot_cap=4096, broadcast_gate_bytes=self.gate,
             carry=(("sig_a", "sig_b", "simhash"),),
         )
-        if self._chunks is not None:
+        if old_chunks is not None:
             a = chunks_new.alias("a")
-            o = self._chunks.alias("b")
+            o = old_chunks.alias("b")
             aid, bid = F.col(f"a.{self.id_col}"), F.col(f"b.{self.id_col}")
             # canonical orientation: sig_a belongs to the smaller id,
             # whichever side it arrived on
@@ -434,15 +481,32 @@ class StreamingSimHashDedup:
             .localCheckpoint(eager=False)
         )
 
+        do_prune = (
+            self.retain is not None and cutoff is not None
+            and self._chunks is not None
+            and self._batches % self.prune_every == self.prune_every - 1
+        )
         if self._store is not None:
             epoch = self._store.epoch + 1
-            meta = self._chunktx.advance(
-                chunks_new.withColumn(
-                    "__ck", row_digest(["chunk", "chunk_val", self.id_col])
-                ).withColumn("__del", F.lit(False)),
-                epoch=epoch, app_id="ssh_chunks",
-            )
+            delta = chunks_new.withColumn(
+                "__ck", row_digest(["chunk", "chunk_val", self.id_col])
+            ).withColumn("__del", F.lit(False))
+            if do_prune:
+                delta = delta.unionByName(
+                    self._chunks.filter(F.col("__ts") < cutoff)
+                    .withColumn("__ck", row_digest(
+                        ["chunk", "chunk_val", self.id_col]))
+                    .withColumn("__del", F.lit(True))
+                )
+            meta = self._chunktx.advance(delta, epoch=epoch,
+                                         app_id="ssh_chunks")
             self._store.stage_meta("chunks_txv", meta)
+            if self.retain is not None:
+                self._store.stage_meta(
+                    "ssh_wm",
+                    {"wm": self._watermark.isoformat()
+                     if self._watermark is not None else None},
+                )
             self._chunks = self._chunktx.read_live()
             self._store.commit()
         else:
@@ -451,6 +515,11 @@ class StreamingSimHashDedup:
             c_ck = chunks_new.localCheckpoint(eager=True)
             self._chunks = (c_ck if self._chunks is None
                             else self._chunks.unionByName(c_ck))
+            if do_prune:
+                self._chunks = self._chunks.filter(
+                    F.col("__ts") >= cutoff
+                ).localCheckpoint(eager=True)
+        self._batches += 1
         self._prev_caches = [sigs, chunks_new]
         return pairs
 

@@ -307,3 +307,29 @@ def test_bounded_recall_durable_crash_resume_evicts(spark, tmp_path):
     band_live = {r.doc_id for r in
                  s._bands.select("doc_id").distinct().collect()}
     assert band_live == {3, 4, 5}
+
+
+def test_simhash_bounded_recall_window_and_durable_eviction(spark, tmp_path):
+    """SimHash TTL mode shares the window/eviction contract: same
+    fixture as the MinHash TTL tests, crash-resume between batches."""
+    from pyspark.sql import functions as F
+
+    from dozer_spark.streaming.dedup import StreamingSimHashDedup
+
+    docs = _ttl_docs(spark)
+    sd_dir = str(tmp_path / "sttl")
+
+    def mk():
+        return StreamingSimHashDedup(
+            spark, "text", "doc_id", ts_col="ts",
+            retain="30 minutes", prune_every=1, state_dir=sd_dir)
+
+    got = []
+    for ids in ([1, 2], [3, 4], [5]):
+        s = mk()  # new instance every batch = crash + resume each time
+        out = s.process_batch(docs.filter(F.col("doc_id").isin(ids)))
+        got.extend((r.id_a, r.id_b) for r in out.collect())
+    assert sorted(got) == [(1, 2), (3, 4), (3, 5), (4, 5)]
+    live = {r.doc_id for r in
+            s._chunks.select("doc_id").distinct().collect()}
+    assert live == {3, 4, 5}

@@ -3,13 +3,18 @@ the driver corpus's distributions, for EMPIRICAL scale runs beyond the
 largest driver-provided SF.
 
 The driver testdata (TESTDATA.md) is read-only and tops out at sf0.1
-(5k docs / 2k vectors). This derives the distribution parameters FROM
-sf0.1 (vocabulary, token-count range, lang/source mix, cluster count)
-and synthesizes a deterministic corpus N x bigger into an output dir
-(default .scratch/sf1, gitignored): same schemas, same statistical
-shape — tiny shared vocabulary (so near-dup structure appears
-naturally, as in the driver corpus), planted exact/near duplicates,
-Gaussian cluster embeddings.
+(5k docs / 2k vectors). This synthesizes a deterministic corpus N x
+bigger into an output dir (default .scratch/sf1, gitignored): same
+schemas, same doc-length / lang / source / cluster-count shape, with
+one DELIBERATE divergence — vocabulary. The driver corpus draws every
+document from 31 words, which makes ~7% of ALL doc pairs jaccard>=0.9
+near-dups: the near-dup OUTPUT is Theta(n^2), so every pairwise dedup
+measurement on a 10x corpus is dominated by emitting 100x pairs, not
+by the algorithm. Real corpora are the opposite (dups are a few
+percent), so this generator uses a 10k-word Zipf vocabulary — random
+docs never collide — and PLANTS the duplicate structure explicitly:
+~2% near-duplicates (1-3 token edits) + ~0.2% exact copies, giving
+O(n) true pairs, which is the regime the scale design targets.
 
 Usage: python tools/gen_scale_corpus.py [out_dir] [multiplier]
 """
@@ -30,17 +35,32 @@ LANG_P = [0.40, 0.15, 0.15, 0.15, 0.15]
 
 
 def gen_documents(out_dir: str, n_docs: int, rng: np.random.RandomState):
-    vocab = [
+    base_vocab = [
         r[0] for r in duckdb.sql(
             f"SELECT DISTINCT unnest(string_split(text, ' ')) AS t "
             f"FROM '{SRC}/documents.parquet' ORDER BY t"
         ).fetchall()
     ]
-    vocab = np.array([v for v in vocab if v])
+    vocab = np.array(
+        [v for v in base_vocab if v]
+        + [f"w{i:04d}" for i in range(10_000 - len(base_vocab))]
+    )
+    # Zipf-ish rank weights: realistic head-heavy token frequencies
+    # (matters for the n-gram census / top-k paths), but with the head
+    # damped (+100 offset) so two RANDOM docs stay at jaccard ~0.05 —
+    # near-dup structure must come from the PLANTED dups, not the vocab
+    w = 1.0 / (np.arange(len(vocab)) + 100.0)
+    p = w / w.sum()
     texts: list[str] = []
     n_tok = rng.randint(10, 101, size=n_docs)
     dup_kind = rng.rand(n_docs)
+    # one vectorized Zipf draw for ALL fresh-doc tokens (a per-doc
+    # choice() call re-builds the 10k-entry CDF 500k times at mult=100)
+    pool = vocab[rng.choice(len(vocab), size=int(n_tok.sum()), p=p)]
+    off = 0
     for i in range(n_docs):
+        toks = pool[off:off + n_tok[i]]
+        off += n_tok[i]
         if i > 100 and dup_kind[i] < 0.002:  # exact duplicate
             texts.append(texts[rng.randint(0, i)])
         elif i > 100 and dup_kind[i] < 0.02:  # near duplicate: edit 1-3 tokens
@@ -49,7 +69,7 @@ def gen_documents(out_dir: str, n_docs: int, rng: np.random.RandomState):
                 base[rng.randint(0, len(base))] = vocab[rng.randint(0, len(vocab))]
             texts.append(" ".join(base))
         else:
-            texts.append(" ".join(rng.choice(vocab, size=n_tok[i])))
+            texts.append(" ".join(toks))
     langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
     tbl = pa.table({
         "doc_id": pa.array(range(n_docs), pa.int64()),
@@ -58,7 +78,10 @@ def gen_documents(out_dir: str, n_docs: int, rng: np.random.RandomState):
         "source": pa.array([f"src{i % 20}" for i in range(n_docs)], pa.string()),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
-    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    # realistic row-group granularity: a single default-row-group file
+    # can only split at ONE point, silently serializing every scan
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=10_000)
     return len(texts)
 
 
