@@ -741,9 +741,12 @@ def embedding_neardup_pairs_lsh(
 
     Each vector gets n_bands bucket ids (band b = the sign bits of its
     band_bits hyperplanes, planes md5-deterministic — the oracle replays
-    them as SQL literals); candidates are same-(band, bucket) pairs via
-    the shared hot-bucket triangle-fragment self-join, then EXACT cosine
-    filters them. Recall < 1 by construction (a pair missed by all
+    them as SQL literals); candidate generation is a per-(band, bucket)
+    BLAS self-score (row-blocked matmul, memory bounded per task) whose
+    survivors are confirmed with the EXACT sequential-fold cosine —
+    identical results to a fold-only pipeline, see the inline margin
+    argument. hot_bucket_cap is retained for API stability but the
+    blocked matmul already bounds per-task memory on hot buckets. Recall < 1 by construction (a pair missed by all
     bands is never scored): P[pair found] = 1-(1-p^band_bits)^n_bands
     with p = 1 - acos(cos)/pi, so high-cosine near-dups are found with
     high probability and the band count tunes the knee.
@@ -786,9 +789,56 @@ def embedding_neardup_pairs_lsh(
             F.col("bb.bucket").alias("bucket"),
         )
     )
-    cand = _blocked_self_join_pairs(
-        rows, ["band", "bucket"], id_col,
-        hot_cap=hot_bucket_cap, broadcast_gate_bytes=broadcast_gate_bytes,
+    # BLAS PRE-VERIFY, fold CONFIRM. The native cosine fold (zip_with +
+    # aggregate) runs INTERPRETED per array element — at 10M in-bucket
+    # candidates that is ~10 minutes of lambda dispatch. Instead each
+    # (band, bucket) group scores itself with one numpy matmul (row-
+    # blocked to bound memory) and keeps pairs >= threshold - margin;
+    # the few survivors get the EXACT sequential-fold cosine, which is
+    # both the output value and the filter — so results are identical
+    # to the fold-only pipeline (BLAS error ~1e-12 << margin 1e-4: no
+    # true pair can be dropped, near-misses are re-checked and
+    # rejected), and the md5-replayed DuckDB oracle still matches.
+    import numpy as np
+    import pandas as pd
+
+    slim = rows.join(
+        maybe_broadcast(
+            df.select(F.col(id_col), F.col(vec_col).alias("__v2")),
+            broadcast_gate_bytes,
+        ),
+        id_col,
+    )
+    id_type = df.schema[id_col].dataType
+    pair_schema = T.StructType([
+        T.StructField("id_a", id_type), T.StructField("id_b", id_type),
+    ])
+    margin = 1e-4
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        V = np.array([list(map(float, v)) for v in pdf["__v2"]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b = [], []
+        block = 1024  # bounds the score matrix at block x n doubles
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = Vn[s:e] @ Vn.T  # (block, n)
+            for i in range(s, e):
+                js = np.nonzero(S[i - s] >= threshold - margin)[0]
+                for j in js:
+                    if ids[i] < ids[j]:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = (
+        slim.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, pair_schema)
+        .distinct()
     )
     # exact verify: re-attach vectors (one row per vector vs the larger
     # candidate table — size-gated broadcast, shuffled join past the gate)

@@ -304,6 +304,93 @@ def lsh_ann_topk(
     )
 
 
+def lsh_ann_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int | None = None,
+    dim: int = 64,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """lsh_ann_topk with vectorized in-bucket scoring — the 100x path.
+
+    The fold-based lsh_ann_topk evaluates cosine as a zip_with +
+    aggregate higher-order expression, which Spark runs INTERPRETED
+    per array element — measured ~100s for 5.4M candidate pairs at a
+    200k-vector corpus, with the candidate join itself at 9s. Here
+    each (bucket) cogroup is scored as ONE numpy matmul (corpus-side
+    Arrow batch x that bucket's queries) and pre-reduced to per-query
+    top-k inside the group; a query lives in exactly one bucket, so no
+    global window is needed. Results can differ from the fold version
+    in the last ulp (BLAS summation order), so the fold variant stays
+    the oracle-gated baseline and this one is equivalence-tested
+    (same pattern as brute_force_topk_fast).
+
+    n_planes=None derives bucket granularity from a corpus count
+    (bucket size ~64: planes = log2(n/64), clamped [8, 24]). Note the
+    LSH-on-clustered-data caveat: hyperplanes rarely separate vectors
+    of a tight cluster (P[split] = angle/pi per plane), so bucket
+    population tracks cluster mass no matter how many planes — for
+    strongly clustered embedding spaces use ivf_ann_topk, whose
+    centroids adapt to the clusters.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = min(24, max(8, math.ceil(math.log2(max(n, 128) / 64))))
+    planes = _hyperplanes(n_planes, dim)
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[qid].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+    ])
+
+    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema})
+        C = np.array([list(map(float, v)) for v in cdf["cv"]])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Q = np.array([list(map(float, v)) for v in qdf["qv"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Cn @ Qn.T  # (n_corpus, n_queries)
+        nids = cdf["neighbor_id"].to_numpy()
+        rows = []
+        for qi, qid_val in enumerate(qdf["query_id"]):
+            col = S[:, qi]
+            mask = nids != qid_val
+            order = np.lexsort((nids[mask], -col[mask]))[:k]
+            idx = np.nonzero(mask)[0][order]
+            for r, ni in enumerate(idx, start=1):
+                rows.append((qid_val, nids[ni], round(float(S[ni, qi]), 6), r))
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return (
+        c.groupBy("bucket")
+        .cogroup(q.groupBy("bucket"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 class StreamingAnnIndex:
     """Incrementally maintained LSH ANN index: vector batches append to
     a bucketed corpus state (one bucket computation per NEW vector,

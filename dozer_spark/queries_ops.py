@@ -484,6 +484,20 @@ def ann_brute_force_topk_fast(spark, sf):
     return brute_force_topk_fast(e, q, "embedding", "vec_id", k=5)
 
 
+@_q("ann_lsh_topk_fast", None)  # last-ulp BLAS diffs -> rows-only
+def ann_lsh_topk_fast(spark, sf):
+    """lsh_ann_topk with in-bucket BLAS scoring (one matmul per bucket
+    cogroup) — the 100x path: the fold-based cosine is interpreted
+    per array element and dominates at corpus scale. Equivalence to the
+    fold-based oracle-gated variant is asserted in
+    tests/test_ann_clusters.py."""
+    from dozer_spark.ops.similarity import lsh_ann_topk_fast
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk_fast(e, q, "embedding", "vec_id", k=5, n_planes=8)
+
+
 @_q(
     "hash_sample_deterministic",
     """

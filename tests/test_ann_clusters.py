@@ -108,3 +108,35 @@ def test_brute_force_fast_matches_exact(catalog):
     for r in fast:
         if (r.query_id, r.neighbor_id) in em:
             assert abs(em[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
+
+
+def test_lsh_ann_fast_matches_fold(catalog):
+    """lsh_ann_topk_fast (in-bucket BLAS scoring) matches the fold-based
+    oracle-gated variant at pinned geometry."""
+    from dozer_spark.ops.similarity import lsh_ann_topk, lsh_ann_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    fold = lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8).collect()
+    fast = lsh_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_planes=8).collect()
+    fo = {(r.query_id, r.neighbor_id) for r in fold}
+    fa = {(r.query_id, r.neighbor_id) for r in fast}
+    assert len(fo & fa) >= len(fo) - 1  # last-ulp rank flips allowed
+    fm = {(r.query_id, r.neighbor_id): r.cosine for r in fold}
+    for r in fast:
+        if (r.query_id, r.neighbor_id) in fm:
+            assert abs(fm[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
+
+
+def test_lsh_ann_fast_auto_planes_and_empty_bucket(spark):
+    from dozer_spark.ops.similarity import lsh_ann_topk_fast
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 4)
+    out = lsh_ann_topk_fast(e, q, "embedding", "vec_id", k=3, dim=8)
+    got = out.collect()
+    assert {r.query_id for r in got} <= {0, 1, 2, 3}
+    assert all(1 <= r.rank <= 3 for r in got)
