@@ -742,11 +742,14 @@ def embedding_neardup_pairs_lsh(
     Each vector gets n_bands bucket ids (band b = the sign bits of its
     band_bits hyperplanes, planes md5-deterministic — the oracle replays
     them as SQL literals); candidate generation is a per-(band, bucket)
-    BLAS self-score (row-blocked matmul, memory bounded per task) whose
-    survivors are confirmed with the EXACT sequential-fold cosine —
-    identical results to a fold-only pipeline, see the inline margin
-    argument. hot_bucket_cap is retained for API stability but the
-    blocked matmul already bounds per-task memory on hot buckets. Recall < 1 by construction (a pair missed by all
+    BLAS self-score (row-blocked matmul) whose survivors are confirmed
+    with the EXACT sequential-fold cosine — identical results to a
+    fold-only pipeline, see the inline margin argument. Buckets over
+    hot_bucket_cap split into triangle-fragment cells (the
+    _blocked_self_join_pairs scheme) BEFORE the pandas grouping, so no
+    single task ever materializes more than ~2*cap rows — clustered
+    embedding spaces concentrate bucket mass and would otherwise pin a
+    memory ceiling and a straggler on one task. Recall < 1 by construction (a pair missed by all
     bands is never scored): P[pair found] = 1-(1-p^band_bits)^n_bands
     with p = 1 - acos(cos)/pi, so high-cosine near-dups are found with
     high probability and the band count tunes the knee.
@@ -809,35 +812,86 @@ def embedding_neardup_pairs_lsh(
         ),
         id_col,
     )
+    # HOT-BUCKET FRAGMENT SPLIT for the pandas groups: applyInPandas
+    # materializes each group on one task, so a bucket holding a big
+    # slice of the corpus (clustered embeddings concentrate mass) would
+    # be both a memory ceiling and a straggler. Reuse the triangle-cell
+    # scheme from _blocked_self_join_pairs: rows of a bucket over
+    # hot_bucket_cap get fragment f; the LEFT role replays into cells
+    # (f, j>=f), the RIGHT role into (i<=f, f); every unordered pair
+    # meets in exactly one cell, each cell holds <= ~2*cap rows. Cold
+    # buckets (s=1) collapse to a single (0,0) cell with every row in
+    # both roles — the plain within-bucket triangle.
+    hot = cache_materialized(
+        slim.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_bucket_cap)
+        .select(
+            "band", "bucket",
+            F.ceil(F.col("__n") / hot_bucket_cap).cast("int").alias("__s"),
+        )
+    )
+    frag = (
+        slim.join(maybe_broadcast(hot, broadcast_gate_bytes),
+                  ["band", "bucket"], "left")
+        .withColumn("s", F.coalesce(F.col("__s"), F.lit(1)))
+        .withColumn(
+            "f", F.pmod(F.crc32(F.col(id_col).cast("string")),
+                        F.col("s")).cast("int")
+        )
+    )
+    left = (
+        frag.withColumn("cj", F.explode(F.sequence(F.col("f"), F.col("s") - 1)))
+        .withColumnRenamed("f", "ci").withColumn("__side", F.lit(0))
+    )
+    right = (
+        frag.withColumn("ci", F.explode(F.sequence(F.lit(0), F.col("f"))))
+        .withColumnRenamed("f", "cj").withColumn("__side", F.lit(1))
+    )
+    cells = left.unionByName(right).select(
+        "band", "bucket", "ci", "cj", "__side", id_col, "__v2"
+    )
     id_type = df.schema[id_col].dataType
     pair_schema = T.StructType([
         T.StructField("id_a", id_type), T.StructField("id_b", id_type),
     ])
     margin = 1e-4
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        V = np.array([list(map(float, v)) for v in pdf["__v2"]])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        ids = pdf[id_col].to_numpy()
+    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        same_cell = key[2] == key[3]  # (band, bucket, ci, cj)
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        A = np.array([list(map(float, v)) for v in a["__v2"]])
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        B = np.array([list(map(float, v)) for v in b["__v2"]])
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        ida = a[id_col].to_numpy()
+        idb = b[id_col].to_numpy()
         out_a, out_b = [], []
-        block = 1024  # bounds the score matrix at block x n doubles
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            S = Vn[s:e] @ Vn.T  # (block, n)
+        block = 1024  # bounds the score matrix at block x |B| doubles
+        for s in range(0, len(ida), block):
+            e = min(s + block, len(ida))
+            S = An[s:e] @ Bn.T
             for i in range(s, e):
                 js = np.nonzero(S[i - s] >= threshold - margin)[0]
                 for j in js:
-                    if ids[i] < ids[j]:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
+                    x, y = ida[i], idb[j]
+                    if same_cell:
+                        # both roles hold the same rows: emit once
+                        if x < y:
+                            out_a.append(x)
+                            out_b.append(y)
+                    elif x != y:
+                        out_a.append(min(x, y))
+                        out_b.append(max(x, y))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     cand = (
-        slim.groupBy("band", "bucket")
-        .applyInPandas(bucket_pairs, pair_schema)
+        cells.groupBy("band", "bucket", "ci", "cj")
+        .applyInPandas(cell_pairs, pair_schema)
         .distinct()
     )
     # exact verify: re-attach vectors (one row per vector vs the larger

@@ -201,3 +201,24 @@ def test_embedding_bruteforce_fail_fast_bound(spark):
     assert embedding_neardup_pairs(
         df, "embedding", "vec_id", max_rows=5000
     ).count() == 50 * 49 // 2
+
+
+def test_embedding_lsh_hot_bucket_split_same_result(spark):
+    """Fragment-split cells (tiny cap) must produce exactly the pairs of
+    the unsplit path — the applyInPandas memory-ceiling guard."""
+    from dozer_spark.ops.dedup import embedding_neardup_pairs_lsh
+
+    rows = []
+    for i in range(120):
+        g = i % 2  # TWO tight clusters -> hot buckets at any geometry
+        base = [1.0 if d == g else 0.02 * ((i * 5) % 7) for d in range(8)]
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = {(r.id_a, r.id_b, r.cosine) for r in embedding_neardup_pairs_lsh(
+        df, "embedding", "vec_id", threshold=0.9,
+        n_bands=4, band_bits=4, dim=8).collect()}
+    split = {(r.id_a, r.id_b, r.cosine) for r in embedding_neardup_pairs_lsh(
+        df, "embedding", "vec_id", threshold=0.9,
+        n_bands=4, band_bits=4, dim=8, hot_bucket_cap=7).collect()}
+    assert plain == split
+    assert plain, "fixture must produce pairs"

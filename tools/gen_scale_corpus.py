@@ -54,13 +54,21 @@ def gen_documents(out_dir: str, n_docs: int, rng: np.random.RandomState):
     texts: list[str] = []
     n_tok = rng.randint(10, 101, size=n_docs)
     dup_kind = rng.rand(n_docs)
-    # one vectorized Zipf draw for ALL fresh-doc tokens (a per-doc
-    # choice() call re-builds the 10k-entry CDF 500k times at mult=100)
-    pool = vocab[rng.choice(len(vocab), size=int(n_tok.sum()), p=p)]
-    off = 0
+    # vectorized Zipf draws in CHUNKS (a per-doc choice() call re-builds
+    # the 10k-entry CDF per doc; a single full pool would hold ~50M+
+    # numpy strings at the 1000x tier)
+    chunk = 200_000
+    pool = None
+    off = pool_doc = 0
     for i in range(n_docs):
+        if pool is None or pool_doc >= chunk:
+            hi = min(i + chunk, n_docs)
+            pool = vocab[rng.choice(
+                len(vocab), size=int(n_tok[i:hi].sum()), p=p)]
+            off = pool_doc = 0
         toks = pool[off:off + n_tok[i]]
         off += n_tok[i]
+        pool_doc += 1
         if i > 100 and dup_kind[i] < 0.002:  # exact duplicate
             texts.append(texts[rng.randint(0, i)])
         elif i > 100 and dup_kind[i] < 0.02:  # near duplicate: edit 1-3 tokens
