@@ -88,13 +88,30 @@ def cache_materialized(df: DataFrame) -> DataFrame:
     return c
 
 
+# Catalyst's defaultSize for ArrayType/MapType is ONE element's width,
+# so a projection carrying a 50-element token-hash array is estimated
+# ~50x under its real bytes. Found empirically at the 1000x corpus: the
+# minhash verify side (5M docs x 55-long arrays, ~2.4 GB real) cleared
+# the 256 MB gate on a ~200 MB estimate and the pinned broadcast blew
+# spark.driver.maxResultSize. Frames carrying variable-width container
+# columns therefore gate at 1/16th — small frames (the gate's purpose)
+# still hint; anything near the boundary falls back to AQE's
+# runtime-sized decision, which is always valid.
+_ARRAY_ESTIMATE_SLACK = 16
+
+
 def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
     """`F.broadcast(df)` only when Catalyst estimates df under the gate;
     otherwise the UNHINTED df (AQE/planner picks the join strategy from
     runtime sizes). gate_bytes=0 disables the hint unconditionally."""
+    from pyspark.sql import types as T
+
     gate = BROADCAST_GATE_BYTES if gate_bytes is None else gate_bytes
     if gate <= 0:
         return df
+    if any(isinstance(f.dataType, (T.ArrayType, T.MapType))
+           for f in df.schema.fields):
+        gate //= _ARRAY_ESTIMATE_SLACK
     est = estimated_plan_bytes(df)
     if est is not None and 0 <= est <= gate:
         return F.broadcast(df)
