@@ -354,6 +354,20 @@ def ann_lsh_topk(spark, sf):
     return lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8, dim=64)
 
 
+@_q("ann_ivf_topk_fast", None)  # k-means cells + BLAS -> rows-only
+def ann_ivf_topk_fast(spark, sf):
+    """IVF ANN with per-cell BLAS scoring — the scale path for CLUSTERED
+    embedding spaces (centroids adapt to cluster structure; hyperplane
+    LSH buckets track cluster mass instead). Cell-agreement with the
+    fold-based ivf_ann_topk asserted in tests/test_ann_clusters.py."""
+    from dozer_spark.ops.similarity import ivf_ann_topk_fast
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_centroids=16, n_probe=4)
+
+
 @_q("ann_ivf_topk", None)  # approximate (k-means cells) — recall tested in pytest
 def ann_ivf_topk(spark, sf):
     from dozer_spark.ops.similarity import ivf_ann_topk

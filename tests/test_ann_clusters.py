@@ -140,3 +140,23 @@ def test_lsh_ann_fast_auto_planes_and_empty_bucket(spark):
     got = out.collect()
     assert {r.query_id for r in got} <= {0, 1, 2, 3}
     assert all(1 <= r.rank <= 3 for r in got)
+
+
+def test_ivf_fast_matches_fold_cells(catalog):
+    """ivf_ann_topk_fast with the same centroids/probe must agree with
+    the fold-based ivf_ann_topk (last-ulp rank flips allowed)."""
+    from dozer_spark.ops.similarity import ivf_ann_topk, ivf_ann_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    fold = ivf_ann_topk(e, q, "embedding", "vec_id", k=5,
+                        n_centroids=16, n_probe=4).collect()
+    fast = ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_centroids=16, n_probe=4).collect()
+    fo = {(r.query_id, r.neighbor_id) for r in fold}
+    fa = {(r.query_id, r.neighbor_id) for r in fast}
+    assert len(fo & fa) >= len(fo) - 1
+    fm = {(r.query_id, r.neighbor_id): r.cosine for r in fold}
+    for r in fast:
+        if (r.query_id, r.neighbor_id) in fm:
+            assert abs(fm[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
