@@ -85,7 +85,8 @@ def _split_statements(sql: str) -> list[str]:
     return out
 
 
-def run_app(spark: SparkSession, config: dict | str) -> AppResult:
+def run_app(spark: SparkSession, config: dict | str,
+            metrics_registry=None) -> AppResult:
     """Execute an app config (dict, YAML string, or path to a YAML file)."""
     if isinstance(config, str):
         import yaml
@@ -158,31 +159,35 @@ def run_app(spark: SparkSession, config: dict | str) -> AppResult:
 
     # optional `metrics:` stage — app-level counters (rows/seconds per
     # output) plus an embedded scrape endpoint when `port` is given
-    # (reference: dozer-tracing/src/prometheus_server.rs). Counting an
-    # output is one extra job per output — the observability tax is
-    # opt-in.
-    registry = None
+    # (reference: dozer-tracing/src/prometheus_server.rs). Row counts
+    # are recorded only for TERMINAL outputs (sunk tables and the final
+    # un-INTO'd result): counting an unsunk intermediate would
+    # re-execute its full query once more purely for observability.
+    # Wall-clock seconds are recorded for every stage (no extra job).
+    # A caller may inject a pre-built registry (metrics_registry=) so
+    # e.g. the CLI can start the scrape server BEFORE execution.
+    registry = metrics_registry
     mcfg = config.get("metrics")
-    if mcfg is not None:
-        import time as _time
-
+    if registry is None and mcfg is not None:
         from dozer_spark.metrics import MetricsRegistry, MetricsServer
 
         registry = MetricsRegistry()
-        result.metrics = registry
         if isinstance(mcfg, dict) and mcfg.get("port") is not None:
             result.metrics_server = MetricsServer(
                 registry, port=int(mcfg["port"])
             ).start()
+    result.metrics = registry
+    sinks_cfg_names = set(sinks)
 
     def _record(name: str, df: DataFrame, t0: float) -> None:
         if registry is None:
             return
         import time as _time
 
-        registry.inc("dozer_output_rows_total", df.count(), output=name)
         registry.inc("dozer_output_seconds_total",
                      _time.monotonic() - t0, output=name)
+        if name in sinks_cfg_names or name == "__result__":
+            registry.inc("dozer_output_rows_total", df.count(), output=name)
 
     # ops stage: declarative corpus-pipeline steps (beyond the
     # reference's SQL-only app model — the ops/ layer exposed to the

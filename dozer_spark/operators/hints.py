@@ -47,8 +47,8 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     Two triggers:
     - fewer planned partitions than ~half the cluster's slots (a small
       file would pin per-token hashing to one task);
-    - partition count LOOKS fine but the input is small enough that
-      rebalancing is trivial (estimated bytes under
+    - partition count LOOKS fine but the input is a FILE scan small
+      enough that rebalancing is trivial (estimated bytes under
       CHEAP_REBALANCE_BYTES). This catches the single-giant-row-group
       pathology: parquet splits can only begin at row-group boundaries,
       so a 150 MB file written as ONE row group (single-writer default)
@@ -57,6 +57,13 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
       (measured 20x stragglers on the generated 100x corpus). At real
       data sizes the estimate exceeds the bound and the input's own
       splits carry the parallelism — no shuffle is paid.
+
+      The branch is gated to file-backed plans because only file splits
+      have the row-group imbalance problem: in-memory frames (streaming
+      micro-batches, cached changelogs) are already row-balanced by
+      whatever produced them, and paying a repartition shuffle PER
+      EPOCH inside Streaming{MinHash,SimHash}Dedup to fix a parquet
+      pathology they cannot have is pure overhead.
     """
     try:
         sc = df.sparkSession.sparkContext
@@ -69,6 +76,12 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         return df
     if n_parts < max(2, target // 2):
         return df.repartition(target)
+    try:
+        file_backed = bool(df.inputFiles())
+    except Exception:
+        file_backed = False
+    if not file_backed:
+        return df
     est = estimated_plan_bytes(df)
     if est is not None and est < CHEAP_REBALANCE_BYTES:
         return df.repartition(max(target, n_parts))
