@@ -165,17 +165,23 @@ def run_app(spark: SparkSession, config: dict | str,
     # re-execute its full query once more purely for observability.
     # Wall-clock seconds are recorded for every stage (no extra job).
     # A caller may inject a pre-built registry (metrics_registry=) so
-    # e.g. the CLI can start the scrape server BEFORE execution.
+    # e.g. the CLI can start the scrape server BEFORE execution. A
+    # config-declared `metrics: {port: N}` still starts the scrape
+    # endpoint in that case (on the injected registry) — injection
+    # replaces the registry, not the declared endpoint.
     registry = metrics_registry
     mcfg = config.get("metrics")
     if registry is None and mcfg is not None:
-        from dozer_spark.metrics import MetricsRegistry, MetricsServer
+        from dozer_spark.metrics import MetricsRegistry
 
         registry = MetricsRegistry()
-        if isinstance(mcfg, dict) and mcfg.get("port") is not None:
-            result.metrics_server = MetricsServer(
-                registry, port=int(mcfg["port"])
-            ).start()
+    if (registry is not None and isinstance(mcfg, dict)
+            and mcfg.get("port") is not None):
+        from dozer_spark.metrics import MetricsServer
+
+        result.metrics_server = MetricsServer(
+            registry, port=int(mcfg["port"])
+        ).start()
     result.metrics = registry
     sinks_cfg_names = set(sinks)
 

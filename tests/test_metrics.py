@@ -116,10 +116,45 @@ def test_run_app_metrics_stage(spark, tmp_path):
     })
     res = run_app(spark, cfg)
     try:
-        assert res.metrics.get("dozer_output_rows_total", output="dedup") == 2
+        # terminal-only row counting: 'dedup' is an unsunk intermediate
+        # consumed by the SQL stage — counting it would re-execute its
+        # query purely for observability, so it gets seconds only.
+        # Rows are recorded for sunk outputs and the final __result__.
+        assert res.metrics.get("dozer_output_rows_total", output="dedup") == 0.0
         assert res.metrics.get("dozer_output_rows_total", output="__result__") == 1
         assert res.metrics.get("dozer_output_seconds_total", output="dedup") > 0
         txt = _get(res.metrics_server.url + "/metrics")
-        assert 'dozer_output_rows_total{output="dedup"} 2' in txt
+        assert 'dozer_output_rows_total{output="__result__"} 1' in txt
+        assert 'dozer_output_seconds_total{output="dedup"}' in txt
+        assert 'dozer_output_rows_total{output="dedup"}' not in txt
+    finally:
+        res.metrics_server.stop()
+
+
+def test_run_app_injected_registry_still_serves_config_port(spark, tmp_path):
+    """metrics_registry= injection replaces the registry, not the
+    config-declared scrape endpoint: `metrics: {port: N}` must still
+    start a server (on the injected registry) — previously it was
+    silently ignored."""
+    import yaml
+
+    from dozer_spark.app import run_app
+
+    src = tmp_path / "t.parquet"
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(str(src))
+    cfg = yaml.safe_dump({
+        "app_name": "inj",
+        "sources": {"t": {"path": str(src), "format": "parquet"}},
+        "sql": "SELECT COUNT(*) AS n FROM t",
+        "metrics": {"port": 0},
+    })
+    reg = MetricsRegistry()
+    res = run_app(spark, cfg, metrics_registry=reg)
+    try:
+        assert res.metrics is reg
+        assert res.metrics_server is not None
+        txt = _get(res.metrics_server.url + "/metrics")
+        assert 'dozer_output_rows_total{output="__result__"} 1' in txt
+        assert reg.get("dozer_output_rows_total", output="__result__") == 1
     finally:
         res.metrics_server.stop()
