@@ -540,6 +540,13 @@ class StreamingAnnIndex:
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(spark, state_dir)
+            from dozer_spark.streaming.dedup import _check_state_geometry
+
+            _check_state_geometry(
+                self._store, "ann_geom",
+                {"n_planes": self.n_planes, "dim": self.dim},
+                "StreamingAnnIndex",
+            )
             self._tx = DiffStateTable(
                 spark, diff_state_path(state_dir, "ann"),
                 key_cols=["neighbor_id"],
@@ -578,6 +585,8 @@ class StreamingAnnIndex:
                 epoch=self._store.epoch + 1, app_id="ann_idx",
             )
             self._store.stage_meta("ann_txv", meta)
+            self._store.stage_meta(
+                "ann_geom", {"n_planes": self.n_planes, "dim": self.dim})
             self._corpus = self._tx.read_live()
             self._store.commit()
         else:

@@ -391,14 +391,14 @@ def js_udf_roundtrip(spark, sf):
     a Node-subprocess JS function over an Arrow batch whose arithmetic
     and string ops the oracle reproduces in SQL. Skips (empty frame)
     only if no node runtime exists — this container has one.
-    allow_unsandboxed: the UDF source here is our own trusted literal.
+    trusted_source: the UDF source here is our own trusted literal.
     """
     from dozer_spark.functions.js_udf import register_js_udf
 
     register_js_udf(spark, "js_score_q", "(v) => v * 3 - 1", "long",
-                    allow_unsandboxed=True)
+                    trusted_source=True)
     register_js_udf(spark, "js_upper_q", "(s) => s.toUpperCase()",
-                    "string", allow_unsandboxed=True)
+                    "string", trusted_source=True)
     _cat(spark, sf)
     return spark.sql(
         "SELECT js_score_q(o_orderkey) AS scored, "

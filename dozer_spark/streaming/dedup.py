@@ -16,6 +16,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _check_state_geometry(store, key: str, geom: dict, what: str) -> None:
+    """Durable-state geometry guard. The band/chunk keys persisted under
+    state_dir are deterministic functions of the signature geometry
+    (n_hashes/n_bands for MinHash, n_bits/max_hamming for SimHash), so
+    resuming with a different geometry would compute new-batch keys
+    under one geometry and probe state built under another — the join
+    would silently match nothing and cross-epoch pairs would be LOST,
+    with no error. Geometry is persisted in StateStore meta at first
+    commit; a mismatch on resume raises, mirroring the
+    incstate.rewind_to_version vacuum guard (fail loud, never fail
+    silent-wrong)."""
+    stored = store.load_meta(key)
+    if stored is not None and stored != geom:
+        raise ValueError(
+            f"{what}: durable state at {store.root!r} was built with "
+            f"geometry {stored} but this resume requests {geom}. "
+            "Probing old state under a different geometry silently drops "
+            "cross-epoch pairs — use the original parameters, or a fresh "
+            "state_dir to rebuild under the new geometry."
+        )
+
+
 def streaming_exact_dedup(df: DataFrame, keys: list[str], ts_col: str,
                           watermark: str = "10 minutes") -> DataFrame:
     """Drop duplicate keys arriving within the watermark horizon.
@@ -103,6 +125,11 @@ class StreamingMinHashDedup:
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(spark, state_dir)
+            _check_state_geometry(
+                self._store, "mh_geom",
+                {"n_hashes": self.n_hashes, "n_bands": self.n_bands},
+                "StreamingMinHashDedup",
+            )
             self._bandtx = DiffStateTable(
                 spark, diff_state_path(state_dir, "bands"),
                 key_cols=["__bk"], internal_key=True,
@@ -289,6 +316,10 @@ class StreamingMinHashDedup:
                 bmeta, tmeta = fb.result(), ft.result()
             self._store.stage_meta("bands_txv", bmeta)
             self._store.stage_meta("toks_txv", tmeta)
+            self._store.stage_meta(
+                "mh_geom",
+                {"n_hashes": self.n_hashes, "n_bands": self.n_bands},
+            )
             if self.retain is not None:
                 self._store.stage_meta(
                     "mh_wm",
@@ -372,6 +403,11 @@ class StreamingSimHashDedup:
             from dozer_spark.streaming.state import StateStore
 
             self._store = StateStore(spark, state_dir)
+            _check_state_geometry(
+                self._store, "ssh_geom",
+                {"n_bits": self.n_bits, "max_hamming": self.max_hamming},
+                "StreamingSimHashDedup",
+            )
             self._chunktx = DiffStateTable(
                 spark, diff_state_path(state_dir, "chunks"),
                 key_cols=["__ck"], internal_key=True,
@@ -501,6 +537,10 @@ class StreamingSimHashDedup:
             meta = self._chunktx.advance(delta, epoch=epoch,
                                          app_id="ssh_chunks")
             self._store.stage_meta("chunks_txv", meta)
+            self._store.stage_meta(
+                "ssh_geom",
+                {"n_bits": self.n_bits, "max_hamming": self.max_hamming},
+            )
             if self.retain is not None:
                 self._store.stage_meta(
                     "ssh_wm",

@@ -17,7 +17,7 @@ def test_scalar_roundtrip(spark):
     from dozer_spark.functions.js_udf import register_js_udf
 
     register_js_udf(spark, "js_twice", "(v) => v * 2 + 1", "double",
-                    allow_unsandboxed=True)
+                    trusted_source=True)
     got = spark.sql("SELECT js_twice(CAST(id AS DOUBLE)) AS r "
                     "FROM range(5) ORDER BY id").collect()
     assert [r.r for r in got] == [1.0, 3.0, 5.0, 7.0, 9.0]
@@ -29,7 +29,7 @@ def test_string_and_null_handling(spark):
     register_js_udf(
         spark, "js_shout",
         "(s) => s === null ? null : s.toUpperCase() + '!'",
-        "string", allow_unsandboxed=True)
+        "string", trusted_source=True)
     df = spark.createDataFrame([("a",), (None,), ("Bc",)], "s string")
     got = [r.r for r in df.selectExpr("js_shout(s) AS r").collect()]
     assert got == ["A!", None, "BC!"]
@@ -42,7 +42,7 @@ def test_struct_arg_json_object(spark):
     register_js_udf(
         spark, "js_total",
         "function (row) { return row.qty * row.price; }",
-        "double", allow_unsandboxed=True)
+        "double", trusted_source=True)
     df = spark.createDataFrame([(2, 1.5), (3, 2.0)], "qty long, price double")
     got = [r.r for r in df.selectExpr(
         "js_total(struct(qty, price)) AS r").collect()]
@@ -53,7 +53,7 @@ def test_js_error_propagates(spark):
     from dozer_spark.functions.js_udf import register_js_udf
 
     register_js_udf(spark, "js_boom", "(v) => { throw new Error('nope'); }",
-                    "double", allow_unsandboxed=True)
+                    "double", trusted_source=True)
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(Exception, match="nope"):
         df.selectExpr("js_boom(v) AS r").collect()
@@ -64,7 +64,7 @@ def test_non_function_source_fails_at_registration(spark):
 
     with pytest.raises(RuntimeError, match="function"):
         register_js_udf(spark, "js_bad", "42", "double",
-                        allow_unsandboxed=True)
+                        trusted_source=True)
 
 
 def test_sandbox_blocks_fs_when_supported(spark):
@@ -75,3 +75,40 @@ def test_sandbox_blocks_fs_when_supported(spark):
     with pytest.raises(RuntimeError):
         run_js_batch("(v) => require('fs').readFileSync('/etc/hostname')",
                      [1])
+
+
+def test_untrusted_registration_raises(spark):
+    """The trust gate: Node cannot deny network egress (no --allow-net
+    equivalent), so every registration must carry the explicit
+    trusted_source opt-in — the truthful version of the reference's
+    deny-by-default Deno sandbox."""
+    from dozer_spark.functions.js_udf import register_js_udf
+
+    with pytest.raises(RuntimeError, match="network egress"):
+        register_js_udf(spark, "js_nope", "(v) => v", "double")
+
+
+def test_worker_is_persistent_across_batches(spark):
+    """One resident Node process per executor worker: consecutive
+    batches of the same function must hit the same PID (spawn-per-batch
+    was the r6 design; this pins the persistent-worker upgrade)."""
+    from dozer_spark.functions.js_udf import _worker, run_js_batch
+
+    src = "(v) => v + 1"
+    assert run_js_batch(src, [1, 2]) == [2, 3]
+    pid1 = _worker(src).proc.pid
+    assert run_js_batch(src, [10]) == [11]
+    assert _worker(src).proc.pid == pid1
+
+
+def test_worker_death_fails_loudly_and_respawns(spark):
+    """A worker that exits mid-stream fails the batch with its exit
+    code; the next call gets a fresh worker instead of a silent hang."""
+    from dozer_spark.functions.js_udf import run_js_batch
+
+    src = "(v) => { if (v === 13) process.exit(7); return v; }"
+    assert run_js_batch(src, [1]) == [1]
+    with pytest.raises(RuntimeError, match="exit 7"):
+        run_js_batch(src, [13])
+    # evicted from the pool -> a retry works again
+    assert run_js_batch(src, [2]) == [2]

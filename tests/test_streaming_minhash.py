@@ -333,3 +333,59 @@ def test_simhash_bounded_recall_window_and_durable_eviction(spark, tmp_path):
     live = {r.doc_id for r in
             s._chunks.select("doc_id").distinct().collect()}
     assert live == {3, 4, 5}
+
+
+def test_resume_with_changed_geometry_fails_loudly(spark, tmp_path):
+    """The durable-state geometry guard (ADVICE r6/r7 medium): band keys
+    are functions of (n_hashes, n_bands); resuming with a different
+    threshold derives a different geometry and the new-vs-old band join
+    would silently match nothing. Must raise instead."""
+    import pytest
+
+    sd = str(tmp_path / "smh")
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    s1 = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9,
+                               state_dir=sd)
+    s1.process_batch(docs.filter(docs.doc_id == 1))
+    # threshold 0.7 derives 16/4 vs 0.9's 52/4 (minhash_geometry)
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.7,
+                              state_dir=sd)
+    # the original geometry still resumes fine after the rejected attempt
+    s2 = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9,
+                               state_dir=sd)
+    p = _pairs(s2.process_batch(docs.filter(docs.doc_id == 4)))
+    assert p and p[0][:2] == (1, 4)
+
+
+def test_simhash_resume_with_changed_geometry_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from dozer_spark.streaming.dedup import StreamingSimHashDedup
+
+    sd = str(tmp_path / "ssh")
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    s1 = StreamingSimHashDedup(spark, "text", "doc_id", state_dir=sd)
+    s1.process_batch(docs.filter(docs.doc_id == 1))
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingSimHashDedup(spark, "text", "doc_id", max_hamming=5,
+                              state_dir=sd)
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingSimHashDedup(spark, "text", "doc_id", n_bits=48,
+                              state_dir=sd)
+
+
+def test_ann_index_resume_with_changed_geometry_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from dozer_spark.ops.similarity import StreamingAnnIndex
+
+    sd = str(tmp_path / "ann")
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.9] * 8)], "id long, v array<double>")
+    ix = StreamingAnnIndex(spark, "v", "id", n_planes=4, dim=8,
+                           state_dir=sd)
+    ix.add_batch(vecs)
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingAnnIndex(spark, "v", "id", n_planes=8, dim=8,
+                          state_dir=sd)
