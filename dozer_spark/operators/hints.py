@@ -58,12 +58,18 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
       data sizes the estimate exceeds the bound and the input's own
       splits carry the parallelism — no shuffle is paid.
 
-      The branch is gated to file-backed plans because only file splits
-      have the row-group imbalance problem: in-memory frames (streaming
-      micro-batches, cached changelogs) are already row-balanced by
-      whatever produced them, and paying a repartition shuffle PER
-      EPOCH inside Streaming{MinHash,SimHash}Dedup to fix a parquet
-      pathology they cannot have is pure overhead.
+    BOTH triggers are gated to file-backed plans: only file scans have
+    the few-splits / empty-splits problems, while in-memory frames
+    (streaming micro-batches, cached changelogs) are row-balanced by
+    whatever produced them and are usually small — paying a
+    repartition shuffle PER EPOCH inside Streaming{MinHash,SimHash}
+    Dedup is pure overhead, so an underpartitioned in-memory frame
+    keeps its partitioning (reduced parallelism accepted by design).
+    `file_backed` is a leaf test: a plan that JOINS a file scan
+    against cached state, or a cached file-scan df, still qualifies —
+    acceptable, since the file side's splits still dominate its
+    balance; revisit with an InMemoryRelation check only if per-epoch
+    shuffles on cached frames show up in profiles.
     """
     try:
         sc = df.sparkSession.sparkContext
@@ -74,14 +80,14 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         # failure: degrade to the unhinted frame, mirroring
         # estimated_plan_bytes' None fallback.
         return df
-    if n_parts < max(2, target // 2):
-        return df.repartition(target)
     try:
         file_backed = bool(df.inputFiles())
     except Exception:
         file_backed = False
     if not file_backed:
         return df
+    if n_parts < max(2, target // 2):
+        return df.repartition(target)
     est = estimated_plan_bytes(df)
     if est is not None and est < CHEAP_REBALANCE_BYTES:
         return df.repartition(max(target, n_parts))

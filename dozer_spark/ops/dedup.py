@@ -614,8 +614,24 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     tiny cliques) — the standard large-graph CC pattern without
     requiring GraphFrames.
     """
-    edges_slim = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # unify the endpoint types up front: mixed id_a/id_b types (e.g.
+    # int pairs against a long corpus id) would otherwise build a
+    # driver-path schema from id_a alone and fail or silently coerce.
+    # F.array() applies Spark's own common-type coercion and raises
+    # loudly when none exists.
+    id_type = pairs.schema[id_a].dataType
+    if id_type != pairs.schema[id_b].dataType:
+        id_type = pairs.select(
+            F.array(F.col(id_a), F.col(id_b)).alias("__ab")
+        ).schema["__ab"].dataType.elementType
+    edges_slim = pairs.select(F.col(id_a).cast(id_type).alias("a"),
+                              F.col(id_b).cast(id_type).alias("b"))
     if driver_max_edges is not None:
+        # persist BEFORE the limit-probe: when the probe overflows, the
+        # distributed path below reuses the already-computed partitions
+        # instead of recomputing the upstream pair pipeline (typically
+        # a full LSH run) from scratch
+        edges_slim = edges_slim.persist()
         probed = edges_slim.limit(driver_max_edges + 1).collect()
         if len(probed) <= driver_max_edges:
             parent: dict = {}
@@ -639,15 +655,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                         ra, rb = rb, ra
                     parent[rb] = ra
             out_schema = T.StructType([
-                T.StructField("id", pairs.schema[id_a].dataType),
-                T.StructField("cluster_id", pairs.schema[id_a].dataType),
+                T.StructField("id", id_type),
+                T.StructField("cluster_id", id_type),
             ])
             rows = [(n, find(n)) for n in parent]
+            edges_slim.unpersist()
             return pairs.sparkSession.createDataFrame(rows, out_schema)
 
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        edges_slim
+        .unionByName(edges_slim.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
         .distinct()
         .persist()
     )
@@ -683,6 +701,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     edges.unpersist()
+    if driver_max_edges is not None:
+        edges_slim.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

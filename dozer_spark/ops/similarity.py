@@ -304,6 +304,67 @@ def lsh_ann_topk(
     )
 
 
+def _split_hot_groups(c: DataFrame, q: DataFrame, group_cols: list,
+                      corpus_id: str, cap: int):
+    """Bound the BLAS fast-path cogroups: split each group's CORPUS
+    rows into ~cap-row blocks (deterministic id-hash) and replicate the
+    group's queries to every block, so no single applyInPandas task
+    ever materializes more than ~2x cap corpus rows — without this, one
+    hot LSH bucket / dense IVF cell at corpus scale arrives as ONE
+    pandas DataFrame on ONE task (executor-memory ceiling + straggler;
+    clustered embedding spaces concentrate bucket mass, which is why
+    the near-dup path grew the same bound in dedup.py:735). Each corpus
+    row lands in exactly one block and every block keeps a per-query
+    top-k, so a global re-rank over the union of block top-ks equals
+    the unsplit top-k exactly. The count aggregation is map-side
+    combined and its join shares the grouping key with the cogroup
+    shuffle that follows."""
+    cnt = c.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    nblk = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(cap))
+    ).cast("int")
+    c2 = (
+        c.join(cnt, list(group_cols))
+        .withColumn("__blk", F.pmod(F.xxhash64(F.col(corpus_id)), nblk)
+                    .cast("int"))
+        .drop("__n")
+    )
+    q2 = (
+        q.join(cnt, list(group_cols))
+        .withColumn("__blk",
+                    F.explode(F.sequence(F.lit(0), nblk - F.lit(1))))
+        .drop("__n")
+    )
+    return c2, q2
+
+
+def _topk_block_scores(cdf, qdf, k: int, out_cols: list) -> "pd.DataFrame":
+    """Per-query top-k cosine of one (corpus-block, queries) cogroup as
+    one BLAS matmul, chunked over queries so the score matrix stays
+    ~32MB regardless of how many queries share the group."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([list(map(float, v)) for v in cdf["cv"]])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    nids = cdf["neighbor_id"].to_numpy()
+    rows = []
+    qchunk = max(1, (4 << 20) // max(len(cdf), 1))
+    for start in range(0, len(qdf), qchunk):
+        part = qdf.iloc[start:start + qchunk]
+        Q = np.array([list(map(float, v)) for v in part["qv"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Cn @ Qn.T  # (n_corpus_block, n_chunk_queries)
+        for qi, qid_val in enumerate(part["query_id"]):
+            col = S[:, qi]
+            mask = nids != qid_val
+            order = np.lexsort((nids[mask], -col[mask]))[:k]
+            idx = np.nonzero(mask)[0][order]
+            for ni in idx:
+                rows.append((qid_val, nids[ni], float(S[ni, qi])))
+    return pd.DataFrame(rows, columns=out_cols)
+
+
 def ivf_ann_topk_fast(
     corpus: DataFrame,
     queries: DataFrame,
@@ -314,16 +375,20 @@ def ivf_ann_topk_fast(
     n_probe: int = 4,
     seed: int = 42,
     query_id_col: str | None = None,
+    hot_cell_cap: int = 65536,
 ) -> DataFrame:
     """ivf_ann_topk with vectorized per-cell scoring — the scale path
     for CLUSTERED embedding spaces (where hyperplane LSH degenerates:
     bucket mass tracks cluster mass). Same k-means coarse quantizer and
-    probe logic as ivf_ann_topk; the per-cell candidate scoring is one
-    numpy matmul per (cell) cogroup with per-query top-k pre-reduction,
-    then a global window merges each query's n_probe cell results
-    (n_queries x n_probe x k rows — tiny). Approximate (k-means cells)
-    AND BLAS-summed — rows-only gate; cell-recall tested vs the
-    fold-based ivf_ann_topk.
+    probe logic as ivf_ann_topk; the per-cell candidate scoring is a
+    numpy matmul per (cell, row-block) cogroup with per-query top-k
+    pre-reduction, then a global window merges each query's
+    n_probe x blocks cell results (n_queries x n_probe x blocks x k
+    rows — tiny). Cells over hot_cell_cap corpus rows are split into
+    ~cap-row blocks with queries replicated per block
+    (_split_hot_groups), so a dense cell never pins one task's memory.
+    Approximate (k-means cells) AND BLAS-summed — rows-only gate;
+    cell-recall tested vs the fold-based ivf_ann_topk.
 
     n_centroids=None derives sqrt(n) clamped [16, 4096] — the standard
     IVF sizing (cells of ~sqrt(n), probe cost n_probe*sqrt(n) per
@@ -387,28 +452,17 @@ def ivf_ann_topk_fast(
         if cdf.empty or qdf.empty:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in out_schema})
-        C = np.array([list(map(float, v)) for v in cdf["cv"]])
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        Q = np.array([list(map(float, v)) for v in qdf["qv"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        S = Cn @ Qn.T
-        nids = cdf["neighbor_id"].to_numpy()
-        rows = []
-        for qi, qid_val in enumerate(qdf["query_id"]):
-            col = S[:, qi]
-            mask = nids != qid_val
-            order = np.lexsort((nids[mask], -col[mask]))[:k]
-            idx = np.nonzero(mask)[0][order]
-            for ni in idx:
-                rows.append((qid_val, nids[ni], float(S[ni, qi])))
-        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+        return _topk_block_scores(cdf, qdf, k,
+                                  [f.name for f in out_schema])
 
+    c_blk, q_blk = _split_hot_groups(c_cells, probed, ["cell"],
+                                     "neighbor_id", hot_cell_cap)
     scored = (
-        c_cells.groupBy("cell")
-        .cogroup(probed.groupBy("cell"))
+        c_blk.groupBy("cell", "__blk")
+        .cogroup(q_blk.groupBy("cell", "__blk"))
         .applyInPandas(score, out_schema)
     )
-    # merge each query's n_probe per-cell top-k lists (tiny)
+    # merge each query's n_probe x blocks per-cell top-k lists (tiny)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -430,6 +484,7 @@ def lsh_ann_topk_fast(
     n_planes: int | None = None,
     dim: int = 64,
     query_id_col: str | None = None,
+    hot_bucket_cap: int = 65536,
 ) -> DataFrame:
     """lsh_ann_topk with vectorized in-bucket scoring — the 100x path.
 
@@ -437,13 +492,18 @@ def lsh_ann_topk_fast(
     aggregate higher-order expression, which Spark runs INTERPRETED
     per array element — measured ~100s for 5.4M candidate pairs at a
     200k-vector corpus, with the candidate join itself at 9s. Here
-    each (bucket) cogroup is scored as ONE numpy matmul (corpus-side
-    Arrow batch x that bucket's queries) and pre-reduced to per-query
-    top-k inside the group; a query lives in exactly one bucket, so no
-    global window is needed. Results can differ from the fold version
-    in the last ulp (BLAS summation order), so the fold variant stays
-    the oracle-gated baseline and this one is equivalence-tested
-    (same pattern as brute_force_topk_fast).
+    each (bucket, row-block) cogroup is scored as one numpy matmul
+    (corpus block x that bucket's queries) and pre-reduced to
+    per-query top-k inside the group; buckets over hot_bucket_cap
+    corpus rows split into ~cap-row blocks with the bucket's queries
+    replicated per block (_split_hot_groups — hyperplane buckets track
+    cluster mass, so one hot bucket would otherwise land on one task),
+    and a global window re-ranks the union of block top-ks (exactly
+    the unsplit top-k: every corpus row is in one block and each block
+    keeps k). Results can differ from the fold version in the last ulp
+    (BLAS summation order), so the fold variant stays the oracle-gated
+    baseline and this one is equivalence-tested (same pattern as
+    brute_force_topk_fast).
 
     n_planes=None derives bucket granularity from a corpus count
     (bucket size ~64: planes = log2(n/64), clamped [8, 24]). Note the
@@ -455,7 +515,6 @@ def lsh_ann_topk_fast(
     """
     import math
 
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -478,33 +537,33 @@ def lsh_ann_topk_fast(
         T.StructField("query_id", queries.schema[qid].dataType),
         T.StructField("neighbor_id", corpus.schema[id_col].dataType),
         T.StructField("cosine", T.DoubleType()),
-        T.StructField("rank", T.LongType()),
     ])
 
     def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if cdf.empty or qdf.empty:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in out_schema})
-        C = np.array([list(map(float, v)) for v in cdf["cv"]])
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        Q = np.array([list(map(float, v)) for v in qdf["qv"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        S = Cn @ Qn.T  # (n_corpus, n_queries)
-        nids = cdf["neighbor_id"].to_numpy()
-        rows = []
-        for qi, qid_val in enumerate(qdf["query_id"]):
-            col = S[:, qi]
-            mask = nids != qid_val
-            order = np.lexsort((nids[mask], -col[mask]))[:k]
-            idx = np.nonzero(mask)[0][order]
-            for r, ni in enumerate(idx, start=1):
-                rows.append((qid_val, nids[ni], round(float(S[ni, qi]), 6), r))
-        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+        return _topk_block_scores(cdf, qdf, k,
+                                  [f.name for f in out_schema])
 
-    return (
-        c.groupBy("bucket")
-        .cogroup(q.groupBy("bucket"))
+    c_blk, q_blk = _split_hot_groups(c, q, ["bucket"], "neighbor_id",
+                                     hot_bucket_cap)
+    scored = (
+        c_blk.groupBy("bucket", "__blk")
+        .cogroup(q_blk.groupBy("bucket", "__blk"))
         .applyInPandas(score, out_schema)
+    )
+    # merge per-block top-ks (<= n_queries * blocks * k rows — tiny)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

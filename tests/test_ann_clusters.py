@@ -160,3 +160,105 @@ def test_ivf_fast_matches_fold_cells(catalog):
     for r in fast:
         if (r.query_id, r.neighbor_id) in fm:
             assert abs(fm[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
+
+
+def test_split_hot_groups_bounds_block_size(spark):
+    """The r6/r7 standing weak: a hot bucket must never arrive as one
+    pandas cogroup. _split_hot_groups caps corpus rows per (group,
+    block) at ~2x cap and replicates queries to every block."""
+    from dozer_spark.ops.similarity import _split_hot_groups
+
+    # one pathological bucket (7) with 1000 rows, others tiny
+    rows = [(i, [float(i % 5)] * 4, 7 if i < 1000 else i % 3)
+            for i in range(1060)]
+    c = spark.createDataFrame(
+        rows, "neighbor_id long, cv array<double>, bucket long")
+    q = spark.createDataFrame(
+        [(101, [1.0] * 4, 7), (102, [2.0] * 4, 1)],
+        "query_id long, qv array<double>, bucket long")
+    cap = 100
+    c2, q2 = _split_hot_groups(c, q, ["bucket"], "neighbor_id", cap)
+    sizes = {(r["bucket"], r["__blk"]): r["n"] for r in
+             c2.groupBy("bucket", "__blk").agg(
+                 F.count("*").alias("n")).collect()}
+    assert max(sizes.values()) <= 2 * cap
+    # every corpus row lands in exactly one block
+    assert sum(sizes.values()) == 1060
+    # the hot bucket's query is replicated to each of its blocks,
+    # the cold bucket's query to its single block
+    nblk_hot = len({b for (g, b) in sizes if g == 7})
+    assert nblk_hot == 10
+    qrep = {r.query_id: r.n for r in q2.groupBy("query_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert qrep[101] == nblk_hot and qrep[102] == 1
+
+
+def test_lsh_ann_fast_split_equals_unsplit(catalog):
+    """Forcing hot-bucket splitting (tiny cap) must reproduce the
+    unsplit fast-path results exactly — per-block top-k union re-ranked
+    is the global top-k."""
+    from dozer_spark.ops.similarity import lsh_ann_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    base = lsh_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_planes=8).collect()
+    split = lsh_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                              n_planes=8, hot_bucket_cap=32).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert {key(r): (r.neighbor_id, r.cosine) for r in base} == \
+           {key(r): (r.neighbor_id, r.cosine) for r in split}
+
+
+def test_ivf_fast_split_equals_unsplit(catalog):
+    from dozer_spark.ops.similarity import ivf_ann_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    base = ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_centroids=16, n_probe=4).collect()
+    split = ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                              n_centroids=16, n_probe=4,
+                              hot_cell_cap=32).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert {key(r): (r.neighbor_id, r.cosine) for r in base} == \
+           {key(r): (r.neighbor_id, r.cosine) for r in split}
+
+
+def test_dedup_clusters_mixed_id_types(spark):
+    """id_a int vs id_b long must widen to a common type instead of
+    building the output schema from id_a alone (ADVICE r6 low #3)."""
+    from pyspark.sql import types as T
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)],
+        T.StructType([T.StructField("id_a", T.IntegerType()),
+                      T.StructField("id_b", T.LongType())]))
+    for dme in (200_000, None):  # driver fast path AND distributed path
+        out = dedup_clusters(pairs, driver_max_edges=dme)
+        assert out.schema["id"].dataType == T.LongType()
+        assert out.schema["cluster_id"].dataType == T.LongType()
+        got = {r.id: r.cluster_id for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_probe_overflow_single_evaluation(spark):
+    """When the limit-probe overflows driver_max_edges, the pairs
+    pipeline must NOT be recomputed for the distributed path: edges are
+    persisted before the probe, so each input row is evaluated exactly
+    once (previously the collected probe was discarded and the whole
+    upstream — typically a full LSH run — ran again)."""
+    from pyspark.sql import functions as SF
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @SF.udf("long")
+    def counted(v):
+        acc.add(1)
+        return v
+
+    base = spark.range(0, 40).select(
+        counted(F.col("id")).alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = dedup_clusters(base, driver_max_edges=10)
+    assert out.count() == 41  # 0..40 all one chain
+    assert acc.value == 40  # one evaluation per row, not probe + rerun

@@ -268,3 +268,24 @@ def test_batch_ttl_all_null_ts_keeps_rows(spark):
         [(1, None), (2, None)], "id long, ts timestamp"
     )
     assert ttl(df, "ts", "1 HOUR").count() == 2
+
+
+def test_ensure_min_partitions_gates_on_file_backed(spark, tmp_path):
+    """Both rebalance triggers are file-scan-only: an underpartitioned
+    in-memory frame (a streaming micro-batch shape) keeps its
+    partitioning — no per-epoch shuffle — while an underpartitioned
+    file scan is spread across the slots."""
+    from dozer_spark.operators.hints import ensure_min_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    mem = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "id long, text string"
+    ).coalesce(1)
+    assert ensure_min_partitions(mem).rdd.getNumPartitions() == 1
+
+    p = str(tmp_path / "one.parquet")
+    mem.write.parquet(p)
+    filed = spark.read.parquet(p)
+    if filed.rdd.getNumPartitions() < max(2, target // 2):
+        assert (ensure_min_partitions(filed).rdd.getNumPartitions()
+                >= max(2, target // 2))
