@@ -65,11 +65,13 @@ def run(spark, sf_dir: str) -> dict:
         k=5).count()
     t_lsh = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    ivf_n = ivf_ann_topk_fast(
-        e, e.filter(F.col("vec_id") % 1000 == 0), "embedding", "vec_id",
-        k=5).count()
-    t_ivf = time.perf_counter() - t0
+    t_ivf = ivf_n = None
+    if not os.environ.get("SKIP_IVF"):
+        t0 = time.perf_counter()
+        ivf_n = ivf_ann_topk_fast(
+            e, e.filter(F.col("vec_id") % 1000 == 0), "embedding",
+            "vec_id", k=5).count()
+        t_ivf = round(time.perf_counter() - t0, 2)
     e.unpersist()
     return {
         "corpus": sf_dir, "vectors": n, "n_planes": n_planes,
@@ -77,7 +79,7 @@ def run(spark, sf_dir: str) -> dict:
         "hottest_block_rows": hot_blk,
         "block_bound_ok": hot_blk <= 2 * CAP,
         "lsh_fast_sec": round(t_lsh, 2), "lsh_rows": lsh_n,
-        "ivf_fast_sec": round(t_ivf, 2), "ivf_rows": ivf_n,
+        "ivf_fast_sec": t_ivf, "ivf_rows": ivf_n,
     }
 
 

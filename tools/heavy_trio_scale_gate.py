@@ -1,0 +1,128 @@
+"""Spot-checkable correctness for the heavy trio at the 50k generated
+corpus (round-8, r6 verdict ask #4). The full-registry DuckDB oracles
+for dedup_minhash_clusters / dedup_embedding_cosine /
+dedup_ngram_jaccard are sf0.01-only (oracle-side cost: recursive-CTE
+transitive closure, all-pairs SQL cosine, per-lang gram blocks), so
+this gate checks them at scale two ways:
+
+1. SAMPLED EXACT PARITY: a deterministic modulus sample of the scale1
+   corpus (doc_id % 20 == 0 -> ~2.5k docs; vec_id % 20 == 0 -> ~1k
+   vectors) is materialized as a standalone sf dir and the EXISTING
+   registry oracles run on it via tools/parity_check.py — exact
+   value-hash parity on the generated corpus's distribution (Zipf
+   vocabulary, planted dups), not the driver's 31-word corpus.
+2. PLANTED-DUP RECALL at the FULL 50k: the generator plants ~0.2%
+   exact copies; identical text implies identical MinHash signatures,
+   so every exact-dup pair MUST appear in minhash_lsh_pairs and both
+   members MUST share a cluster in dedup_clusters. Computed from the
+   corpus itself (groupBy text), no stored labels needed.
+
+Usage: python tools/heavy_trio_scale_gate.py [.scratch/scale1]
+Set PARITY_JSON to also write the committed artifact for the sampled
+run. Exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dozer_spark import get_spark
+
+TRIO = ["dedup_minhash_clusters", "dedup_embedding_cosine",
+        "dedup_ngram_jaccard"]
+
+
+def sampled_parity(spark, sf_dir: str) -> int:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tmp = tempfile.mkdtemp(prefix="trio_gate_")
+    try:
+        # single-FILE parquet (pyarrow), matching the driver testdata
+        # layout — parity_check's DuckDB views point at one file, and
+        # Spark's own writer would produce a directory
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # documents sample by TEXT hash, not doc_id: planted exact-dup
+        # groups share text, so a text-keyed sample keeps whole dup
+        # groups together and the clusters/minhash parity rows carry
+        # real dup structure (a doc_id sample keeps a pair only when
+        # both members independently land in it — almost never)
+        for name, sub in (
+            ("documents", docs.filter(
+                F.pmod(F.xxhash64("text"), F.lit(16)) == 0)),
+            ("embeddings", vecs.filter(F.col("vec_id") % 20 == 0)),
+        ):
+            pq.write_table(pa.Table.from_pandas(sub.toPandas()),
+                           os.path.join(tmp, f"{name}.parquet"))
+        env = dict(os.environ)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "parity_check.py"),
+             tmp, *TRIO],
+            env=env,
+        )
+        return r.returncode
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def planted_dup_recall(spark, sf_dir: str) -> int:
+    from dozer_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).persist()
+    # ground truth: exact text duplicates (planted ~0.2% by the
+    # generator). Every pair of identical docs has identical MinHash
+    # signatures -> identical band keys -> MUST be found.
+    groups = (docs.groupBy("text")
+              .agg(F.collect_list("doc_id").alias("ids"),
+                   F.count("*").alias("n"))
+              .filter(F.col("n") > 1))
+    truth = set()
+    for r in groups.collect():
+        ids = sorted(r["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                truth.add((ids[i], ids[j]))
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.9)
+    pairs = pairs.persist()
+    found = {(r["id_a"], r["id_b"])
+             for r in pairs.filter(F.col("jaccard") >= 1.0).collect()}
+    missing = truth - found
+    print(f"planted exact-dup pairs: {len(truth)}, found by minhash: "
+          f"{len(truth & found)}, missing: {len(missing)}")
+    ok = not missing
+
+    labels = dedup_clusters(pairs)
+    lab = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    split = [(a, b) for a, b in truth
+             if lab.get(a) is None or lab.get(a) != lab.get(b)]
+    print(f"exact-dup pairs sharing a cluster: "
+          f"{len(truth) - len(split)}/{len(truth)}")
+    ok = ok and not split
+    pairs.unpersist()
+    docs.unpersist()
+    return 0 if ok else 1
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/scale1"
+    spark = get_spark("heavy_trio_scale_gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    rc1 = sampled_parity(spark, sf_dir)
+    rc2 = planted_dup_recall(spark, sf_dir)
+    print(f"sampled_parity rc={rc1}, planted_dup_recall rc={rc2}")
+    sys.exit(rc1 or rc2)
+
+
+if __name__ == "__main__":
+    main()
