@@ -86,8 +86,15 @@ def _split_statements(sql: str) -> list[str]:
 
 
 def run_app(spark: SparkSession, config: dict | str,
-            metrics_registry=None) -> AppResult:
-    """Execute an app config (dict, YAML string, or path to a YAML file)."""
+            metrics_registry=None, serve_metrics: bool = True) -> AppResult:
+    """Execute an app config (dict, YAML string, or path to a YAML file).
+
+    metrics_registry: inject a pre-built MetricsRegistry (counters land
+    there instead of a fresh one). serve_metrics=False skips starting
+    the config-declared `metrics: {port: N}` scrape endpoint — pass it
+    when the caller already serves the injected registry on that port
+    itself (starting a second server there would hit EADDRINUSE
+    mid-run)."""
     if isinstance(config, str):
         import yaml
 
@@ -168,14 +175,16 @@ def run_app(spark: SparkSession, config: dict | str,
     # e.g. the CLI can start the scrape server BEFORE execution. A
     # config-declared `metrics: {port: N}` still starts the scrape
     # endpoint in that case (on the injected registry) — injection
-    # replaces the registry, not the declared endpoint.
+    # replaces the registry, not the declared endpoint — UNLESS the
+    # caller passes serve_metrics=False because it pre-bound the port
+    # with its own server.
     registry = metrics_registry
     mcfg = config.get("metrics")
     if registry is None and mcfg is not None:
         from dozer_spark.metrics import MetricsRegistry
 
         registry = MetricsRegistry()
-    if (registry is not None and isinstance(mcfg, dict)
+    if (serve_metrics and registry is not None and isinstance(mcfg, dict)
             and mcfg.get("port") is not None):
         from dozer_spark.metrics import MetricsServer
 

@@ -42,11 +42,13 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import select
 import shutil
 import subprocess
 import tempfile
 import threading
+import time
 
 import pandas as pd  # module-global: pandas_udf resolves the string
                      # annotations below against this module's globals
@@ -134,8 +136,13 @@ class _NodeWorker:
         self.proc = subprocess.Popen(
             [node, *_sandbox_args(), "-e", _HARNESS % js_fn_source],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=self._stderr, text=True, bufsize=1,
+            stderr=self._stderr,
         )
+        self._buf = bytearray()
+        # serializes the write/select/read framing: run_js_batch is a
+        # public primitive, and two threads sharing one worker would
+        # otherwise interleave request/response lines and swap results
+        self._lock = threading.Lock()
 
     def _death_error(self) -> RuntimeError:
         self.proc.wait(timeout=10)
@@ -146,24 +153,48 @@ class _NodeWorker:
             f"{err[:2000]}"
         )
 
+    def _read_line(self, deadline: float, n_values: int) -> bytes:
+        """Read one full response line under the deadline. select() only
+        bounds time-to-FIRST-byte, so a worker that writes a partial
+        line then hangs (or streams a huge response slowly) must still
+        hit the budget: loop select against the remaining deadline,
+        draining chunks fd-level until a newline arrives."""
+        fd = self.proc.stdout.fileno()
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl >= 0:
+                line = bytes(self._buf[:nl])
+                del self._buf[: nl + 1]
+                return line
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                self.proc.kill()
+                raise RuntimeError(
+                    f"js_udf worker timed out on a {n_values}-value "
+                    f"batch (deadline reached mid-response: "
+                    f"{len(self._buf)} bytes buffered, no newline)"
+                )
+            ready, _, _ = select.select([self.proc.stdout], [], [],
+                                        remaining)
+            if not ready:
+                continue  # re-check the deadline
+            chunk = os.read(fd, 1 << 16)
+            if not chunk:  # EOF: the worker exited instead of answering
+                raise self._death_error()
+            self._buf += chunk
+
     def run(self, values: list, timeout: int) -> list:
         # json.dumps escapes embedded newlines, so one request is
         # always exactly one line
-        try:
-            self.proc.stdin.write(json.dumps(values) + "\n")
-            self.proc.stdin.flush()
-        except (BrokenPipeError, OSError):
-            raise self._death_error() from None
-        ready, _, _ = select.select([self.proc.stdout], [], [], timeout)
-        if not ready:
-            self.proc.kill()
-            raise RuntimeError(
-                f"js_udf worker timed out after {timeout}s on a "
-                f"{len(values)}-value batch"
-            )
-        line = self.proc.stdout.readline()
-        if not line:  # EOF: the worker exited instead of answering
-            raise self._death_error()
+        with self._lock:
+            deadline = time.monotonic() + timeout
+            try:
+                self.proc.stdin.write(
+                    (json.dumps(values) + "\n").encode("utf-8"))
+                self.proc.stdin.flush()
+            except (BrokenPipeError, OSError):
+                raise self._death_error() from None
+            line = self._read_line(deadline, len(values))
         out = json.loads(line)
         if len(out) != len(values):
             raise RuntimeError(

@@ -41,7 +41,19 @@ def estimated_plan_bytes(df: DataFrame) -> int | None:
 CHEAP_REBALANCE_BYTES = 8 << 30
 
 
-def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+# An UNDERPARTITIONED in-memory frame is exempted from the skip when
+# Catalyst knows its size and it is at least this many bytes: a cached
+# changelog / createDataFrame result coalesced to 1 partition above
+# this would otherwise pin heavy downstream ops to one task. Unknown
+# estimates (defaultSizeInBytes ~ Long.MaxValue, e.g. applyInPandas
+# outputs) stay skipped — treating "unknown" as "big" would re-insert
+# the per-epoch shuffle the gate exists to avoid.
+IN_MEMORY_REBALANCE_BYTES = 64 << 20
+_UNKNOWN_EST = 1 << 60
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None,
+                          force: bool = False) -> DataFrame:
     """Repartition a CPU-heavy scan input so every slot gets real work.
 
     Two triggers:
@@ -64,7 +76,12 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     whatever produced them and are usually small — paying a
     repartition shuffle PER EPOCH inside Streaming{MinHash,SimHash}
     Dedup is pure overhead, so an underpartitioned in-memory frame
-    keeps its partitioning (reduced parallelism accepted by design).
+    keeps its partitioning. Two escape hatches for the case that skip
+    would hurt (a LARGE in-memory frame squeezed to few partitions):
+    an underpartitioned in-memory frame whose Catalyst estimate is
+    KNOWN and >= IN_MEMORY_REBALANCE_BYTES is rebalanced anyway, and a
+    batch caller that knows better can pass force=True to apply the
+    underpartition trigger regardless of backing.
     `file_backed` is a leaf test: a plan that JOINS a file scan
     against cached state, or a cached file-scan df, still qualifies —
     acceptable, since the file side's splits still dominate its
@@ -84,9 +101,17 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         file_backed = bool(df.inputFiles())
     except Exception:
         file_backed = False
+    underpartitioned = n_parts < max(2, target // 2)
     if not file_backed:
+        if force and underpartitioned:
+            return df.repartition(target)
+        if underpartitioned:
+            est = estimated_plan_bytes(df)
+            if (est is not None
+                    and IN_MEMORY_REBALANCE_BYTES <= est < _UNKNOWN_EST):
+                return df.repartition(target)
         return df
-    if n_parts < max(2, target // 2):
+    if underpartitioned:
         return df.repartition(target)
     est = estimated_plan_bytes(df)
     if est is not None and est < CHEAP_REBALANCE_BYTES:

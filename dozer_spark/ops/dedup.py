@@ -626,12 +626,30 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         ).schema["__ab"].dataType.elementType
     edges_slim = pairs.select(F.col(id_a).cast(id_type).alias("a"),
                               F.col(id_b).cast(id_type).alias("b"))
-    if driver_max_edges is not None:
-        # persist BEFORE the limit-probe: when the probe overflows, the
-        # distributed path below reuses the already-computed partitions
-        # instead of recomputing the upstream pair pipeline (typically
-        # a full LSH run) from scratch
+    # persist BEFORE the limit-probe: when the probe overflows, the
+    # distributed path below reuses the already-computed partitions
+    # instead of recomputing the upstream pair pipeline (typically a
+    # full LSH run) from scratch. The whole remainder runs under
+    # try/finally so NO exit — driver fast path, distributed path, or
+    # an exception anywhere between — leaks the persisted edges for
+    # the session. (Both returns are materialized frames: the driver
+    # path returns a LocalRelation, the distributed path an eager
+    # localCheckpoint — unpersisting in finally cannot invalidate
+    # them.)
+    persisted = driver_max_edges is not None
+    if persisted:
         edges_slim = edges_slim.persist()
+    try:
+        return _dedup_clusters_resolve(
+            pairs, edges_slim, id_type, driver_max_edges, max_iter)
+    finally:
+        if persisted:
+            edges_slim.unpersist()
+
+
+def _dedup_clusters_resolve(pairs, edges_slim, id_type,
+                            driver_max_edges, max_iter):
+    if driver_max_edges is not None:
         probed = edges_slim.limit(driver_max_edges + 1).collect()
         if len(probed) <= driver_max_edges:
             parent: dict = {}
@@ -659,7 +677,6 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 T.StructField("cluster_id", id_type),
             ])
             rows = [(n, find(n)) for n in parent]
-            edges_slim.unpersist()
             return pairs.sparkSession.createDataFrame(rows, out_schema)
 
     edges = (
@@ -669,40 +686,40 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
-            .groupBy("a")
-            .agg(F.min("nl").alias("nmin"))
-            .withColumnRenamed("a", "id")
-        )
-        # carry the previous label through the checkpoint so convergence
-        # detection is a scan of the materialized frame, not another
-        # full self-join + shuffle per round
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("__prev"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
+    try:
+        labels = (
+            edges.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
-        )
-        labels = new_labels.drop("__prev")
-        if changed == 0:
-            break
-    edges.unpersist()
-    if driver_max_edges is not None:
-        edges_slim.unpersist()
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
+                .groupBy("a")
+                .agg(F.min("nl").alias("nmin"))
+                .withColumnRenamed("a", "id")
+            )
+            # carry the previous label through the checkpoint so convergence
+            # detection is a scan of the materialized frame, not another
+            # full self-join + shuffle per round
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.col("label").alias("__prev"),
+                    F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
+            )
+            labels = new_labels.drop("__prev")
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -78,18 +78,21 @@ def test_streaming_hop_agg(spark, tmp_path):
     assert got == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
 
 
-def test_brute_force_fast_oversized_query_set_fails_fast(catalog):
-    """The driver-collect contract is enforced, not just documented: an
-    oversized query set must fail BEFORE the collect, pointing at the
-    distributed fold version."""
-    import pytest
-
+def test_brute_force_fast_split_equals_unsplit(catalog):
+    """brute_force_topk_fast no longer collects queries to the driver —
+    it blocks the corpus and replicates queries per block. Forcing many
+    blocks (block_rows far below the corpus size) must return exactly
+    the single-block result: per-block top-k union + global re-rank is
+    an exact merge."""
     from dozer_spark.ops.similarity import brute_force_topk_fast
 
     e = catalog.df("embeddings")
-    with pytest.raises(ValueError, match="brute_force_topk"):
-        brute_force_topk_fast(e, e, "embedding", "vec_id", k=5,
-                              max_query_rows=3)
+    q = e.filter(F.col("vec_id") < 10)
+    base = sorted(map(tuple, brute_force_topk_fast(
+        e, q, "embedding", "vec_id", k=5, block_rows=1 << 20).collect()))
+    split = sorted(map(tuple, brute_force_topk_fast(
+        e, q, "embedding", "vec_id", k=5, block_rows=16).collect()))
+    assert base == split
 
 
 def test_brute_force_fast_matches_exact(catalog):
@@ -262,3 +265,32 @@ def test_dedup_clusters_probe_overflow_single_evaluation(spark):
     out = dedup_clusters(base, driver_max_edges=10)
     assert out.count() == 41  # 0..40 all one chain
     assert acc.value == 40  # one evaluation per row, not probe + rerun
+
+
+def test_dedup_clusters_unpersists_on_failure(spark, monkeypatch):
+    """The persist-before-probe must not leak executor storage when
+    anything downstream raises: every exit of dedup_clusters (driver
+    path, distributed path, exception) unpersists the edge cache."""
+    import pytest
+
+    from dozer_spark.ops import dedup as dedup_mod
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected resolve failure")
+
+    monkeypatch.setattr(dedup_mod, "_dedup_clusters_resolve", boom)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="injected"):
+        dedup_mod.dedup_clusters(pairs)
+    assert cm.isEmpty()
+
+    # and the success paths leave no cache behind either
+    monkeypatch.undo()
+    assert dedup_mod.dedup_clusters(pairs).count() == 3
+    assert cm.isEmpty()
+    assert dedup_mod.dedup_clusters(pairs, driver_max_edges=1).count() == 3
+    assert cm.isEmpty()

@@ -112,3 +112,48 @@ def test_worker_death_fails_loudly_and_respawns(spark):
         run_js_batch(src, [13])
     # evicted from the pool -> a retry works again
     assert run_js_batch(src, [2]) == [2]
+
+
+def test_run_js_batch_thread_safe(spark):
+    """run_js_batch is a public primitive: concurrent callers sharing
+    one resident worker must never swap responses (the framing is
+    serialized under a per-worker lock)."""
+    import threading
+
+    from dozer_spark.functions.js_udf import run_js_batch
+
+    src = "(v) => v * 3"
+    errors = []
+
+    def hammer(base):
+        try:
+            for i in range(20):
+                vals = [base + i, base + i + 1]
+                assert run_js_batch(src, vals) == [v * 3 for v in vals]
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(b * 1000,))
+               for b in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+
+def test_partial_line_hang_hits_deadline(spark):
+    """The timeout bounds the FULL response read: a worker that writes a
+    partial line then hangs must fail at the deadline, not block
+    readline forever (select alone only bounds time-to-first-byte)."""
+    import time as _time
+
+    from dozer_spark.functions.js_udf import run_js_batch
+
+    # fs.writeSync(1, ...) flushes the partial bytes synchronously, then
+    # the busy loop blocks the event loop so no newline ever arrives
+    src = "(v) => { require('fs').writeSync(1, 'xx'); for(;;){} }"
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError, match="timed out"):
+        run_js_batch(src, [1], timeout=2)
+    assert _time.monotonic() - t0 < 30

@@ -158,3 +158,35 @@ def test_run_app_injected_registry_still_serves_config_port(spark, tmp_path):
         assert reg.get("dozer_output_rows_total", output="__result__") == 1
     finally:
         res.metrics_server.stop()
+
+
+def test_run_app_serve_metrics_false_skips_config_port(spark, tmp_path):
+    """A caller that pre-binds the scrape port itself (documented CLI
+    pattern: start the server, then inject the registry) passes
+    serve_metrics=False — run_app must NOT start a second server on the
+    config-declared port (EADDRINUSE mid-run otherwise). Counters still
+    land in the injected registry; the caller's server keeps serving."""
+    import yaml
+
+    from dozer_spark.app import run_app
+
+    src = tmp_path / "t.parquet"
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(str(src))
+    reg = MetricsRegistry()
+    own = MetricsServer(reg).start()  # caller's server, pre-bound
+    try:
+        cfg = yaml.safe_dump({
+            "app_name": "inj2",
+            "sources": {"t": {"path": str(src), "format": "parquet"}},
+            "sql": "SELECT COUNT(*) AS n FROM t",
+            # declare the SAME port the caller already bound
+            "metrics": {"port": own.port},
+        })
+        res = run_app(spark, cfg, metrics_registry=reg,
+                      serve_metrics=False)
+        assert res.metrics is reg
+        assert res.metrics_server is None  # no second bind attempted
+        txt = _get(own.url + "/metrics")
+        assert 'dozer_output_rows_total{output="__result__"} 1' in txt
+    finally:
+        own.stop()

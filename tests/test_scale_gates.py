@@ -289,3 +289,33 @@ def test_ensure_min_partitions_gates_on_file_backed(spark, tmp_path):
     if filed.rdd.getNumPartitions() < max(2, target // 2):
         assert (ensure_min_partitions(filed).rdd.getNumPartitions()
                 >= max(2, target // 2))
+
+
+def test_ensure_min_partitions_in_memory_escape_hatches(spark, monkeypatch):
+    """The in-memory skip has two escape hatches for the case it would
+    hurt (a LARGE frame squeezed to one partition feeding heavy ops):
+    force=True applies the underpartition trigger regardless of
+    backing, and a frame whose KNOWN Catalyst estimate clears
+    IN_MEMORY_REBALANCE_BYTES is rebalanced without the flag."""
+    from dozer_spark.operators import hints
+    from dozer_spark.operators.hints import ensure_min_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    mem = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "id long, text string"
+    ).coalesce(1)
+    # default: skipped (small, in-memory)
+    assert ensure_min_partitions(mem).rdd.getNumPartitions() == 1
+    # force: batch caller opts in to the rebalance
+    assert (ensure_min_partitions(mem, force=True)
+            .rdd.getNumPartitions() == target)
+    # size exemption: a KNOWN estimate above the bar rebalances. Note
+    # createDataFrame plans are LogicalRDDs (size unknown -> Long.Max ->
+    # correctly skipped, asserted above via `mem`); range-derived plans
+    # carry real estimates.
+    known = spark.range(50).selectExpr(
+        "id", "repeat('x', 100) as text").coalesce(1)
+    assert ensure_min_partitions(known).rdd.getNumPartitions() == 1
+    monkeypatch.setattr(hints, "IN_MEMORY_REBALANCE_BYTES", 1)
+    assert (ensure_min_partitions(known)
+            .rdd.getNumPartitions() == target)
