@@ -105,9 +105,6 @@ def brute_force_topk_fast(
     (_split_hot_groups with a constant group), so one bound covers all
     three.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"),
@@ -121,38 +118,10 @@ def brute_force_topk_fast(
     )
 
     # id field types come from the inputs — string/int/... doc ids all work
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[qid].dataType),
-            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-
-    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty or qdf.empty:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in out_schema})
-        return _topk_block_scores(cdf, qdf, k,
-                                  [f.name for f in out_schema])
-
-    c_blk, q_blk = _split_hot_groups(c, q, ["__g"], "neighbor_id",
-                                     block_rows)
-    scored = (
-        c_blk.groupBy("__g", "__blk")
-        .cogroup(q_blk.groupBy("__g", "__blk"))
-        .applyInPandas(score, out_schema)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return _bucketed_blas_topk(
+        c, q, ["__g"], k,
+        queries.schema[qid].dataType, corpus.schema[id_col].dataType,
+        block_rows,
     )
 
 
@@ -365,6 +334,51 @@ def _split_hot_groups(c: DataFrame, q: DataFrame, group_cols: list,
     return c2, q2
 
 
+def _bucketed_blas_topk(c: DataFrame, q: DataFrame, group_cols: list,
+                        k: int, qid_type, nid_type, cap: int) -> DataFrame:
+    """Shared tail of every BLAS fast path (brute/LSH/IVF/streaming
+    probe): bound each group's corpus rows via _split_hot_groups, score
+    each (group, block) cogroup as one matmul with per-query top-k
+    pre-reduction (_topk_block_scores), then merge the per-block
+    top-ks with a global window — exactly the unsplit top-k (every
+    corpus row is in one block; each block keeps k per query). c must
+    carry (neighbor_id, cv, *group_cols); q (query_id, qv, *group_cols)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("query_id", qid_type),
+        T.StructField("neighbor_id", nid_type),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(key, cdf: "pd.DataFrame", qdf: "pd.DataFrame") -> "pd.DataFrame":
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema})
+        return _topk_block_scores(cdf, qdf, k,
+                                  [f.name for f in out_schema])
+
+    c_blk, q_blk = _split_hot_groups(c, q, group_cols, "neighbor_id", cap)
+    scored = (
+        c_blk.groupBy(*group_cols, "__blk")
+        .cogroup(q_blk.groupBy(*group_cols, "__blk"))
+        .applyInPandas(score, out_schema)
+    )
+    # merge per-block top-ks (<= n_queries * blocks * k rows — tiny)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _topk_block_scores(cdf, qdf, k: int, out_cols: list) -> "pd.DataFrame":
     """Per-query top-k cosine of one (corpus-block, queries) cogroup as
     one BLAS matmul, chunked over queries so the score matrix stays
@@ -467,36 +481,11 @@ def ivf_ann_topk_fast(
 
     probed = q.mapInPandas(probe_cells, probe_schema)
 
-    out_schema = T.StructType([
-        T.StructField("query_id", queries.schema[qid].dataType),
-        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
-        T.StructField("cosine", T.DoubleType()),
-    ])
-
-    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty or qdf.empty:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in out_schema})
-        return _topk_block_scores(cdf, qdf, k,
-                                  [f.name for f in out_schema])
-
-    c_blk, q_blk = _split_hot_groups(c_cells, probed, ["cell"],
-                                     "neighbor_id", hot_cell_cap)
-    scored = (
-        c_blk.groupBy("cell", "__blk")
-        .cogroup(q_blk.groupBy("cell", "__blk"))
-        .applyInPandas(score, out_schema)
-    )
-    # merge each query's n_probe x blocks per-cell top-k lists (tiny)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    # merge of each query's n_probe x blocks per-cell top-k lists is tiny
+    return _bucketed_blas_topk(
+        c_cells, probed, ["cell"], k,
+        queries.schema[qid].dataType, corpus.schema[id_col].dataType,
+        hot_cell_cap,
     )
 
 
@@ -540,9 +529,6 @@ def lsh_ann_topk_fast(
     """
     import math
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
     if n_planes is None:
         n = corpus.count()
         n_planes = min(24, max(8, math.ceil(math.log2(max(n, 128) / 64))))
@@ -558,37 +544,10 @@ def lsh_ann_topk_fast(
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    out_schema = T.StructType([
-        T.StructField("query_id", queries.schema[qid].dataType),
-        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
-        T.StructField("cosine", T.DoubleType()),
-    ])
-
-    def score(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty or qdf.empty:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in out_schema})
-        return _topk_block_scores(cdf, qdf, k,
-                                  [f.name for f in out_schema])
-
-    c_blk, q_blk = _split_hot_groups(c, q, ["bucket"], "neighbor_id",
-                                     hot_bucket_cap)
-    scored = (
-        c_blk.groupBy("bucket", "__blk")
-        .cogroup(q_blk.groupBy("bucket", "__blk"))
-        .applyInPandas(score, out_schema)
-    )
-    # merge per-block top-ks (<= n_queries * blocks * k rows — tiny)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return _bucketed_blas_topk(
+        c, q, ["bucket"], k,
+        queries.schema[qid].dataType, corpus.schema[id_col].dataType,
+        hot_bucket_cap,
     )
 
 
@@ -712,4 +671,33 @@ class StreamingAnnIndex:
                 F.round("cosine", 6).alias("cosine"),
                 F.col("rank").cast("long").alias("rank"),
             )
+        )
+
+    def topk_fast(self, queries: DataFrame, k: int = 5,
+                  query_id_col: str | None = None,
+                  hot_bucket_cap: int = 65536) -> DataFrame:
+        """BLAS serving probe: same candidates as topk, scored as one
+        matmul per (bucket, block) cogroup instead of the interpreted
+        zip_with/aggregate fold — the serving-rate path when query
+        batches are large (the fold probe was the last interpreted
+        cosine in the ANN family). Results can differ from topk in the
+        last ulp (BLAS summation order), so topk stays the oracle-gated
+        contract (cdc_streaming_ann_index) and this path is
+        equivalence-tested against it, same as the batch fast variants.
+        Hot buckets split at hot_bucket_cap via the shared
+        _bucketed_blas_topk bound."""
+        if self._corpus is None:
+            raise ValueError("index is empty — add_batch first")
+        planes = _hyperplanes(self.n_planes, self.dim)
+        qid = query_id_col or self.id_col
+        q = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(self.vec_col).alias("qv"),
+            lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+        )
+        return _bucketed_blas_topk(
+            self._corpus, q, ["bucket"], k,
+            queries.schema[qid].dataType,
+            self._corpus.schema["neighbor_id"].dataType,
+            hot_bucket_cap,
         )

@@ -389,3 +389,31 @@ def test_ann_index_resume_with_changed_geometry_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="geometry"):
         StreamingAnnIndex(spark, "v", "id", n_planes=8, dim=8,
                           state_dir=sd)
+
+
+def test_streaming_ann_topk_fast_matches_fold_probe(spark):
+    """topk_fast (BLAS serving probe) must agree with the oracle-gated
+    fold probe on the same index state (last-ulp rank flips allowed),
+    including under a forced hot-bucket split."""
+    import random
+
+    from dozer_spark.ops.similarity import StreamingAnnIndex
+
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(df.vec_id % 10 == 0)
+    idx = StreamingAnnIndex(spark, "embedding", "vec_id",
+                            n_planes=4, dim=16)
+    idx.add_batch(df)
+    fold = idx.topk(q, k=3).collect()
+    fast = idx.topk_fast(q, k=3).collect()
+    split = idx.topk_fast(q, k=3, hot_bucket_cap=4).collect()
+    fo = {(r.query_id, r.neighbor_id) for r in fold}
+    fa = {(r.query_id, r.neighbor_id) for r in fast}
+    assert len(fo & fa) >= len(fo) - 1
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, split))
+    fm = {(r.query_id, r.neighbor_id): r.cosine for r in fold}
+    for r in fast:
+        if (r.query_id, r.neighbor_id) in fm:
+            assert abs(fm[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
