@@ -544,6 +544,41 @@ def cdc_streaming_ann_index(spark, sf):
     return idx.topk(q, k=5)
 
 
+@_q("cdc_streaming_ann_index_fast", None)  # last-ulp BLAS diffs -> rows-only
+def cdc_streaming_ann_index_fast(spark, sf):
+    """The BLAS serving probe over the same incrementally built index
+    as cdc_streaming_ann_index — rows-only gate (BLAS summation order
+    can flip last-ulp ties); equivalence vs the fold probe is pinned by
+    test_streaming_ann_topk_fast_matches_fold_probe."""
+    from dozer_spark.ops.similarity import StreamingAnnIndex
+
+    e = _cat(spark, sf).df("embeddings")
+    idx = StreamingAnnIndex(spark, "embedding", "vec_id",
+                            n_planes=8, dim=64)
+    for k in range(3):
+        idx.add_batch(e.filter(F.col("vec_id") % 3 == k))
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return idx.topk_fast(q, k=5)
+
+
+@_q("cdc_ivf_index_topk", None)  # frozen-quantizer IVF serving -> rows-only
+def cdc_ivf_index_topk(spark, sf):
+    """IvfAnnIndex under the driver gate: quantizer fit on the FIRST of
+    three ingest batches then frozen (the FAISS train-once/add-forever
+    serving contract), later batches assigned to the existing cells,
+    probe via the shared BLAS bound. Rows-only (BLAS + first-batch-fit
+    approximation); one-shot equivalence and resume/geometry guards are
+    pytest-pinned (test_ann_clusters)."""
+    from dozer_spark.ops.similarity import IvfAnnIndex
+
+    e = _cat(spark, sf).df("embeddings")
+    idx = IvfAnnIndex(spark, "embedding", "vec_id", n_centroids=16)
+    for k in range(3):
+        idx.add_batch(e.filter(F.col("vec_id") % 3 == k))
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return idx.topk(q, k=5, n_probe=4)
+
+
 def _cc_oracle():
     from dozer_spark.queries_ops import _clusters_oracle
 

@@ -294,3 +294,85 @@ def test_dedup_clusters_unpersists_on_failure(spark, monkeypatch):
     assert cm.isEmpty()
     assert dedup_mod.dedup_clusters(pairs, driver_max_edges=1).count() == 3
     assert cm.isEmpty()
+
+
+def test_nearest_cells_matches_naive():
+    """The matmul-expanded nearest-centroid search must agree with the
+    naive broadcast computation (which it replaced for memory: the
+    naive form materializes a batch x centroids x dim temporary)."""
+    import numpy as np
+
+    from dozer_spark.ops.similarity import _nearest_cells
+
+    rng = np.random.RandomState(3)
+    Q = rng.randn(37, 16)
+    C = rng.randn(11, 16)
+    got = _nearest_cells(Q, C, 4)
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = np.argpartition(d2, 3, axis=1)[:, :4]
+    # unordered within the n -> compare as sets per row
+    for g, w in zip(got, want):
+        assert set(g) == set(w)
+    # n >= centroids returns every cell
+    assert set(_nearest_cells(Q, C, 99)[0]) == set(range(11))
+
+
+def test_ivf_index_matches_one_shot_batch(catalog):
+    """IvfAnnIndex fed the whole corpus in ONE batch shares centroids
+    with ivf_ann_topk_fast (identical _fit_quantizer sample + seed), so
+    their top-k agree up to last-ulp ties."""
+    from dozer_spark.ops.similarity import IvfAnnIndex, ivf_ann_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    idx = IvfAnnIndex(spark=e.sparkSession, vec_col="embedding",
+                      id_col="vec_id", n_centroids=16)
+    idx.add_batch(e)
+    got = idx.topk(q, k=5, n_probe=4).collect()
+    want = ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_centroids=16, n_probe=4).collect()
+    go = {(r.query_id, r.neighbor_id) for r in got}
+    wa = {(r.query_id, r.neighbor_id) for r in want}
+    assert len(go & wa) >= len(wa) - 1
+
+
+def test_ivf_index_incremental_frozen_quantizer_and_resume(spark, tmp_path):
+    """The quantizer fits on the FIRST batch and freezes; a crashed
+    instance resumes the identical centroids and corpus from the
+    durable state_dir; a resume with different geometry raises."""
+    import random
+
+    import pytest
+
+    from dozer_spark.ops.similarity import IvfAnnIndex
+
+    rnd = random.Random(11)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sd = str(tmp_path / "ivf_idx")
+    idx = IvfAnnIndex(spark, "embedding", "vec_id", n_centroids=4,
+                      state_dir=sd)
+    idx.add_batch(df.filter(df.vec_id < 60))
+    cents = [list(c) for c in idx._centroids]
+    idx.add_batch(df.filter(df.vec_id >= 60))
+    assert [list(c) for c in idx._centroids] == cents  # frozen
+
+    # crash: fresh instance resumes identical centroids + full corpus
+    idx2 = IvfAnnIndex(spark, "embedding", "vec_id", n_centroids=4,
+                       state_dir=sd)
+    assert [list(c) for c in idx2._centroids] == cents
+    assert idx2._corpus.count() == 120
+    q = df.filter(df.vec_id % 30 == 0)
+    a = sorted(map(tuple, idx.topk(q, k=3).collect()))
+    b = sorted(map(tuple, idx2.topk(q, k=3).collect()))
+    assert a == b and len(a) > 0
+
+    # geometry guard: mismatched resume must fail loud
+    with pytest.raises(ValueError, match="geometry"):
+        IvfAnnIndex(spark, "embedding", "vec_id", n_centroids=8,
+                    state_dir=sd)
+
+    # upsert: re-adding an id replaces its row (and may move cells)
+    idx2.add_batch(spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"))
+    assert idx2._corpus.filter("neighbor_id = 0").count() == 1
