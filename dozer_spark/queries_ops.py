@@ -264,6 +264,24 @@ def dedup_embedding_cosine(spark, sf):
     )
 
 
+@_q("dedup_semantic", None)  # k-means quantizer -> no SQL oracle
+def dedup_semantic(spark, sf):
+    """SemDeDup (Abbas et al. 2023): sample-fit k-means over the
+    embedding space, then within each cluster greedily keep items
+    farthest from the centroid, dropping any item with a kept duplicate
+    at cosine >= 1-eps. Returns the full decision table (one row per
+    vector -> rows-only driver gate); policy exactness vs a pure-numpy
+    reference and the hot-cell bound are pytest-pinned
+    (tests/test_semdedup.py)."""
+    from dozer_spark.ops.semdedup import semantic_dedup
+
+    e = _cat(spark, sf).df("embeddings")
+    # eps=0.55 -> cosine threshold 0.45, the corpus's planted near-dup
+    # level (same threshold dedup_embedding_cosine verifies at), so the
+    # driver run exercises real drops, not a kept-everything no-op
+    return semantic_dedup(e, "embedding", "vec_id", eps=0.55)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -79,6 +79,9 @@ def run(spark, sf_dir: str, epochs: int, ops: set | None = None) -> list[dict]:
         if want("ann"):
             _run_ann(spark, root, vecs, vec_parts, sf_dir, n_vecs,
                      epochs, out)
+        if want("ivf"):
+            _run_ivf(spark, root, vecs, vec_parts, sf_dir, n_vecs,
+                     epochs, out)
     finally:
         docs.unpersist()
         vecs.unpersist()
@@ -132,6 +135,28 @@ def _run_ann(spark, root, vecs, vec_parts, sf_dir, n_vecs, epochs, out):
                 "probe_rows": probe_n})
 
 
+def _run_ivf(spark, root, vecs, vec_parts, sf_dir, n_vecs, epochs, out):
+    """IvfAnnIndex amortization evidence: epoch 1 pays the sample-fit
+    (the only super-batch cost in the design), epochs 2..N are
+    assignment-only — the per-epoch numbers should DROP after the
+    first, unlike a rebuild-per-batch design whose cost would track the
+    accumulated corpus."""
+    from dozer_spark.ops.similarity import IvfAnnIndex
+
+    ivf = IvfAnnIndex(spark, "embedding", "vec_id",
+                      state_dir=os.path.join(root, "ivf"))
+    times = _epoch_times(lambda p: ivf.add_batch(p), vec_parts)
+    t0 = time.perf_counter()
+    probe_n = ivf.topk(
+        vecs.filter(F.col("vec_id") % 1000 == 0), k=5, n_probe=4).count()
+    out.append({"corpus": sf_dir, "op": "IvfAnnIndex",
+                "rows": n_vecs, "epochs": epochs,
+                "n_centroids": len(ivf._centroids),
+                "per_epoch_sec": times,
+                "probe_sec": round(time.perf_counter() - t0, 2),
+                "probe_rows": probe_n})
+
+
 def crash_rewind(spark, sf_dir: str, epochs: int) -> dict:
     """Crash-rewind equivalence at scale: an interrupted run (a FRESH
     StreamingSimHashDedup instance resumed from the durable state_dir
@@ -179,7 +204,7 @@ def main():
         argv = argv[:i] + argv[i + 2:]
     if "--ops" in argv:
         i = argv.index("--ops")
-        ops = set(argv[i + 1].split(","))  # minhash,simhash,ann
+        ops = set(argv[i + 1].split(","))  # minhash,simhash,ann,ivf
         argv = argv[:i] + argv[i + 2:]
     do_crash = "--crash-rewind" in argv
     argv = [a for a in argv if a != "--crash-rewind"]
