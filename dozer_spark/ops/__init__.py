@@ -18,6 +18,7 @@ from dozer_spark.ops.text import (
     redact_pii,
     gopher_quality,
     top_ngrams,
+    remove_duplicated_spans,
     window_duplication_score,
 )
 from dozer_spark.ops.packing import token_shard_assignment
@@ -85,5 +86,6 @@ __all__ = [
     "top_ngrams",
     "drop_duplicated_segments",
     "extract_audio_features",
+    "remove_duplicated_spans",
     "window_duplication_score",
 ]

@@ -365,3 +365,93 @@ def window_duplication_score(docs, text_col: str, id_col: str,
         (F.count("__dup").cast("double")
          / F.greatest(n_wins, F.lit(1)).cast("double")).alias("dup_score"),
     )
+
+
+def remove_duplicated_spans(docs, text_col: str, id_col: str,
+                            window: int = 20):
+    """Exact duplicated-span REMOVAL — the excision counterpart of
+    `window_duplication_score` (which only detects). For every
+    `window`-token span whose md5 fingerprint occurs MORE THAN ONCE in
+    the corpus (within-document repeats count), keep the globally-first
+    occurrence (minimum (doc_id, position)) and excise the tokens of
+    every other occurrence; overlapping removed windows merge through
+    the covered-position union, so a long duplicated region is cut once
+    as a span, not window-by-window (the fixed-window form of
+    suffix-array substring dedup, Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"; reference parity:
+    dozer has no substring-level op — this is the training-data layer).
+
+    Returns (id_col, n_tokens, n_removed, clean_text), one row per
+    input document; documents shorter than `window` tokens pass through
+    unchanged (clean_text re-joined with single spaces).
+
+    100 TB design: the only corpus-sized shuffle is the occurrence
+    census on 32-byte digests (map-side combined); the cached frame is
+    the SLIM (id, pos, digest) projection, never token arrays; the
+    duplicated-span set joins back under the broadcast size gate; span
+    excision is per-row higher-order functions (no second explode, no
+    UDF). Keeper selection is a `min(struct(id, pos))` aggregate — one
+    pass, no window function over the full census.
+    """
+    from dozer_spark.operators.hints import (
+        cache_materialized,
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+
+    w = int(window)
+    t = tokens(F.col(text_col))
+    base = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("__id"), t.alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    idx = F.when(n >= w, F.sequence(F.lit(1), n - F.lit(w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(F.col("__t"), i, w), " ")).alias("h"),
+        ),
+    )
+    # slim (id, pos, 32B digest) — cached because it feeds BOTH the
+    # census and the removal join; token arrays stay out of the cache
+    occ = cache_materialized(
+        base.select("__id", F.explode(wins).alias("o")).select(
+            "__id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h")
+        )
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col("__id").alias("kid"),
+                           F.col("pos").alias("kpos"))).alias("k"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select("h", "k")
+    )
+    rem = occ.join(maybe_broadcast(dup), "h").filter(
+        ~((F.col("__id") == F.col("k.kid")) & (F.col("pos") == F.col("k.kpos")))
+    )
+    cov = rem.groupBy("__id").agg(F.collect_set("pos").alias("__starts"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("__starts"),
+                        lambda s: F.sequence(s, s + F.lit(w - 1)))
+        )
+    )
+    empty = F.array().cast("array<int>")
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
+    kept = F.array_except(positions, F.coalesce(covered, empty))
+    clean = F.transform(kept, lambda p: F.element_at(F.col("__t"), p))
+    return (
+        base.join(cov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.coalesce(F.size(covered), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(clean, " ").alias("clean_text"),
+        )
+    )

@@ -303,3 +303,55 @@ def text_window_duplication_score(spark, sf):
 
     d = _cat(spark, sf).df("documents")
     return window_duplication_score(d, "text", "doc_id", window=20)
+
+
+@_q(
+    "dedup_remove_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), wpos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 19, 0))) AS pos
+      FROM t
+    ), occ AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(toks, pos, pos + 19), ' ')) AS h
+      FROM wpos
+    ), marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY h) AS c,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ), rem AS (
+      SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1
+    ), cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list(
+               list_transform(generate_series(0, 19), d -> pos + d)))) AS covered
+      FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             CASE WHEN c.covered IS NULL THEN t.toks
+                  ELSE list_transform(
+                         list_filter(generate_series(1, len(t.toks)),
+                                     p -> NOT list_contains(c.covered, p)),
+                         p -> t.toks[p]) END, ' '), '') AS clean_text
+    FROM t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_remove_spans(spark, sf):
+    """Duplicated-span EXCISION (Lee et al. substring dedup, fixed
+    20-token windows): every span occurring more than once in the
+    corpus keeps only its globally-first occurrence; overlapping
+    duplicated windows merge into one cut. The oracle replays the
+    identical window fingerprints, keeper ordering, and covered-
+    position union in SQL."""
+    from dozer_spark.ops.text import remove_duplicated_spans
+
+    d = _cat(spark, sf).df("documents")
+    return remove_duplicated_spans(d, "text", "doc_id", window=20)
