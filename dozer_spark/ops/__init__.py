@@ -19,6 +19,7 @@ from dozer_spark.ops.text import (
     gopher_quality,
     top_ngrams,
     remove_duplicated_spans,
+    unigram_logprob,
     window_duplication_score,
 )
 from dozer_spark.ops.packing import token_shard_assignment
@@ -87,5 +88,6 @@ __all__ = [
     "drop_duplicated_segments",
     "extract_audio_features",
     "remove_duplicated_spans",
+    "unigram_logprob",
     "window_duplication_score",
 ]

@@ -252,6 +252,66 @@ def top_ngrams(docs, text_col: str, n: int = 3, k: int = 100):
     )
 
 
+def unigram_logprob(docs, text_col: str, id_col: str):
+    """In-corpus unigram language-model score per document: the average
+    natural-log probability of the document's tokens under the corpus's
+    own (MLE, unsmoothed) unigram distribution, plus the perplexity
+    `exp(-avg_logprob)`. This is the self-contained analog of CCNet's
+    LM-perplexity quality filter — documents made of corpus-typical
+    words score high (low perplexity), rare-token noise scores low —
+    usable as a filter/stratification signal without an external model.
+    Unsmoothed is exact here: every scored token is in the census by
+    construction.
+
+    Returns (id_col, n_tokens, avg_logprob, perplexity), one row per
+    document with at least one token; floats rounded (6/3 places) so
+    the score is stable across engines and partitionings.
+
+    100 TB design: one corpus-sized shuffle (the token census, map-side
+    combined); the census joins back under the broadcast size gate
+    (vocabulary, not corpus, sized); corpus totals arrive via a
+    broadcast single-row cross join, never a driver collect; the
+    per-doc average uses the identity avg(ln c_t) - ln N so the join
+    carries one long per token and no second corpus pass.
+    """
+    from dozer_spark.operators.hints import (
+        cache_materialized,
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+
+    toks = cache_materialized(
+        ensure_min_partitions(docs).select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+        )
+    )
+    census = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    totals = census.agg(F.sum("__c").cast("double").alias("__n"))
+    per_doc = (
+        toks.join(maybe_broadcast(census), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log("__c")).alias("__avg_ln_c"),
+        )
+    )
+    avg_lp = F.col("__avg_ln_c") - F.log(F.col("__n"))
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(avg_lp, 6).alias("avg_logprob"),
+            # exp over the ROUNDED logprob: both engines exponentiate
+            # the identical 6-decimal value, so the 3-decimal
+            # perplexity can never straddle a rounding boundary
+            F.round(F.exp(-F.round(avg_lp, 6)), 3).alias("perplexity"),
+        )
+    )
+
+
 def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
                        n: int = 3):
     """Decontamination: per corpus document, the number of distinct word

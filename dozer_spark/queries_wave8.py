@@ -355,3 +355,38 @@ def dedup_remove_spans(spark, sf):
 
     d = _cat(spark, sf).df("documents")
     return remove_duplicated_spans(d, "text", "doc_id", window=20)
+
+
+@_q(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), census AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM census
+    ), per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(ln(ce.c)) AS avg_ln_c
+      FROM toks t JOIN census ce USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(avg_ln_c - ln(totals.n), 6) AS avg_logprob,
+           ROUND(exp(-(ROUND(avg_ln_c - ln(totals.n), 6))), 3) AS perplexity
+    FROM per_doc, totals
+    """,
+)
+def text_unigram_logprob(spark, sf):
+    """In-corpus unigram LM score (the self-contained analog of CCNet's
+    LM-perplexity quality filter): average ln-probability of each doc's
+    tokens under the corpus's own unigram MLE, plus perplexity
+    exp(-avg). The oracle replays census, totals, and the identical
+    avg(ln c) - ln N identity in SQL."""
+    from dozer_spark.ops.text import unigram_logprob
+
+    d = _cat(spark, sf).df("documents")
+    return unigram_logprob(d, "text", "doc_id")
