@@ -50,6 +50,7 @@ from dozer_spark.ops.dedup import (
     drop_duplicated_segments,
 )
 from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
+from dozer_spark.ops.bloom import BloomFilter
 
 __all__ = [
     "tokens",
@@ -90,4 +91,5 @@ __all__ = [
     "remove_duplicated_spans",
     "unigram_logprob",
     "window_duplication_score",
+    "BloomFilter",
 ]

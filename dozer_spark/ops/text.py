@@ -313,7 +313,7 @@ def unigram_logprob(docs, text_col: str, id_col: str):
 
 
 def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
-                       n: int = 3):
+                       n: int = 3, bloom_fpp: float | None = None):
     """Decontamination: per corpus document, the number of distinct word
     n-grams it shares with the EVAL split (docs matching `eval_pred`) —
     the standard benchmark-leakage filter of a training-data pipeline
@@ -327,6 +327,15 @@ def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
     shuffle; the groupBy shuffles only matching (doc, gram-hash) pairs.
     Reference scope: beyond dozer's surface — corpus-pipeline family
     (SURVEY.md §2 extension list).
+
+    bloom_fpp engages a broadcast Bloom PREFILTER (ops/bloom.py) ahead
+    of the exact confirm join: the corpus side drops
+    definitely-uncontaminated grams against a ~1.2-byte-per-gram
+    bitmap before any join, and the confirm join then sees only the
+    bloom-surviving superset. Output is IDENTICAL to the exact path
+    (no false negatives by Bloom construction; false positives die in
+    the confirm join) — the bitmap extends the no-corpus-shuffle
+    regime ~30x past where the gram TABLE stops being broadcastable.
     """
     from dozer_spark.operators.hints import (
         ensure_min_partitions,
@@ -358,6 +367,11 @@ def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
     corpus = g.filter(~F.col("__eval")).select(
         id_col, F.explode("__g").alias("__h")
     )
+    if bloom_fpp is not None:
+        from dozer_spark.ops.bloom import BloomFilter
+
+        bf = BloomFilter.build(ev, "__h", fpp=bloom_fpp)
+        corpus = corpus.filter(bf.contains(F.col("__h")))
     return (
         corpus.join(maybe_broadcast(ev), "__h")
         .groupBy(id_col)

@@ -789,6 +789,46 @@ def decontaminate_eval_ngrams(spark, sf):
 
 
 @_q(
+    "decontaminate_bloom",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 0)),
+          i -> md5(array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(g) AS h FROM grams WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(g) AS h FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corpus c JOIN eval_grams e USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_bloom(spark, sf):
+    """Decontamination through the broadcast Bloom PREFILTER
+    (ops/bloom.py): corpus grams are screened against a ~1.2-byte-per-
+    gram bitmap (1% fpp) before the exact confirm join, which then only
+    sees the bloom-surviving superset — the scale path once the eval
+    gram TABLE outgrows the broadcast gate (~30x more items fit as a
+    bitmap). No false negatives by Bloom construction and false
+    positives die in the confirm join, so the oracle is the SAME exact
+    SQL as decontaminate_eval_ngrams — the prefilter is provably
+    invisible in the output, which is precisely the claim this entry
+    gates."""
+    from dozer_spark.ops.text import eval_ngram_overlap
+
+    d = _cat(spark, sf).df("documents")
+    return eval_ngram_overlap(d, "text", "doc_id",
+                              F.col("doc_id") % 97 == 0, n=3,
+                              bloom_fpp=0.01)
+
+
+@_q(
     "quota_mixture_sample",
     """
     WITH ranked AS (
