@@ -312,6 +312,88 @@ def unigram_logprob(docs, text_col: str, id_col: str):
     )
 
 
+def bigram_logprob(docs, text_col: str, id_col: str, lam: float = 0.75):
+    """In-corpus INTERPOLATED bigram LM score per document: the average
+    natural-log probability of each token given its predecessor under
+    Jelinek-Mercer interpolation of the corpus's own bigram and unigram
+    MLEs — `p = lam * c(prev,cur)/c_left(prev) + (1-lam) * c(cur)/N`.
+    The bigram term captures local fluency (word-order-scrambled or
+    template-stitched text scores low even when its unigrams are
+    corpus-typical — exactly what the unigram filter cannot see); the
+    unigram backoff keeps every in-corpus pair finite. This is the
+    self-contained analog of a KenLM-style perplexity filter, one order
+    up from unigram_logprob.
+
+    Returns (id_col, n_bigrams, avg_logprob, perplexity), one row per
+    document with >= 2 tokens; rounding contract as unigram_logprob.
+
+    100 TB design: bigram pairs are built PER DOC with native array
+    ops (transform over sequence — no window/lag shuffle); the slim
+    (id, tokens) projection is cached once and feeds both censuses and
+    the scoring join; both censuses are map-side combined and join
+    back under the broadcast size gate (vocab/bigram-vocab sized, not
+    corpus sized — and volume-bound by the corpus token count); corpus
+    totals arrive via a broadcast single-row cross join.
+    """
+    from dozer_spark.operators.hints import (
+        cache_materialized,
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+
+    d = cache_materialized(
+        ensure_min_partitions(docs).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        )
+    )
+    toks = d.select(F.col(id_col), F.explode("__t").alias("__tok"))
+    pairs = (
+        d.filter(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i-1] AS prev, __t[i] AS cur))"
+                )
+            ).alias("__p"),
+        )
+        .select(F.col(id_col), F.col("__p.prev").alias("__prev"),
+                F.col("__p.cur").alias("__cur"))
+    )
+    pairs = cache_materialized(pairs)
+
+    big = pairs.groupBy("__prev", "__cur").agg(
+        F.count(F.lit(1)).cast("long").alias("__cb"))
+    # c_left(prev) = tokens of `prev` in non-final position — derived
+    # from the bigram census (no third corpus pass)
+    leftc = big.groupBy("__prev").agg(F.sum("__cb").alias("__cl"))
+    uni = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__cu"))
+    totals = uni.agg(F.sum("__cu").cast("double").alias("__n"))
+
+    # operand order matches the oracle SQL exactly: (lam*cb)/cl +
+    # ((1-lam)*cu)/n — identical IEEE evaluation per row
+    lnp = F.log(
+        F.lit(lam) * F.col("__cb") / F.col("__cl")
+        + F.lit(1.0 - lam) * F.col("__cu") / F.col("__n")
+    )
+    scored = (
+        pairs.join(maybe_broadcast(big), ["__prev", "__cur"])
+        .join(maybe_broadcast(leftc), "__prev")
+        .join(maybe_broadcast(uni.withColumnRenamed("__tok", "__cur")),
+              "__cur")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), lnp.alias("__lnp"))
+    )
+    avg_lp = F.avg("__lnp")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(avg_lp, 6).alias("avg_logprob"),
+        F.round(F.exp(-F.round(avg_lp, 6)), 3).alias("perplexity"),
+    )
+
+
 def eval_ngram_overlap(docs, text_col: str, id_col: str, eval_pred: Column,
                        n: int = 3, bloom_fpp: float | None = None):
     """Decontamination: per corpus document, the number of distinct word

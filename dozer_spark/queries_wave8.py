@@ -390,3 +390,57 @@ def text_unigram_logprob(spark, sf):
 
     d = _cat(spark, sf).df("documents")
     return unigram_logprob(d, "text", "doc_id")
+
+
+@_q(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, p.prev AS prev, p.cur AS cur
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> {'prev': t[i], 'cur': t[i + 1]})) AS p
+        FROM toks WHERE len(t) >= 2
+      )
+    ), big AS (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM pairs GROUP BY prev, cur
+    ), leftc AS (
+      SELECT prev, SUM(cb) AS cl FROM big GROUP BY prev
+    ), uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni
+    ), scored AS (
+      SELECT p.doc_id,
+             ln(0.75 * b.cb / l.cl + 0.25 * u.cu / tot.n) AS lnp
+      FROM pairs p
+      JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+      JOIN leftc l ON l.prev = p.prev
+      JOIN uni u ON u.tok = p.cur, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lnp), 6) AS avg_logprob,
+           ROUND(exp(-(ROUND(AVG(lnp), 6))), 3) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf):
+    """In-corpus INTERPOLATED bigram LM score (Jelinek-Mercer, lam=.75):
+    average ln P(cur|prev) under the corpus's own bigram MLE with
+    unigram backoff — the local-fluency filter one order above
+    text_unigram_logprob (scrambled word order scores low even with
+    corpus-typical unigrams). Bigram pairs are built with per-doc array
+    transforms (no lag window shuffle); the oracle replays the pair
+    construction, both censuses, and the identically-ordered
+    interpolation expression in SQL."""
+    from dozer_spark.ops.text import bigram_logprob
+
+    d = _cat(spark, sf).df("documents")
+    return bigram_logprob(d, "text", "doc_id", lam=0.75)
