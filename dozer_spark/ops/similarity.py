@@ -572,6 +572,265 @@ def lsh_ann_topk_fast(
     )
 
 
+def _pq_fit_codebooks(X, m_sub: int, n_codes: int, seed: int,
+                      iters: int = 10):
+    """Driver-side Lloyd k-means per PQ subspace over the bounded
+    residual SAMPLE (never the corpus — same training-cost contract as
+    _fit_quantizer: O(sample * n_codes * dsub * iters), corpus-size
+    independent). Deterministic: initial centroids are the first
+    n_codes rows of an md5-ordered permutation of the sample; empty
+    clusters keep their previous centroid. Returns (m_sub, k, dsub)."""
+    import numpy as np
+
+    n, d = X.shape
+    dsub = d // m_sub
+    k = min(n_codes, n)
+    order = sorted(range(n),
+                   key=lambda i: hashlib.md5(f"pq:{seed}:{i}".encode())
+                   .hexdigest())
+    books = []
+    for j in range(m_sub):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[order[:k]].copy()
+        for _ in range(iters):
+            d2 = ((S * S).sum(1)[:, None] + (C * C).sum(1)[None, :]
+                  - 2.0 * (S @ C.T))
+            a = np.argmin(d2, axis=1)
+            for ci in range(k):
+                m = a == ci
+                if m.any():
+                    C[ci] = S[m].mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _normalize_rows(M):
+    import numpy as np
+
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    return M / nrm
+
+
+def ivf_pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    seed: int = 42,
+    query_id_col: str | None = None,
+    hot_cell_cap: int = 65536,
+) -> DataFrame:
+    """IVF-PQ ANN with exact re-rank — the compressed-index path for a
+    corpus whose RAW vectors are too big to keep hot. The serving
+    index stores m_sub bytes per vector (PQ codes) plus a cell id
+    instead of 4*dim bytes of floats — 32x smaller at dim=64/m_sub=8 —
+    so at 100 TB of raw embeddings the scannable index is ~3 TB and
+    each query still touches only ~n_probe/n_centroids of it.
+
+    Pipeline (the standard FAISS IVFPQ+refine shape, built from public
+    literature: Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"):
+      1. normalize vectors (cosine == L2 order on the unit sphere);
+      2. coarse k-means quantizer, SAMPLE-fit (_fit_quantizer);
+      3. per-subspace PQ codebooks, driver-fit on a bounded seeded
+         residual sample (_pq_fit_codebooks), corpus encoded to
+         m_sub uint8 codes in one Arrow-batched pass;
+      4. queries probe n_probe cells; each (cell, block) cogroup is
+         scored by ADC — one (m_sub x n_codes) lookup table per query
+         against the block's code matrix, no float vectors touched —
+         keeping the refine*k best candidates per block under the
+         same _split_hot_groups bound as every other fast path;
+      5. exact re-rank: the surviving candidate ids (nq * refine * k
+         rows — tiny) broadcast-join back to the RAW vectors and the
+         final top-k is exact cosine over them.
+
+    Approximate (k-means cells + PQ distances decide the candidate
+    set) -> rows-only gate; recall vs brute force and split==unsplit
+    equivalence live in tests/test_ann_clusters.py.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
+
+    qid = query_id_col or id_col
+    c_raw = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"))
+    dim = len(c_raw.select("cv").first()[0])
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivf_pq_ann_topk: dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+
+    # normalized corpus: cosine order == L2 order on the unit sphere,
+    # so the coarse cells, residuals, and ADC all live in one metric
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("cv"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    cn = c_raw.withColumn("__nrm", nrm).select(
+        "neighbor_id",
+        F.transform(
+            F.col("cv"),
+            lambda x: x.cast("double")
+            / F.when(F.col("__nrm") == 0.0, F.lit(1.0)).otherwise(F.col("__nrm")),
+        ).alias("cv"),
+    )
+    n = cn.count()
+    if n_centroids is None:
+        n_centroids = min(4096, max(16, int(math.sqrt(n))))
+    ml = cn.select("neighbor_id", "cv",
+                   array_to_vector(F.col("cv")).alias("feat"))
+    model = _fit_quantizer(ml, n, n_centroids, seed)
+    c_cells = cache_materialized(
+        model.transform(ml).select("neighbor_id", "cv", "cell"))
+    centroids = np.array([list(map(float, v)) for v in model.clusterCenters()])
+
+    # PQ codebooks: driver Lloyd on a bounded seeded residual sample
+    target = 39 * n_codes
+    fit_set = c_cells
+    if n > target:
+        ppm = max(1, min(1_000_000, int(1_000_000 * target * 1.05 / n)))
+        fit_set = c_cells.filter(
+            F.pmod(F.xxhash64(F.col("neighbor_id"), F.lit(seed + 1)),
+                   F.lit(1_000_000)) < F.lit(ppm))
+    sample = fit_set.select("cv", "cell").collect()
+    V = np.array([list(map(float, r["cv"])) for r in sample])
+    R = V - centroids[np.array([r["cell"] for r in sample])]
+    books = _pq_fit_codebooks(R, m_sub, n_codes, seed)
+
+    # encode: ONE Arrow-batched pass corpus -> (neighbor_id, cell,
+    # m_sub-byte code) — the compressed index
+    code_schema = T.StructType([
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.BinaryType()),
+    ])
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Vb = np.array([list(map(float, v)) for v in pdf["cv"]])
+            Rb = Vb - centroids[pdf["cell"].to_numpy()]
+            codes = np.empty((len(pdf), m_sub), dtype=np.uint8)
+            for j in range(m_sub):
+                S = Rb[:, j * dsub:(j + 1) * dsub]
+                B = books[j]
+                d2 = ((S * S).sum(1)[:, None] + (B * B).sum(1)[None, :]
+                      - 2.0 * (S @ B.T))
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                "neighbor_id": pdf["neighbor_id"],
+                "cell": pdf["cell"].astype("int32"),
+                "codes": [codes[i].tobytes() for i in range(len(pdf))],
+            })
+
+    c_codes = c_cells.mapInPandas(encode, code_schema)
+
+    # query probe: normalize, n_probe nearest cells
+    q_raw = queries.select(F.col(qid).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+    probe_schema = T.StructType([
+        T.StructField("query_id", queries.schema[qid].dataType),
+        T.StructField("qv", T.ArrayType(T.DoubleType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
+
+    def probe_cells(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _normalize_rows(
+                np.array([list(map(float, v)) for v in pdf["qv"]]))
+            top = _nearest_cells(Q, centroids, n_probe)
+            rows = []
+            for i in range(len(pdf)):
+                for cell in top[i]:
+                    rows.append((pdf["query_id"].iloc[i],
+                                 list(Q[i]), int(cell)))
+            yield pd.DataFrame(rows, columns=["query_id", "qv", "cell"])
+
+    probed = q_raw.mapInPandas(probe_cells, probe_schema)
+
+    # ADC candidate stage: per-(cell, block) cogroup, LUT per query,
+    # keep refine*k best per block (same bound as every fast path)
+    n_cand = refine * k
+    adc_schema = T.StructType([
+        T.StructField("query_id", queries.schema[qid].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def adc_score(key, cdf, qdf):
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in adc_schema})
+        cell = int(cdf["cell"].iloc[0])
+        C = np.frombuffer(b"".join(cdf["codes"]), dtype=np.uint8)
+        C = C.reshape(len(cdf), m_sub)
+        nids = cdf["neighbor_id"].to_numpy()
+        rows = []
+        sub = np.arange(m_sub)
+        for qi in range(len(qdf)):
+            qres = (np.array(list(map(float, qdf["qv"].iloc[qi])))
+                    - centroids[cell])
+            Rq = qres.reshape(m_sub, 1, dsub)
+            lut = ((Rq - books) ** 2).sum(-1)  # (m_sub, n_codes)
+            d = lut[sub[None, :], C].sum(axis=1)
+            qid_val = qdf["query_id"].iloc[qi]
+            mask = nids != qid_val
+            order = np.lexsort((nids[mask], d[mask]))[:n_cand]
+            idx = np.nonzero(mask)[0][order]
+            for ni in idx:
+                rows.append((qid_val, nids[ni], float(d[ni])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+
+    c_blk, q_blk = _split_hot_groups(c_codes, probed, ["cell"],
+                                     "neighbor_id", hot_cell_cap)
+    scored = (
+        c_blk.groupBy("cell", "__blk")
+        .cogroup(q_blk.groupBy("cell", "__blk"))
+        .applyInPandas(adc_score, adc_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"),
+                                               F.asc("neighbor_id"))
+    cands = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank on RAW vectors: candidate ids are nq*refine*k rows
+    # — broadcast them into the corpus scan, never the reverse
+    refined = (
+        c_raw.join(maybe_broadcast(cache_materialized(cands)), "neighbor_id")
+        .join(maybe_broadcast(q_raw), "query_id")
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 class StreamingAnnIndex:
     """Incrementally maintained LSH ANN index: vector batches append to
     a bucketed corpus state (one bucket computation per NEW vector,

@@ -395,6 +395,24 @@ def ann_ivf_topk(spark, sf):
     return ivf_ann_topk(e, q, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
 
 
+@_q("ann_ivf_pq_topk", None)  # k-means cells + PQ candidates -> rows-only
+def ann_ivf_pq_topk(spark, sf):
+    """IVF-PQ with exact re-rank (Jegou et al. 2011): the compressed-
+    index ANN path — the serving index is m_sub bytes of PQ codes per
+    vector (32x under raw floats at dim 64), candidates come from
+    table-lookup ADC inside the probed cells, and the final top-k is
+    exact cosine over the refine*k survivors fetched from the raw
+    vectors. Approximate candidate set -> rows-only gate; recall vs
+    brute force + split==unsplit equivalence in
+    tests/test_ann_clusters.py."""
+    from dozer_spark.ops.similarity import ivf_pq_ann_topk
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_ann_topk(e, q, "embedding", "vec_id", k=5,
+                           n_centroids=16, n_probe=4, m_sub=8, refine=4)
+
+
 def _clusters_oracle() -> str:
     pairs = _minhash_oracle(0.9).strip().rstrip()
     return f"""
