@@ -8,6 +8,7 @@ genuinely required; each operator documents its scale path.
 """
 
 from dozer_spark.ops.text import (
+    bigram_logprob,
     tokens,
     token_count,
     quality_score,
@@ -24,6 +25,7 @@ from dozer_spark.ops.text import (
 )
 from dozer_spark.ops.packing import token_shard_assignment
 from dozer_spark.ops.sampling import (
+    dsir_log_weights,
     hash_sample,
     stratified_hash_sample,
     quota_sample,
@@ -51,6 +53,7 @@ from dozer_spark.ops.dedup import (
 )
 from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
 from dozer_spark.ops.bloom import BloomFilter
+from dozer_spark.ops.similarity import ivf_pq_ann_topk
 
 __all__ = [
     "tokens",
@@ -90,6 +93,9 @@ __all__ = [
     "extract_audio_features",
     "remove_duplicated_spans",
     "unigram_logprob",
+    "bigram_logprob",
     "window_duplication_score",
     "BloomFilter",
+    "dsir_log_weights",
+    "ivf_pq_ann_topk",
 ]

@@ -158,3 +158,94 @@ def temperature_sample(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def dsir_log_weights(docs: DataFrame, text_col: str, id_col: str,
+                     target_pred: Column, n_buckets: int = 10_000):
+    """DSIR-style importance weights for data selection (public method:
+    Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): featurize every document as hashed word unigram +
+    bigram counts over `n_buckets` buckets, estimate the TARGET
+    (`target_pred` rows — the high-quality/eval-domain split) and RAW
+    (everything else) bucket distributions with add-1 smoothing, and
+    score each raw document with the log importance weight
+    `sum over its feature occurrences of ln(p_target[b] / p_raw[b])`.
+    Sampling raw docs with probability proportional to the weight
+    (e.g. Gumbel top-k over log_weight) reproduces the paper's
+    importance resampling; this op returns the weights and leaves the
+    cut policy to the caller.
+
+    Returns (id_col, n_feats, log_weight) for every raw document with
+    at least one token, log_weight rounded to 6 places.
+
+    Deterministic and oracle-checkable: the feature hash is the md5
+    32-bit prefix mod n_buckets (engine-portable — same idiom as
+    hash_bucket), and the smoothed log-ratio is evaluated in the same
+    operand order in Spark and SQL.
+
+    100 TB design: one cached slim gram stream feeds both censuses and
+    the per-doc aggregation; censuses are map-side combined and
+    n_buckets-bounded; the log-ratio table is n_buckets rows —
+    broadcast — so the only corpus-sized shuffle is the per-doc
+    groupBy; totals arrive via a broadcast single-row cross join.
+    """
+    from dozer_spark.operators.hints import (
+        cache_materialized,
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+    from dozer_spark.ops.text import tokens
+
+    t = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.expr("transform(sequence(1, size(__t) - 1),"
+               " i -> __t[i-1] || ' ' || __t[i])"),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col),
+                F.coalesce(target_pred, F.lit(False)).alias("__is_t"),
+                t.alias("__t"))
+        .withColumn("__g", F.concat(F.col("__t"), bigrams))
+    )
+    feats = cache_materialized(
+        base.select(
+            F.col(id_col), F.col("__is_t"),
+            F.explode("__g").alias("__gram"))
+        .select(
+            F.col(id_col), F.col("__is_t"),
+            (F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10)
+             .cast("long") % F.lit(n_buckets)).alias("__b"))
+    )
+    tc = feats.filter(F.col("__is_t")).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__ct"))
+    rc = feats.filter(~F.col("__is_t")).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__cr"))
+    nt = feats.filter(F.col("__is_t")).agg(
+        F.count(F.lit(1)).cast("double").alias("__nt"))
+    nr = feats.filter(~F.col("__is_t")).agg(
+        F.count(F.lit(1)).cast("double").alias("__nr"))
+    # every raw doc's bucket appears in rc by construction, so the
+    # ratio table is built on rc with the target side left-joined
+    lw = (
+        F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1))
+              / (F.col("__nt") + F.lit(float(n_buckets))))
+        - F.log((F.col("__cr") + F.lit(1))
+                / (F.col("__nr") + F.lit(float(n_buckets))))
+    )
+    ratio = (
+        rc.join(tc, "__b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("__b", lw.alias("__lw"))
+    )
+    return (
+        feats.filter(~F.col("__is_t"))
+        .join(maybe_broadcast(cache_materialized(ratio)), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("__lw"), 6).alias("log_weight"),
+        )
+    )

@@ -875,6 +875,59 @@ def quota_mixture_sample(spark, sf):
     ).select("lang", "doc_id")
 
 
+@_q(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, doc_id % 97 = 0 AS is_t,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 10000 AS b
+      FROM (
+        SELECT doc_id, is_t,
+               unnest(t || list_transform(
+                 generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks
+      )
+    ), tc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feats WHERE is_t GROUP BY b
+    ), rc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feats WHERE NOT is_t GROUP BY b
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats WHERE is_t
+    ), nr AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats WHERE NOT is_t
+    ), ratio AS (
+      SELECT rc.b,
+             ln((COALESCE(tc.ct, 0) + 1) / (nt.n + 10000.0))
+             - ln((rc.cr + 1) / (nr.n + 10000.0)) AS lw
+      FROM rc LEFT JOIN tc ON tc.b = rc.b, nt, nr
+    )
+    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(SUM(r.lw), 6) AS log_weight
+    FROM feats f JOIN ratio r ON r.b = f.b
+    WHERE NOT f.is_t
+    GROUP BY f.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket counts, add-1-smoothed target (doc_id % 97 = 0 split) vs raw
+    bucket distributions, per-raw-doc log importance weight
+    sum ln(p_target/p_raw) — the data-selection signal for sampling a
+    raw corpus toward a target domain. Exact DuckDB oracle replays the
+    md5-prefix feature hash, both censuses, and the identically-ordered
+    smoothed log-ratio."""
+    from dozer_spark.ops.sampling import dsir_log_weights
+
+    d = _cat(spark, sf).df("documents")
+    return dsir_log_weights(d, "text", "doc_id",
+                            F.col("doc_id") % 97 == 0, n_buckets=10_000)
+
+
 def _cross_corpus_oracle() -> str:
     pairs = _minhash_oracle(0.9).strip()
     return f"""

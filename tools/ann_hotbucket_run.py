@@ -72,6 +72,16 @@ def run(spark, sf_dir: str) -> dict:
             e, e.filter(F.col("vec_id") % 1000 == 0), "embedding",
             "vec_id", k=5).count()
         t_ivf = round(time.perf_counter() - t0, 2)
+
+    t_pq = pq_n = None
+    if not os.environ.get("SKIP_PQ"):
+        from dozer_spark.ops.similarity import ivf_pq_ann_topk
+
+        t0 = time.perf_counter()
+        pq_n = ivf_pq_ann_topk(
+            e, e.filter(F.col("vec_id") % 1000 == 0), "embedding",
+            "vec_id", k=5).count()
+        t_pq = round(time.perf_counter() - t0, 2)
     e.unpersist()
     return {
         "corpus": sf_dir, "vectors": n, "n_planes": n_planes,
@@ -80,6 +90,10 @@ def run(spark, sf_dir: str) -> dict:
         "block_bound_ok": hot_blk <= 2 * CAP,
         "lsh_fast_sec": round(t_lsh, 2), "lsh_rows": lsh_n,
         "ivf_fast_sec": t_ivf, "ivf_rows": ivf_n,
+        "ivf_pq_sec": t_pq, "ivf_pq_rows": pq_n,
+        # compressed-index footprint: m_sub=8 code bytes + 4B cell vs
+        # 4B * dim raw floats per vector
+        "pq_index_bytes_per_vec": 12, "raw_bytes_per_vec": 4 * dim,
     }
 
 
