@@ -249,3 +249,33 @@ def dsir_log_weights(docs: DataFrame, text_col: str, id_col: str,
             F.round(F.sum("__lw"), 6).alias("log_weight"),
         )
     )
+
+
+def dsir_gumbel_topk(docs: DataFrame, text_col: str, id_col: str,
+                     target_pred: Column, n_select: int,
+                     n_buckets: int = 10_000, salt: str = "dsir"):
+    """The resampling half of DSIR: draw `n_select` raw documents with
+    probability proportional to their importance weight via the Gumbel
+    top-k trick — score = log_weight + Gumbel noise, keep the top
+    n_select scores. The noise is DETERMINISTIC (inverse-CDF over the
+    md5 hash bucket of the doc id, u = (bucket + 0.5) / 2^32,
+    g = -ln(-ln u)), so the drawn sample is reproducible across
+    engines, runs, and partitionings — the same contract as every
+    sampler in this module, and the property that makes an exact SQL
+    oracle possible for a *random* sample.
+
+    Returns (id_col, n_feats, log_weight, gumbel_score) for the
+    selected documents. The top-k cut is orderBy().limit() — Spark
+    executes it as a distributed take-ordered, never a single-partition
+    global sort.
+    """
+    if n_select <= 0:
+        raise ValueError("n_select must be positive")
+    w = dsir_log_weights(docs, text_col, id_col, target_pred, n_buckets)
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    score = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_score", F.round(score, 6))
+        .orderBy(F.desc("gumbel_score"), F.asc(id_col))
+        .limit(n_select)
+    )

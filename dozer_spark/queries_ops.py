@@ -875,9 +875,9 @@ def quota_mixture_sample(spark, sf):
     ).select("lang", "doc_id")
 
 
-@_q(
-    "dsir_importance_weights",
-    """
+def _dsir_weights_sql() -> str:
+    """The shared census/log-ratio body of the two DSIR oracles."""
+    return """
     WITH toks AS (
       SELECT doc_id, doc_id % 97 = 0 AS is_t,
              list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -905,12 +905,53 @@ def quota_mixture_sample(spark, sf):
              ln((COALESCE(tc.ct, 0) + 1) / (nt.n + 10000.0))
              - ln((rc.cr + 1) / (nr.n + 10000.0)) AS lw
       FROM rc LEFT JOIN tc ON tc.b = rc.b, nt, nr
+    ), weights AS (
+      SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             ROUND(SUM(r.lw), 6) AS log_weight
+      FROM feats f JOIN ratio r ON r.b = f.b
+      WHERE NOT f.is_t
+      GROUP BY f.doc_id
     )
-    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-           ROUND(SUM(r.lw), 6) AS log_weight
-    FROM feats f JOIN ratio r ON r.b = f.b
-    WHERE NOT f.is_t
-    GROUP BY f.doc_id
+    """
+
+
+@_q(
+    "dsir_gumbel_topk_sample",
+    _dsir_weights_sql() + """
+    , noisy AS (
+      SELECT doc_id, n_feats, log_weight,
+             ROUND(log_weight - ln(-ln(
+               (CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel_score
+      FROM weights
+    )
+    SELECT doc_id, n_feats, log_weight, gumbel_score
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY gumbel_score DESC, doc_id) AS rn FROM noisy)
+    WHERE rn <= 100
+    """,
+)
+def dsir_gumbel_topk_sample(spark, sf):
+    """DSIR resampling via deterministic Gumbel top-k: 100 raw docs
+    drawn with probability proportional to their importance weight —
+    the noise is inverse-CDF over the doc id's md5 bucket, so this
+    *random* sample replays exactly in SQL (scores rounded to 6 places
+    before the cut so last-ulp ln() differences cannot flip the
+    ordering; ties break on doc_id). The Spark cut is
+    orderBy().limit() — a distributed take-ordered, not a global
+    sort."""
+    from dozer_spark.ops.sampling import dsir_gumbel_topk
+
+    d = _cat(spark, sf).df("documents")
+    return dsir_gumbel_topk(d, "text", "doc_id",
+                            F.col("doc_id") % 97 == 0, n_select=100,
+                            n_buckets=10_000)
+
+
+@_q(
+    "dsir_importance_weights",
+    _dsir_weights_sql() + """
+    SELECT doc_id, n_feats, log_weight FROM weights
     """,
 )
 def dsir_importance_weights(spark, sf):

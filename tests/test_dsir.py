@@ -97,3 +97,23 @@ def test_null_predicate_counts_as_raw(spark):
     got = dsir_log_weights(df, "text", "doc_id",
                            F.col("tag") == "t").collect()
     assert {r["doc_id"] for r in got} == {2}
+
+
+def test_gumbel_topk_deterministic_and_bounded(spark):
+    rows = [(i, f"word{i % 13} common text body {i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dozer_spark.ops.sampling import dsir_gumbel_topk
+
+    pred = F.col("doc_id") % 10 == 0
+    a = sorted(map(tuple, dsir_gumbel_topk(
+        df, "text", "doc_id", pred, n_select=15).collect()))
+    b = sorted(map(tuple, dsir_gumbel_topk(
+        df, "text", "doc_id", pred, n_select=15).collect()))
+    assert a == b and len(a) == 15
+    # selected docs are raw only, scores are finite
+    for r in a:
+        assert r[0] % 10 != 0
+    # n_select larger than the raw population returns everything
+    allr = dsir_gumbel_topk(df, "text", "doc_id", pred,
+                            n_select=1000).collect()
+    assert len(allr) == 54
