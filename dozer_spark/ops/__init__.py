@@ -25,6 +25,7 @@ from dozer_spark.ops.text import (
 )
 from dozer_spark.ops.packing import token_shard_assignment
 from dozer_spark.ops.sampling import (
+    dsir_gumbel_topk,
     dsir_log_weights,
     hash_sample,
     stratified_hash_sample,
@@ -53,6 +54,7 @@ from dozer_spark.ops.dedup import (
 )
 from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
 from dozer_spark.ops.bloom import BloomFilter
+from dozer_spark.ops.search import bm25_topn
 from dozer_spark.ops.similarity import ivf_pq_ann_topk
 
 __all__ = [
@@ -98,4 +100,6 @@ __all__ = [
     "BloomFilter",
     "dsir_log_weights",
     "ivf_pq_ann_topk",
+    "bm25_topn",
+    "dsir_gumbel_topk",
 ]

@@ -969,6 +969,70 @@ def dsir_importance_weights(spark, sf):
                             F.col("doc_id") % 97 == 0, n_buckets=10_000)
 
 
+_BM25_QUERIES = [("q1", "fast join query"), ("q2", "table scan filter"),
+                 ("q3", "window agg group")]
+
+
+@_q(
+    "bm25_search_topn",
+    """
+    WITH q(query_id, qtext) AS (VALUES {values}),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), dfr AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (n.n - dfr.df + 0.5) / (dfr.df + 0.5)) AS idf
+      FROM dfr, n
+    ), qt AS (
+      SELECT query_id,
+             unnest(list_distinct(
+               list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+      FROM q
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             ROUND(SUM(idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+               AS score
+      FROM qt
+      JOIN tf ON tf.term = qt.term
+      JOIN idf ON idf.term = qt.term
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """.format(values=", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)),
+)
+def bm25_search_topn(spark, sf):
+    """Okapi BM25 top-10 per query (Robertson idf, k1=1.2, b=0.75) —
+    the lexical-search face of the engine, complementing the ANN
+    family. Scores round to 6 places BEFORE the rank cut (ties break
+    on doc_id) so the per-query top-10 is deterministic across engines
+    and summation orders; the oracle replays tf/dl/idf and the
+    identically-ordered scoring expression in SQL."""
+    from dozer_spark.ops.search import bm25_topn
+
+    d = _cat(spark, sf).df("documents")
+    q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+    return bm25_topn(d, "text", "doc_id", q, "qtext", "query_id",
+                     k1=1.2, b=0.75, topn=10)
+
+
 def _cross_corpus_oracle() -> str:
     pairs = _minhash_oracle(0.9).strip()
     return f"""
