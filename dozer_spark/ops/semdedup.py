@@ -217,3 +217,96 @@ def semantic_dedup(
         .groupBy("cell", "subcell")
         .applyInPandas(greedy, out_schema)
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    total: int,
+    n_centroids: int | None = None,
+    alpha: float = 0.5,
+    seed: int = 42,
+    salt: str = "cluster",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling over an embedding column —
+    the diversification half of the D4 recipe (Tirumala et al. 2023,
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification", public literature): k-means-partition the
+    embedding space, then draw a per-cluster quota
+    `round(total * c^alpha / sum(c^alpha))` so dominant semantic
+    clusters are downweighted and rare ones over-represented
+    (alpha=1 reproduces proportional sampling; alpha->0 approaches
+    equal-per-cluster). Rows within a cluster are chosen by the
+    deterministic (md5, id) rank — the same engine-portable cut as
+    every sampler in ops/sampling.py.
+
+    Returns (id_col, cell) for the selected rows. k-means makes an
+    exact SQL oracle infeasible (rows-only gate); determinism, quota
+    arithmetic, and skew-rebalancing are pytest-pinned.
+
+    100 TB design: quantizer is sample-fit (bounded training set);
+    assignment is one matmul-expanded mapInPandas pass; the quota
+    table is n_centroids rows (broadcast); the rank cut is one
+    shuffle on the cell column. Hot cells cost one window sort each —
+    pre-thin a dominant cluster with hash_sample if a single cell's
+    rank task is ever the straggler.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    if total <= 0:
+        raise ValueError("total must be positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+
+    centroids = _semdedup_centroids(df, vec_col, id_col, n_centroids, seed)
+    if not centroids:
+        return df.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField(id_col, df.schema[id_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]))
+    C = np.array(centroids)
+
+    from dozer_spark.ops.similarity import _nearest_cells
+
+    src = ensure_min_partitions(df).select(
+        F.col(id_col), F.col(vec_col).alias("__v"))
+    assign_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("cell", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([list(map(float, v)) for v in pdf["__v"]])
+            cells = _nearest_cells(V, C, 1)[:, 0]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cell": cells.astype("int32")})
+
+    assigned = cache_materialized(src.mapInPandas(assign, assign_schema))
+
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__c"))
+    weighted = counts.withColumn(
+        "__w", F.pow(F.col("__c").cast("double"), alpha))
+    quotas = (
+        weighted.withColumn("__wsum", F.sum("__w").over(Window.partitionBy()))
+        .select(
+            "cell",
+            F.round(F.lit(float(total)) * F.col("__w") / F.col("__wsum"))
+            .cast("long").alias("__quota"),
+        )
+    )
+    order = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cell").orderBy(order, F.col(id_col))
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), "cell")
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .select(id_col, "cell")
+    )

@@ -264,6 +264,22 @@ def dedup_embedding_cosine(spark, sf):
     )
 
 
+@_q("sample_cluster_balanced", None)  # k-means quantizer -> no SQL oracle
+def sample_cluster_balanced(spark, sf):
+    """Cluster-balanced diversity sampling (the D4 diversification
+    half, Tirumala et al. 2023): k-means cells over the embedding
+    space, per-cell quota total * c^alpha / sum(c^alpha) (alpha=0.5
+    downweights dominant semantic clusters), rows chosen by the
+    deterministic (md5, id) rank. Rows-only gate (k-means); quota
+    arithmetic, determinism, and skew-rebalancing pytest-pinned
+    (tests/test_semdedup.py)."""
+    from dozer_spark.ops.semdedup import cluster_balanced_sample
+
+    e = _cat(spark, sf).df("embeddings")
+    return cluster_balanced_sample(e, "embedding", "vec_id", total=100,
+                                   n_centroids=8, alpha=0.5)
+
+
 @_q("dedup_semantic", None)  # k-means quantizer -> no SQL oracle
 def dedup_semantic(spark, sf):
     """SemDeDup (Abbas et al. 2023): sample-fit k-means over the

@@ -146,3 +146,49 @@ def test_empty_corpus(spark):
     out = semantic_dedup(df, "embedding", "vec_id")
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "cell", "centroid_sim", "kept"}
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # two well-separated clusters, 10:1 skew
+    big = rng.randn(200, 8) * 0.05 + np.array([5.0] * 8)
+    small = rng.randn(20, 8) * 0.05 + np.array([-5.0] * 8)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(big)]
+    rows += [(1000 + i, [float(x) for x in v]) for i, v in enumerate(small)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    from dozer_spark.ops.semdedup import cluster_balanced_sample
+
+    a = sorted(map(tuple, cluster_balanced_sample(
+        df, "embedding", "vec_id", total=60, n_centroids=2,
+        alpha=0.5).collect()))
+    b = sorted(map(tuple, cluster_balanced_sample(
+        df, "embedding", "vec_id", total=60, n_centroids=2,
+        alpha=0.5).collect()))
+    assert a == b
+    # sqrt weighting: quotas ~ 60*sqrt(200)/(sqrt(200)+sqrt(20)) ≈ 46
+    # and ≈ 14 — the rare cluster gets ~23%, far above its 9% share
+    by_cell = {}
+    for _vid, cell in a:
+        by_cell[cell] = by_cell.get(cell, 0) + 1
+    assert len(by_cell) == 2
+    small_share = min(by_cell.values()) / sum(by_cell.values())
+    assert small_share > 0.15
+    # no cell exceeds its population
+    assert max(by_cell.values()) <= 200
+    assert abs(sum(by_cell.values()) - 60) <= 1
+
+
+def test_cluster_balanced_sample_validates_args(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    from dozer_spark.ops.semdedup import cluster_balanced_sample
+
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(df, "embedding", "vec_id", total=0)
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(df, "embedding", "vec_id", total=5,
+                                alpha=0.0)
