@@ -60,11 +60,46 @@ def run(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_decon_ab(spark, sf_dir: str) -> dict:
+    """The Bloom win-regime A/B: disable every broadcast (our gate AND
+    Spark's auto threshold) so the exact path's eval-gram join degrades
+    to a corpus-sized shuffle — the regime a too-big-to-broadcast eval
+    set puts a real cluster in — and measure exact vs bloom-prefiltered
+    decontamination. The bloom bitmap still broadcasts (it is a Python
+    broadcast variable, not a join side), which is the entire point."""
+    from dozer_spark.operators import hints
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {"corpus": sf_dir, "mode": "no_broadcast_ab", "docs": d.count()}
+    prev_gate = hints.BROADCAST_GATE_BYTES
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        hints.BROADCAST_GATE_BYTES = 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        t0 = time.perf_counter()
+        out["decon_exact_rows"] = eval_ngram_overlap(
+            d, "text", "doc_id", F.col("doc_id") % 97 == 0, n=3).count()
+        out["decon_exact_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        out["decon_bloom_rows"] = eval_ngram_overlap(
+            d, "text", "doc_id", F.col("doc_id") % 97 == 0, n=3,
+            bloom_fpp=0.01).count()
+        out["decon_bloom_sec"] = round(time.perf_counter() - t0, 2)
+    finally:
+        hints.BROADCAST_GATE_BYTES = prev_gate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
 def main():
     spark = get_spark("textops_scale_run")
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in sys.argv[1:]:
-        print(json.dumps(run(spark, sf_dir)), flush=True)
+    ab = "--decon-ab" in sys.argv
+    for sf_dir in [a for a in sys.argv[1:] if not a.startswith("--")]:
+        if ab:
+            print(json.dumps(run_decon_ab(spark, sf_dir)), flush=True)
+        else:
+            print(json.dumps(run(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":
