@@ -9,6 +9,7 @@ genuinely required; each operator documents its scale path.
 
 from dozer_spark.ops.text import (
     bigram_logprob,
+    winnow_fingerprint_score,
     tokens,
     token_count,
     quality_score,
@@ -97,6 +98,7 @@ __all__ = [
     "remove_duplicated_spans",
     "unigram_logprob",
     "bigram_logprob",
+    "winnow_fingerprint_score",
     "window_duplication_score",
     "BloomFilter",
     "dsir_log_weights",

@@ -611,3 +611,83 @@ def remove_duplicated_spans(docs, text_col: str, id_col: str,
             F.array_join(clean, " ").alias("clean_text"),
         )
     )
+
+
+def winnow_fingerprint_score(docs, text_col: str, id_col: str,
+                             k: int = 5, w: int = 4):
+    """Winnowing document fingerprinting (Schleimer et al. 2003 — the
+    MOSS algorithm, public literature): hash every k-token shingle,
+    slide a w-hash window, select each window's MINIMUM hash, and keep
+    the distinct selected values as the document's fingerprint set.
+    Winnowing's guarantee over fixed-stride sampling: any shared run of
+    at least w + k - 1 tokens between two documents is caught by a
+    shared fingerprint, at an expected density of only 2/(w+1) of the
+    shingles — the same detection floor as exhaustive shingle
+    comparison at a fraction of the census volume (this module's
+    window_duplication_score censuses EVERY window; winnowing censuses
+    ~2/(w+1) of them with a guaranteed-gap bound).
+
+    Per document: the fingerprint count, how many fingerprints also
+    occur in at least one OTHER document, and the shared fraction —
+    a cheaper drop-in for the duplication-report metric. Documents
+    with fewer than w shingles contribute their single minimum hash
+    (the standard short-document rule); documents under k tokens have
+    no shingles and score 0 over 0.
+
+    100 TB design: identical scale shape to window_duplication_score
+    — per-doc distinct fingerprints (already ~2/(w+1) the volume),
+    8-byte hashes on the wire, map-side-combined census,
+    gated-broadcast shared set.
+    """
+    from dozer_spark.operators.hints import (
+        cache_materialized,
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+
+    t = tokens(F.col(text_col))
+    base0 = ensure_min_partitions(docs).select(
+        F.col(id_col), t.alias("__t"))
+    hs = F.when(
+        F.size("__t") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__t) - {k} + 1),"
+            f" i -> cast(conv(substr(md5(array_join(slice(__t, i, {k}),"
+            f" ' ')), 1, 8), 16, 10) as bigint))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base1 = base0.select(F.col(id_col), hs.alias("__h"))
+    m = F.size("__h")
+    fps = (
+        F.when(
+            m >= w,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(__h) - {w} + 1),"
+                    f" j -> array_min(slice(__h, j, {w})))"
+                )
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min("__h")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    base = cache_materialized(
+        base1.select(F.col(id_col), F.explode_outer(fps).alias("__fp"))
+    )
+    dup = (
+        base.filter(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__fp")
+    )
+    marked = base.join(
+        maybe_broadcast(dup.withColumn("__dup", F.lit(True))), "__fp", "left"
+    )
+    n_fp = F.count(F.col("__fp")).cast("long")
+    return marked.groupBy(id_col).agg(
+        n_fp.alias("n_fingerprints"),
+        F.count("__dup").cast("long").alias("n_shared"),
+        (F.count("__dup").cast("double")
+         / F.greatest(n_fp, F.lit(1)).cast("double")).alias("share_score"),
+    )

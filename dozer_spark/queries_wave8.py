@@ -306,6 +306,59 @@ def text_window_duplication_score(spark, sf):
 
 
 @_q(
+    "text_winnow_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_transform(generate_series(1, len(toks) - 4),
+            i -> CAST('0x' || substr(md5(
+                   array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 8)
+                 AS BIGINT))
+        ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM t
+    ), fp AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= 4 THEN
+          list_distinct(list_transform(generate_series(1, len(hs) - 3),
+            j -> list_min(list_slice(hs, j, j + 3))))
+        WHEN len(hs) >= 1 THEN [list_min(hs)]
+        ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h
+    ), e AS (
+      SELECT doc_id, unnest(fps) AS fp FROM fp
+    ), dup AS (
+      SELECT fp FROM e GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT fp.doc_id,
+      CAST(len(fp.fps) AS BIGINT) AS n_fingerprints,
+      CAST(coalesce(d.n, 0) AS BIGINT) AS n_shared,
+      CAST(coalesce(d.n, 0) AS DOUBLE)
+        / greatest(len(fp.fps), 1) AS share_score
+    FROM fp LEFT JOIN (
+      SELECT e.doc_id, COUNT(*) AS n
+      FROM e JOIN dup USING (fp) GROUP BY e.doc_id
+    ) d USING (doc_id)
+    """,
+)
+def text_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprint duplication report (Schleimer et al. 2003,
+    the MOSS algorithm): 5-token shingle hashes, 4-hash sliding-window
+    minima, distinct selected values per document — any shared run of
+    >= 8 tokens is guaranteed a shared fingerprint at ~2/(w+1) the
+    census volume of exhaustive windows. Exact DuckDB oracle replays
+    shingle hashing, window minima, the short-document single-minimum
+    rule, and the cross-doc shared census."""
+    from dozer_spark.ops.text import winnow_fingerprint_score
+
+    d = _cat(spark, sf).df("documents")
+    return winnow_fingerprint_score(d, "text", "doc_id", k=5, w=4)
+
+
+@_q(
     "dedup_remove_spans",
     """
     WITH t AS (
