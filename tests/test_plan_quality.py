@@ -166,3 +166,19 @@ def test_embedding_cosine_registry_has_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round9_text_ops_no_cartesian_and_broadcast_joins(spark):
+    """The round-9 text/selection operators: no CartesianProduct
+    anywhere (the totals cross-joins must plan as broadcast
+    nested-loop over 1-row frames) and the census/ratio/idf join-backs
+    stay broadcast at test scale."""
+    for name in ("text_bigram_logprob", "dsir_importance_weights",
+                 "bm25_search_topn", "text_winnow_fingerprints",
+                 "decontaminate_bloom"):
+        df = registry()[name].build(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+    # the BM25 idf/query-term joins are broadcast at this scale
+    df = registry()["bm25_search_topn"].build(spark, "/root/testdata/sf0.001")
+    assert _plan(df).count("BroadcastHashJoin") >= 2
