@@ -306,6 +306,81 @@ def text_window_duplication_score(spark, sf):
 
 
 @_q(
+    "corpus_dataset_card",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok,
+             md5(text) AS dg
+      FROM documents
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE ntok > 0) AS BIGINT) AS n_nonempty,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             ROUND(AVG(ntok), 3) AS avg_tokens,
+             ROUND(quantile_cont(ntok, 0.5), 4) AS p50_tokens,
+             ROUND(quantile_cont(ntok, 0.95), 4) AS p95_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             ROUND(1.0 - CAST(COUNT(DISTINCT dg) AS DOUBLE) / COUNT(*), 6)
+               AS dup_text_ratio
+      FROM base
+    ), langs AS (
+      SELECT lang, COUNT(*) AS c FROM base GROUP BY lang
+    ), top AS (
+      SELECT lang AS top_lang, c FROM langs ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT tot.*, top.top_lang,
+           ROUND(CAST(top.c AS DOUBLE) / tot.n_docs, 6) AS top_lang_share
+    FROM tot, top
+    """,
+)
+def corpus_dataset_card(spark, sf):
+    """One-row dataset-card report over the corpus — the summary block
+    of a dataset card / corpus datasheet: doc counts, token totals,
+    exact interpolated token-length percentiles (percentile ==
+    quantile_cont, the same contract quantile_order_values pins),
+    language diversity with a deterministic argmax top language, and
+    the exact-duplicate text ratio. One aggregation pass plus a
+    language histogram (domain-bounded, broadcast back); at corpus
+    scale swap percentile for approx_percentile and the oracle drops
+    to a tolerance check."""
+    from dozer_spark.ops.text import token_count
+
+    d = _cat(spark, sf).df("documents")
+    base = d.select(
+        F.col("lang"),
+        token_count(F.col("text")).alias("ntok"),
+        F.md5("text").alias("dg"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("ntok") > 0, 1)).cast("long").alias("n_nonempty"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.round(F.avg("ntok"), 3).alias("avg_tokens"),
+        F.round(F.percentile("ntok", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("ntok", F.lit(0.95)), 4).alias("p95_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct("dg").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_text_ratio"),
+    )
+    top = (
+        base.groupBy("lang").agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("lang")).limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("__c"))
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_docs", "n_nonempty", "total_tokens", "avg_tokens",
+        "p50_tokens", "p95_tokens", "n_langs", "dup_text_ratio",
+        "top_lang",
+        F.round(F.col("__c").cast("double") / F.col("n_docs"), 6)
+        .alias("top_lang_share"),
+    )
+
+
+@_q(
     "text_winnow_fingerprints",
     """
     WITH t AS (
