@@ -91,3 +91,24 @@ def test_ivf_pq_dim_guard(catalog):
     q = e.filter(F.col("vec_id") < 5)
     with pytest.raises(ValueError, match="not divisible"):
         ivf_pq_ann_topk(e, q, "embedding", "vec_id", m_sub=7)
+
+
+def test_ivf_pq_empty_query_set(catalog):
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 0)
+    out = ivf_pq_ann_topk(e, q, "embedding", "vec_id", k=3, n_centroids=8)
+    assert out.count() == 0
+
+
+def test_ivf_pq_tiny_corpus(spark):
+    # corpus smaller than n_codes AND n_centroids floor: codebook k
+    # clamps to the sample, quantizer k clamps per _fit_quantizer
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    out = ivf_pq_ann_topk(df, q, "embedding", "vec_id", k=2,
+                          n_centroids=2, n_probe=2, m_sub=4,
+                          refine=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.neighbor_id != r.query_id and 1 <= r.rank <= 2

@@ -57,6 +57,20 @@ def run(spark, sf_dir: str) -> dict:
     out["decon_exact_rows"] = eval_ngram_overlap(
         d, "text", "doc_id", F.col("doc_id") % 97 == 0, n=3).count()
     out["decon_exact_sec"] = round(time.perf_counter() - t0, 2)
+
+    from dozer_spark.ops.text import winnow_fingerprint_score
+
+    t0 = time.perf_counter()
+    out["winnow_rows"] = winnow_fingerprint_score(
+        d, "text", "doc_id", k=5, w=4).count()
+    out["winnow_sec"] = round(time.perf_counter() - t0, 2)
+
+    from dozer_spark.queries import registry as _registry
+
+    t0 = time.perf_counter()
+    out["dataset_card_rows"] = _registry()["corpus_dataset_card"].build(
+        spark, sf_dir).count()
+    out["dataset_card_sec"] = round(time.perf_counter() - t0, 2)
     return out
 
 
@@ -91,13 +105,35 @@ def run_decon_ab(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_winnow_card(spark, sf_dir: str) -> dict:
+    """Measure only the winnowing report and the dataset card (added
+    after the main sweep — keeps re-measurement incremental)."""
+    from dozer_spark.ops.text import winnow_fingerprint_score
+    from dozer_spark.queries import registry as _registry
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {"corpus": sf_dir, "mode": "winnow_card", "docs": d.count()}
+    t0 = time.perf_counter()
+    out["winnow_rows"] = winnow_fingerprint_score(
+        d, "text", "doc_id", k=5, w=4).count()
+    out["winnow_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["dataset_card_rows"] = _registry()["corpus_dataset_card"].build(
+        spark, sf_dir).count()
+    out["dataset_card_sec"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main():
     spark = get_spark("textops_scale_run")
     spark.sparkContext.setLogLevel("ERROR")
     ab = "--decon-ab" in sys.argv
+    wc = "--winnow-card" in sys.argv
     for sf_dir in [a for a in sys.argv[1:] if not a.startswith("--")]:
         if ab:
             print(json.dumps(run_decon_ab(spark, sf_dir)), flush=True)
+        elif wc:
+            print(json.dumps(run_winnow_card(spark, sf_dir)), flush=True)
         else:
             print(json.dumps(run(spark, sf_dir)), flush=True)
 
