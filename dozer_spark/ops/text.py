@@ -657,23 +657,34 @@ def winnow_fingerprint_score(docs, text_col: str, id_col: str,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     base1 = base0.select(F.col(id_col), hs.alias("__h"))
-    m = F.size("__h")
-    fps = (
-        F.when(
-            m >= w,
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(__h) - {w} + 1),"
-                    f" j -> array_min(slice(__h, j, {w})))"
-                )
-            ),
+    # Window selection via posexplode + a Tungsten rolling min, NOT a
+    # transform(j -> array_min(slice(...))) higher-order expression:
+    # HOFs evaluate INTERPRETED per element, and the measured cost at
+    # 5M docs was 2.4x the exhaustive-window op (SCALING.md round-9
+    # winnowing section). The explode shuffles (id, pos, hash) triples
+    # once on the doc id and the per-window minima run inside
+    # whole-stage codegen; full windows take min over [pos, pos+w-1],
+    # short documents (1 <= m < w) contribute their single global
+    # minimum (the standard rule), computed by the same window frame
+    # clamped at the partition edge.
+    from pyspark.sql import Window as _W
+
+    eh = base1.select(
+        F.col(id_col), F.size("__h").alias("__m"),
+        F.posexplode_outer("__h").alias("__pos", "__hv"),
+    )
+    roll = _W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    sel = (
+        eh.withColumn("__wmin", F.min("__hv").over(roll))
+        .filter(
+            F.col("__hv").isNull()
+            | (F.col("__pos") <= F.col("__m") - w)
+            | ((F.col("__m") < w) & (F.col("__pos") == 0))
         )
-        .when(m >= 1, F.array(F.array_min("__h")))
-        .otherwise(F.array().cast("array<bigint>"))
+        .select(F.col(id_col), F.col("__wmin").alias("__fp"))
+        .distinct()
     )
-    base = cache_materialized(
-        base1.select(F.col(id_col), F.explode_outer(fps).alias("__fp"))
-    )
+    base = cache_materialized(sel)
     dup = (
         base.filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
