@@ -55,7 +55,7 @@ from dozer_spark.ops.dedup import (
 )
 from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_topk, ivf_ann_topk
 from dozer_spark.ops.bloom import BloomFilter
-from dozer_spark.ops.search import bm25_topn
+from dozer_spark.ops.search import StreamingBm25Index, bm25_topn
 from dozer_spark.ops.semdedup import cluster_balanced_sample, semantic_dedup
 from dozer_spark.ops.similarity import ivf_pq_ann_topk
 
@@ -104,6 +104,7 @@ __all__ = [
     "dsir_log_weights",
     "ivf_pq_ann_topk",
     "bm25_topn",
+    "StreamingBm25Index",
     "dsir_gumbel_topk",
     "cluster_balanced_sample",
     "semantic_dedup",

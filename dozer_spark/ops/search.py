@@ -54,7 +54,6 @@ def bm25_topn(
     from dozer_spark.operators.hints import (
         cache_materialized,
         ensure_min_partitions,
-        maybe_broadcast,
     )
 
     n_docs = docs.count()
@@ -64,6 +63,29 @@ def bm25_topn(
         .groupBy(id_col, "__term")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
+    return _bm25_from_tf(tf, n_docs, id_col, queries, qtext_col, qid_col,
+                         k1, b, topn)
+
+
+def _bm25_from_tf(
+    tf: DataFrame,
+    n_docs: int,
+    id_col: str,
+    queries: DataFrame,
+    qtext_col: str,
+    qid_col: str,
+    k1: float,
+    b: float,
+    topn: int,
+) -> DataFrame:
+    """The BM25 scoring tail over a prebuilt term-frequency table
+    (id_col, __term, __tf) — shared verbatim by the batch `bm25_topn`
+    and the incrementally maintained `StreamingBm25Index`, which is
+    what makes the streaming index's exact replay oracle possible: the
+    only thing the index maintains across epochs is the tf table, and
+    the scoring arithmetic is this one code path."""
+    from dozer_spark.operators.hints import cache_materialized, maybe_broadcast
+
     dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("double").alias("__dl"))
     stats = dl.agg(F.avg("__dl").alias("__avgdl"))
     df_t = tf.groupBy("__term").agg(
@@ -102,3 +124,122 @@ def bm25_topn(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+class StreamingBm25Index:
+    """Incrementally maintained BM25 index: document batches update a
+    term-frequency state; query batches score against the accumulated
+    corpus — the streaming-ingest face of bm25_topn.
+
+    State = TWO tables. "tf" holds (id, __term, __tf) keyed by
+    (id, term) — the postings; "docs" holds the seen doc ids — kept
+    separately because N (the idf denominator) counts ALL indexed
+    documents, including token-less ones that own no postings. Both
+    are PK-keyed delta-logs (DiffStateTable) when durable: O(batch)
+    epoch IO, shared crash/replay contract. A re-sent doc id REPLACES
+    its old image — its changed postings overwrite by key and its
+    stale terms are tombstoned (the one state read per epoch is the
+    live-postings probe for the batch's ids).
+
+    Because the maintained state is exactly the tf table the batch
+    operator derives, and scoring goes through the shared
+    _bm25_from_tf tail, an index built across ANY batch split serves
+    IDENTICAL results to the one-shot batch bm25_topn — the exact
+    oracle cdc_streaming_bm25 replays.
+    """
+
+    def __init__(self, spark, text_col: str, id_col: str,
+                 state_dir: str | None = None):
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self._tf = None
+        self._docs = None
+        self._store = None
+        if state_dir is not None:
+            from dozer_spark.streaming.incstate import (
+                DiffStateTable,
+                diff_state_path,
+            )
+            from dozer_spark.streaming.state import StateStore
+
+            self._store = StateStore(spark, state_dir)
+            self._tx_tf = DiffStateTable(
+                spark, diff_state_path(state_dir, "bm25_tf"),
+                key_cols=[id_col, "__term"],
+            )
+            self._tx_docs = DiffStateTable(
+                spark, diff_state_path(state_dir, "bm25_docs"),
+                key_cols=[id_col],
+            )
+            if self._store.epoch > 0:
+                self._tf = self._tx_tf.read_committed(
+                    self._store.load_meta("bm25_tf_v"))
+                self._docs = self._tx_docs.read_committed(
+                    self._store.load_meta("bm25_docs_v"))
+
+    def add_batch(self, docs) -> None:
+        """Index a batch (upsert by doc id: a re-sent document replaces
+        its postings; duplicate ids WITHIN a batch reduce to one row
+        deterministically — greatest text digest wins)."""
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.desc(F.md5(F.col(self.text_col))))
+        batch = (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(self.id_col), F.col(self.text_col))
+        )
+        tf_new = (
+            batch.select(F.col(self.id_col),
+                         F.explode(tokens(F.col(self.text_col)))
+                         .alias("__term"))
+            .groupBy(self.id_col, "__term")
+            .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+        )
+        doc_new = batch.select(self.id_col)
+
+        if self._store is not None:
+            live = (self._tf if self._tf is not None
+                    else tf_new.filter(F.lit(False)))
+            # the one state read per epoch: prior postings of the
+            # batch's ids whose term vanished from the new image
+            stale = (
+                live.join(doc_new, self.id_col)
+                .join(tf_new.select(self.id_col, "__term"),
+                      [self.id_col, "__term"], "left_anti")
+                .withColumn("__del", F.lit(True))
+            )
+            changed = tf_new.withColumn("__del", F.lit(False)).unionByName(
+                stale)
+            epoch = self._store.epoch + 1
+            meta_tf = self._tx_tf.advance(changed, epoch=epoch,
+                                          app_id="bm25_tf")
+            meta_docs = self._tx_docs.advance(
+                doc_new.withColumn("__del", F.lit(False)),
+                epoch=epoch, app_id="bm25_docs")
+            self._store.stage_meta("bm25_tf_v", meta_tf)
+            self._store.stage_meta("bm25_docs_v", meta_docs)
+            self._tf = self._tx_tf.read_live()
+            self._docs = self._tx_docs.read_live()
+            self._store.commit()
+        else:
+            if self._tf is None:
+                self._tf = tf_new.localCheckpoint(eager=True)
+                self._docs = doc_new.localCheckpoint(eager=True)
+            else:
+                merged_tf = self._tf.join(
+                    doc_new, self.id_col, "left_anti").unionByName(tf_new)
+                merged_docs = self._docs.join(
+                    doc_new, self.id_col, "left_anti").unionByName(doc_new)
+                self._tf = merged_tf.localCheckpoint(eager=True)
+                self._docs = merged_docs.localCheckpoint(eager=True)
+
+    def topn(self, queries, qtext_col: str, qid_col: str,
+             k1: float = 1.2, b: float = 0.75, topn: int = 10):
+        """BM25 top-n over everything indexed so far — identical to the
+        one-shot batch bm25_topn over the same documents."""
+        if self._tf is None:
+            raise ValueError("StreamingBm25Index: no batches indexed yet")
+        n_docs = self._docs.count()
+        return _bm25_from_tf(self._tf, n_docs, self.id_col, queries,
+                             qtext_col, qid_col, k1, b, topn)

@@ -607,3 +607,70 @@ def cdc_streaming_dedup_clusters(spark, sf):
         pairs = smh.process_batch(d.filter(F.col("doc_id") % 3 == k))
         cc.process_batch(pairs)
     return cc.current().select("id", "cluster_id")
+
+
+@_q(
+    "cdc_streaming_bm25",
+    """
+    WITH q(query_id, qtext) AS (VALUES
+      ('q1', 'fast join query'), ('q2', 'table scan filter'),
+      ('q3', 'window agg group')),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), dfr AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (n.n - dfr.df + 0.5) / (dfr.df + 0.5)) AS idf
+      FROM dfr, n
+    ), qt AS (
+      SELECT query_id,
+             unnest(list_distinct(
+               list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+      FROM q
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             ROUND(SUM(idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+               AS score
+      FROM qt
+      JOIN tf ON tf.term = qt.term
+      JOIN idf ON idf.term = qt.term
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def cdc_streaming_bm25(spark, sf):
+    """Incrementally built BM25 index under the oracle gate: the
+    document corpus arrives in three batches (doc_id % 3), the tf/docs
+    state advances per batch, and the same query set as the one-shot
+    bm25_search_topn entry scores the final index. The maintained
+    state is exactly the tf table the batch operator derives and the
+    scoring arithmetic is the shared _bm25_from_tf tail, so the
+    results — and the oracle — are IDENTICAL to the batch build."""
+    from dozer_spark.ops.search import StreamingBm25Index
+
+    d = _cat(spark, sf).df("documents")
+    idx = StreamingBm25Index(spark, "text", "doc_id")
+    for k in range(3):
+        idx.add_batch(d.filter(F.col("doc_id") % 3 == k))
+    q = spark.createDataFrame(
+        [("q1", "fast join query"), ("q2", "table scan filter"),
+         ("q3", "window agg group")], ["query_id", "qtext"])
+    return idx.topn(q, "qtext", "query_id", k1=1.2, b=0.75, topn=10)
