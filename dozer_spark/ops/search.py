@@ -199,18 +199,27 @@ class StreamingBm25Index:
         doc_new = batch.select(self.id_col)
 
         if self._store is not None:
-            live = (self._tf if self._tf is not None
-                    else tf_new.filter(F.lit(False)))
-            # the one state read per epoch: prior postings of the
-            # batch's ids whose term vanished from the new image
-            stale = (
-                live.join(doc_new, self.id_col)
-                .join(tf_new.select(self.id_col, "__term"),
-                      [self.id_col, "__term"], "left_anti")
-                .withColumn("__del", F.lit(True))
-            )
-            changed = tf_new.withColumn("__del", F.lit(False)).unionByName(
-                stale)
+            # Re-sent-id detection probes the DOCS state (8B/doc —
+            # ~1000x smaller than postings), NOT the postings state:
+            # scanning the postings per epoch is an O(accumulated
+            # corpus) cost that the first scale run measured as 4.6s ->
+            # 51s over five 100k-doc epochs (SCALING.md round-9
+            # streaming BM25). Append-only ingest — the common case —
+            # now never touches the postings in add_batch; only an
+            # epoch that actually re-sends a known id pays the
+            # stale-postings scan.
+            resent = (self._docs.join(doc_new, self.id_col)
+                      if self._docs is not None else None)
+            changed = tf_new.withColumn("__del", F.lit(False))
+            if resent is not None and resent.limit(1).count() > 0:
+                stale = (
+                    self._tf.join(resent, self.id_col)
+                    .join(tf_new.select(self.id_col, "__term"),
+                          [self.id_col, "__term"], "left_anti")
+                    .select(self.id_col, "__term", "__tf")
+                    .withColumn("__del", F.lit(True))
+                )
+                changed = changed.unionByName(stale)
             epoch = self._store.epoch + 1
             meta_tf = self._tx_tf.advance(changed, epoch=epoch,
                                           app_id="bm25_tf")

@@ -91,3 +91,25 @@ def test_no_batches_raises(spark):
     idx = StreamingBm25Index(spark, "text", "doc_id")
     with pytest.raises(ValueError, match="no batches"):
         idx.topn(_qdf(spark), "qtext", "query_id")
+
+
+def test_durable_resent_doc_replaces_postings(spark, tmp_path):
+    """The durable stale-postings branch: a re-sent id must tombstone
+    its vanished terms in the delta-log state (the append-only fast
+    path skips the postings probe entirely, so this pins the one code
+    path that pays it)."""
+    sd = str(tmp_path / "bm25_state2")
+    d = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = StreamingBm25Index(spark, "text", "doc_id", state_dir=sd)
+    idx.add_batch(d)
+    idx.add_batch(spark.createDataFrame(
+        [(1, "completely different now")], ["doc_id", "text"]))
+    final = spark.createDataFrame(
+        [(1, "completely different now")] + DOCS[1:], ["doc_id", "text"])
+    got = _rows(idx.topn(_qdf(spark), "qtext", "query_id"))
+    want = _rows(bm25_topn(final, "text", "doc_id", _qdf(spark),
+                           "qtext", "query_id"))
+    assert got == want
+    # and it survives a resume
+    idx2 = StreamingBm25Index(spark, "text", "doc_id", state_dir=sd)
+    assert _rows(idx2.topn(_qdf(spark), "qtext", "query_id")) == want

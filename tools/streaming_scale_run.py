@@ -82,6 +82,9 @@ def run(spark, sf_dir: str, epochs: int, ops: set | None = None) -> list[dict]:
         if want("ivf"):
             _run_ivf(spark, root, vecs, vec_parts, sf_dir, n_vecs,
                      epochs, out)
+        if want("bm25"):
+            _run_bm25(spark, root, doc_parts, sf_dir, n_docs,
+                      epochs, out)
     finally:
         docs.unpersist()
         vecs.unpersist()
@@ -152,6 +155,28 @@ def _run_ivf(spark, root, vecs, vec_parts, sf_dir, n_vecs, epochs, out):
     out.append({"corpus": sf_dir, "op": "IvfAnnIndex",
                 "rows": n_vecs, "epochs": epochs,
                 "n_centroids": len(ivf._centroids),
+                "per_epoch_sec": times,
+                "probe_sec": round(time.perf_counter() - t0, 2),
+                "probe_rows": probe_n})
+
+
+def _run_bm25(spark, root, doc_parts, sf_dir, n_docs, epochs, out):
+    """StreamingBm25Index: per-epoch cost should track the BATCH (one
+    tf aggregation + one live-postings probe + O(batch) delta append),
+    not the accumulated corpus; the probe scores three fixed queries
+    against the full accumulated index."""
+    from dozer_spark.ops.search import StreamingBm25Index
+
+    idx = StreamingBm25Index(spark, "text", "doc_id",
+                             state_dir=os.path.join(root, "bm25"))
+    times = _epoch_times(lambda p: idx.add_batch(p), doc_parts)
+    q = spark.createDataFrame(
+        [("q1", "fast join query"), ("q2", "table scan filter"),
+         ("q3", "window agg group")], ["query_id", "qtext"])
+    t0 = time.perf_counter()
+    probe_n = idx.topn(q, "qtext", "query_id", topn=10).count()
+    out.append({"corpus": sf_dir, "op": "StreamingBm25Index",
+                "rows": n_docs, "epochs": epochs,
                 "per_epoch_sec": times,
                 "probe_sec": round(time.perf_counter() - t0, 2),
                 "probe_rows": probe_n})
