@@ -150,6 +150,53 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _probed_queries(queries: DataFrame, qid: str, vec_col: str,
+                    planes: list[list[float]], n_probes: int) -> DataFrame:
+    """Query frame exploded to its probe buckets: the query's own
+    bucket plus single-bit flips at the (n_probes - 1) smallest-margin
+    hyperplanes — multi-probe LSH (Lv et al. 2007, "Multi-Probe LSH",
+    public literature), simplified to 1-bit perturbations. The margin
+    |dot(v, plane_i)| measures how close the vector sits to plane i:
+    flipping the closest planes probes exactly the buckets a near
+    neighbor on the other side of a thin margin would land in, which
+    is where single-bucket LSH loses its recall. Corpus stays
+    single-bucket — only the (tiny) query side fans out, so candidate
+    volume grows linearly in n_probes with no corpus-side cost.
+
+    Deterministic: margins derive from the same dyadic-rational md5
+    planes as the sign bits and ties break on the plane index, so the
+    probe set replays exactly in the SQL oracle."""
+    dots = [_dot(F.col("qv"), F.array(*[F.lit(x) for x in p]))
+            for p in planes]
+    base = F.lit(0).cast("long")
+    for i, d in enumerate(dots):
+        base = base + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    if n_probes <= 1:
+        return q.withColumn("bucket", base)
+    pairs = F.array(*[
+        F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+        for i, d in enumerate(dots)
+    ])
+    n_flips = min(n_probes - 1, len(planes))
+    q = (
+        q.withColumn("__base", base)
+        .withColumn("__flips", F.slice(F.array_sort(pairs), 1, n_flips))
+        .withColumn(
+            "bucket",
+            F.explode(F.concat(
+                F.array(F.col("__base")),
+                F.expr("transform(__flips,"
+                       " s -> __base ^ shiftleft(1L, s.i))"),
+            )),
+        )
+        .drop("__base", "__flips")
+    )
+    return q
+
+
 def _fit_quantizer(ml: DataFrame, n: int, n_centroids: int, seed: int,
                    max_iter: int = 20):
     """Fit the IVF coarse k-means quantizer on a deterministic BOUNDED
@@ -286,6 +333,7 @@ def lsh_ann_topk(
     n_planes: int = 8,
     dim: int = 64,
     query_id_col: str | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -293,14 +341,15 @@ def lsh_ann_topk(
     pre-bucketed (one shuffle, reusable across query batches) and each
     query only meets ~n/2^planes candidates. Recall is tested against
     brute_force_topk in tests/test_similarity.py.
+
+    n_probes > 1 engages multi-probe (see _probed_queries): the query
+    additionally probes the buckets across its (n_probes - 1) thinnest
+    margins — recall recovers toward brute force at linear extra
+    candidate cost, with no change to the corpus bucketing.
     """
     planes = _hyperplanes(n_planes, dim)
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    q = _probed_queries(queries, qid, vec_col, planes, n_probes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -520,6 +569,7 @@ def lsh_ann_topk_fast(
     dim: int = 64,
     query_id_col: str | None = None,
     hot_bucket_cap: int = 65536,
+    n_probes: int = 1,
 ) -> DataFrame:
     """lsh_ann_topk with vectorized in-bucket scoring — the 100x path.
 
@@ -555,11 +605,7 @@ def lsh_ann_topk_fast(
         n_planes = min(24, max(8, math.ceil(math.log2(max(n, 128) / 64))))
     planes = _hyperplanes(n_planes, dim)
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    q = _probed_queries(queries, qid, vec_col, planes, n_probes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -388,6 +388,94 @@ def ann_lsh_topk(spark, sf):
     return lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8, dim=64)
 
 
+def _lsh_multiprobe_oracle(n_planes: int = 8, dim: int = 64, k: int = 5,
+                           n_probes: int = 3) -> str:
+    """EXACT oracle for multi-probe LSH: replays the per-plane dots, the
+    base bucket, the (n_probes-1) smallest-|margin| single-bit flips
+    (margin ties break on plane index — both engines sort the same
+    (m, i) structs), the probe-bucket fan-out, and the in-bucket cosine
+    top-k. Margins are the SAME dyadic sums as the sign bits, so the
+    probe set agrees wherever the buckets do."""
+    from dozer_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+
+    def dot(vcol: str, plane: list[float]) -> str:
+        vals = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vcol}[i] AS DOUBLE) * ([{vals}])[i]))"
+        )
+
+    def bucket(vcol: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(vcol, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    ds = ", ".join(dot("embedding", p) for p in planes)
+    base = " + ".join(
+        f"(CASE WHEN ds[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    margin_structs = ", ".join(
+        f"{{'m': abs(ds[{i + 1}]), 'i': {i}}}" for i in range(n_planes)
+    )
+    cos = """
+        list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))"""
+    return f"""
+    WITH qd AS (
+      SELECT vec_id AS query_id, embedding AS qv, [{ds}] AS ds
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), qb AS (
+      SELECT query_id, qv,
+             CAST({base} AS BIGINT) AS base,
+             list_transform(list_slice(list_sort([{margin_structs}]),
+               1, {n_probes - 1}), s -> s.i) AS flips
+      FROM qd
+    ), probes AS (
+      SELECT query_id, qv, base AS bucket FROM qb
+      UNION ALL
+      SELECT query_id, qv,
+             xor(base, CAST(1 AS BIGINT) << f) AS bucket
+      FROM (SELECT query_id, qv, base, unnest(flips) AS f FROM qb)
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             CAST({bucket("embedding")} AS BIGINT) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_raw
+      FROM c JOIN probes USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id) <= {k}
+    """
+
+
+@_q("ann_lsh_multiprobe_topk", _lsh_multiprobe_oracle())
+def ann_lsh_multiprobe_topk(spark, sf):
+    """Multi-probe LSH ANN (Lv et al. 2007): each query probes its own
+    bucket plus the buckets across its two thinnest hyperplane margins
+    — recall recovers toward brute force at linear extra candidate
+    cost with NO corpus-side change (the corpus bucketing is shared
+    with ann_lsh_topk). Exact oracle: margins are the same
+    dyadic-rational dot products as the sign bits, so the probe set —
+    and therefore the result — replays exactly in SQL."""
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8,
+                        dim=64, n_probes=3)
+
+
 @_q("ann_ivf_topk_fast", None)  # k-means cells + BLAS -> rows-only
 def ann_ivf_topk_fast(spark, sf):
     """IVF ANN with per-cell BLAS scoring — the scale path for CLUSTERED

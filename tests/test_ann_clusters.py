@@ -376,3 +376,47 @@ def test_ivf_index_incremental_frozen_quantizer_and_resume(spark, tmp_path):
     idx2.add_batch(spark.createDataFrame(
         [(0, [1.0] * 8)], "vec_id long, embedding array<float>"))
     assert idx2._corpus.filter("neighbor_id = 0").count() == 1
+
+
+def test_lsh_multiprobe_improves_recall(catalog):
+    from dozer_spark.ops.similarity import lsh_ann_topk
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    single = lsh_ann_topk(e, q, "embedding", "vec_id", k=5,
+                          n_planes=8).collect()
+    multi = lsh_ann_topk(e, q, "embedding", "vec_id", k=5,
+                         n_planes=8, n_probes=4).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    r1 = len(truth & {(r.query_id, r.neighbor_id) for r in single})
+    r4 = len(truth & {(r.query_id, r.neighbor_id) for r in multi})
+    # probing 3 extra thin-margin buckets can only add candidates
+    assert r4 >= r1
+    assert len(multi) >= len(single)
+
+
+def test_lsh_multiprobe_one_probe_equals_plain(catalog):
+    from dozer_spark.ops.similarity import lsh_ann_topk
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    plain = sorted(map(tuple, lsh_ann_topk(
+        e, q, "embedding", "vec_id", k=5, n_planes=8).collect()))
+    one = sorted(map(tuple, lsh_ann_topk(
+        e, q, "embedding", "vec_id", k=5, n_planes=8,
+        n_probes=1).collect()))
+    assert plain == one
+
+
+def test_lsh_multiprobe_fast_matches_fold(catalog):
+    from dozer_spark.ops.similarity import lsh_ann_topk, lsh_ann_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    fold = lsh_ann_topk(e, q, "embedding", "vec_id", k=5, n_planes=8,
+                        n_probes=3).collect()
+    fast = lsh_ann_topk_fast(e, q, "embedding", "vec_id", k=5, n_planes=8,
+                             n_probes=3).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in fold} == \
+           {(r.query_id, r.neighbor_id, r.rank) for r in fast}
