@@ -32,6 +32,45 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") ->
     return df.filter(hash_bucket(F.col(key_col), salt) < cutoff)
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic N-way dataset split (train/valid/test) by key hash.
+
+    ``splits`` is an ordered list of (name, fraction) summing to 1.0;
+    each row lands in the split whose cumulative-fraction interval its
+    md5 bucket falls into. Same guarantees as hash_sample: reproducible
+    across engines/runs/repartitioning, and a row never migrates between
+    splits when the corpus grows (critical for eval-set hygiene —
+    yesterday's test doc must not become tomorrow's training doc).
+
+    Adds a ``split`` string column; no shuffle (a pure filter-style
+    projection).
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    if any(f < 0 for _, f in splits):
+        raise ValueError("split fractions must be non-negative")
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cut = F.lit(int(acc * _BUCKETS))
+        expr = (
+            F.when(bucket < cut, F.lit(name))
+            if expr is None
+            else expr.when(bucket < cut, F.lit(name))
+        )
+    last = F.lit(splits[-1][0])
+    split_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split_col)
+
+
 def stratified_hash_sample(
     df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
     default_fraction: float = 0.0, salt: str = "",

@@ -77,6 +77,58 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors with a DIFFERENT label (the
+    near-misses a contrastive loss learns the most from; in-batch
+    random negatives are mostly too easy).
+
+    Same plan shape as brute_force_topk — queries broadcast, corpus
+    scanned once, per-query window rank — with the label exclusion
+    applied BEFORE ranking (a post-rank filter would silently return
+    fewer than k negatives whenever same-label vectors crowd the true
+    top-k, which on a clustered embedding space is the common case).
+
+    Output: (query_id, neighbor_id, neighbor_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("q_label"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk_fast(
     corpus: DataFrame,
     queries: DataFrame,

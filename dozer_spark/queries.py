@@ -696,5 +696,6 @@ def registry() -> dict[str, Query]:
     import dozer_spark.queries_wave6  # noqa: F401
     import dozer_spark.queries_wave7  # noqa: F401
     import dozer_spark.queries_wave8  # noqa: F401
+    import dozer_spark.queries_wave9  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,0 +1,255 @@
+"""Wave-9 operators: fuzzy edit-distance join, time-series gap-fill,
+hard-negative mining, deterministic splits, distributed PCA."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dozer_spark.ops.fuzzy import deletion_variants, fuzzy_self_join_dist1
+from dozer_spark.ops.timeseries import gap_fill_interpolate
+from dozer_spark.ops.sampling import hash_split
+from dozer_spark.ops.similarity import hard_negative_topk
+from dozer_spark.ops.embedding import pca_fit, pca_project
+
+
+# ---------------------------------------------------------------- fuzzy
+
+def test_deletion_variants_values(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("aa",)], ["s"])
+    got = {
+        r["s"]: sorted(r["v"])
+        for r in df.select("s", deletion_variants(F.col("s")).alias("v")).collect()
+    }
+    assert got["abc"] == sorted(["abc", "bc", "ac", "ab"])
+    assert got[""] == [""]
+    # deleting either 'a' collapses to one variant
+    assert got["aa"] == ["a", "aa"]
+
+
+def test_fuzzy_join_dist1_exact_semantics(spark):
+    rows = [
+        (1, "kitten"),
+        (2, "mitten"),   # substitution -> dist 1
+        (3, "kitten"),   # exact dup -> dist 0
+        (4, "kittens"),  # insertion -> dist 1
+        (5, "kitte"),    # deletion -> dist 1
+        (6, "sitting"),  # dist > 1 from all
+        (7, "ab"),
+        (8, "ba"),       # shares deletion keys with 'ab' but dist 2 -> excluded
+        (9, None),       # ignored
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join_dist1(df, "id", "name").collect()
+    }
+    expected = {
+        (1, 2): 1, (1, 3): 0, (1, 4): 1, (1, 5): 1,
+        (2, 3): 1, (3, 4): 1, (3, 5): 1,
+        # mitten-kittens dist 2, mitten-kitte dist 2, kittens-kitte dist 2
+    }
+    assert got == expected
+
+
+def test_fuzzy_join_matches_brute_force_random(spark):
+    # random short strings; brute-force levenshtein as the reference
+    rng = np.random.default_rng(7)
+    alphabet = list("abcd")
+    words = [
+        "".join(rng.choice(alphabet, size=rng.integers(1, 6)))
+        for _ in range(60)
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[lb]
+
+    expected = {
+        (i, j): lev(words[i], words[j])
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    }
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join_dist1(df, "id", "name").collect()
+    }
+    assert got == expected
+
+
+def test_fuzzy_join_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "cd")], ["id", "name"])
+    plan = fuzzy_self_join_dist1(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+
+
+# ----------------------------------------------------------- timeseries
+
+def test_gap_fill_linear_interpolation(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:50:00", 20.0),  # same bucket -> avg 15
+        (1, "2024-01-01 03:00:00", 45.0),  # 2 gap hours to interpolate
+        (2, "2024-01-01 05:30:00", 7.0),   # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["user_id"], r["bucket"]): (r["value_filled"], r["is_observed"])
+        for r in gap_fill_interpolate(df, "user_id", "ts", "value").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (15.0, 1),
+        (1, "2024-01-01 01:00:00"): (25.0, 0),  # 15 + (45-15)*1/3
+        (1, "2024-01-01 02:00:00"): (35.0, 0),
+        (1, "2024-01-01 03:00:00"): (45.0, 1),
+        (2, "2024-01-01 05:00:00"): (7.0, 1),
+    }
+
+
+def test_gap_fill_no_extrapolation_and_step_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], ["user_id", "ts", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = gap_fill_interpolate(df, "user_id", "ts", "value").collect()
+    assert len(out) == 1  # spine never extends past observed range
+    with pytest.raises(ValueError):
+        gap_fill_interpolate(df, "user_id", "ts", "value", step="fortnight")
+
+
+# ---------------------------------------------------------------- split
+
+def test_hash_split_partitions_and_determinism(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    splits = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    out = hash_split(df, "k", splits, salt="s")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # a partition: every row, once
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["valid"] / 5000 < 0.13
+    # deterministic: same assignment on re-run
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", splits, salt="s").collect()}
+    assert a == b
+    # different salt -> different assignment (with overwhelming probability)
+    c = {r["k"]: r["split"] for r in hash_split(df, "k", splits, salt="t").collect()}
+    assert a != c
+
+
+def test_hash_split_validation(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        hash_split(df, "k", [("a", 0.5), ("b", 0.2)])
+    with pytest.raises(ValueError):
+        hash_split(df, "k", [("a", 1.5), ("b", -0.5)])
+
+
+# ------------------------------------------------------- hard negatives
+
+def test_hard_negative_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    n, d = 120, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 4).astype(int)
+    rows = [(i, vecs[i].tolist(), int(labels[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") % 20 == 0)
+    got = hard_negative_topk(df, q, "embedding", "vec_id", "label", k=3).collect()
+
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for qi in range(0, n, 20):
+        cos = (v64 @ v64[qi]) / (norms * norms[qi])
+        mask = labels != labels[qi]
+        order = sorted(
+            (i for i in range(n) if mask[i]),
+            key=lambda i: (-cos[i], i),
+        )[:3]
+        mine = sorted(
+            (r for r in got if r["query_id"] == qi), key=lambda r: r["rank"]
+        )
+        assert [r["neighbor_id"] for r in mine] == order
+        for r in mine:
+            # negatives only, and every rank filled
+            assert labels[r["neighbor_id"]] != labels[qi]
+        assert [r["rank"] for r in mine] == [1, 2, 3]
+
+
+# ------------------------------------------------------------------ pca
+
+def test_pca_matches_numpy_eigh(spark):
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated along known directions
+    base = rng.normal(size=(400, 6)) * np.array([10, 5, 2, 1, 0.5, 0.1])
+    rot, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    data = (base @ rot).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(400)], ["vec_id", "embedding"]
+    ).repartition(5)
+    model = pca_fit(df, "embedding", dim=6, n_components=3)
+
+    x = data.astype(np.float64)
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T.copy()
+    for row in ref:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+
+    assert model.n_rows == 400
+    assert np.allclose(model.mean, mean, atol=1e-9)
+    assert np.allclose(model.components, ref, atol=1e-7)
+    assert np.allclose(model.explained_variance, evals[order], atol=1e-7)
+    # orthonormal, variance descending
+    assert np.allclose(model.components @ model.components.T, np.eye(3), atol=1e-9)
+    assert all(np.diff(model.explained_variance) <= 1e-12)
+
+    proj = pca_project(df, "embedding", model, round_to=None)
+    got = {r["vec_id"]: np.array(r["pc"]) for r in proj.collect()}
+    expected = (x - mean) @ ref.T
+    for i in range(400):
+        assert np.allclose(got[i], expected[i], atol=1e-6)
+
+
+def test_pca_deterministic_across_partitionings(spark):
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(200, 4)).astype(np.float32)
+    rows = [(i, data[i].tolist()) for i in range(200)]
+    m1 = pca_fit(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(3),
+        "embedding", dim=4, n_components=2,
+    )
+    m2 = pca_fit(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7),
+        "embedding", dim=4, n_components=2,
+    )
+    # same moments regardless of partitioning (sorted driver combine)
+    assert np.allclose(m1.components, m2.components, atol=1e-9)
+    assert np.allclose(m1.mean, m2.mean, atol=1e-12)
+
+
+def test_pca_validation(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", dim=2, n_components=3)
+    with pytest.raises(Exception):
+        pca_fit(df, "embedding", dim=3, n_components=1)  # wrong dim
+    with pytest.raises(ValueError):
+        pca_fit(df.filter("vec_id < 0"), "embedding", dim=2, n_components=1)
