@@ -170,6 +170,37 @@ def split_train_valid_test(spark, sf):
     ).select("doc_id", "split")
 
 
+@_q(
+    "cdc_streaming_fuzzy_index",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS s_a, b.c_name AS s_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def cdc_streaming_fuzzy_index(spark, sf):
+    """Incremental fuzzy matching under the oracle gate: three-batch
+    replay (c_custkey % 3) through StreamingFuzzyIndex whose emitted-
+    pair union must equal the one-shot batch fuzzy join — the oracle IS
+    the batch oracle (semantic levenshtein cross join). Deletion
+    variants are deterministic in the string, so cross-epoch pairs
+    collide on the same keys whenever the later member arrives."""
+    from dozer_spark.streaming.fuzzy import StreamingFuzzyIndex
+
+    c = _cat(spark, sf).df("customer")
+    fz = StreamingFuzzyIndex(spark, "c_name", "c_custkey")
+    outs = [
+        fz.process_batch(c.filter(F.col("c_custkey") % 3 == k))
+        for k in range(3)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):
