@@ -54,7 +54,11 @@ def deletion_variants(col: Column) -> Column:
 
 
 def fuzzy_self_join_dist1(
-    df: DataFrame, id_col: str, str_col: str
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    hot_cap: int = 4096,
+    broadcast_gate_bytes: int | None = None,
 ) -> DataFrame:
     """All pairs of rows whose ``str_col`` values are within edit
     distance 1 (including exact duplicates under distinct ids).
@@ -64,30 +68,36 @@ def fuzzy_self_join_dist1(
     generator for distance <= 1, and every candidate is verified with
     ``levenshtein``.
 
+    The variant-key self-join goes through the shared
+    ``_blocked_self_join_pairs`` machinery (the MinHash/SimHash band
+    join): a hot variant key (short strings are dense — every 2-char
+    string containing 'x' collides on the variant 'x') gets the
+    triangle-fragment split, bounding any one join cell at ~hot_cap^2
+    work with identical output. Both sides carry a ``merge``
+    (sort-merge) hint: the exploded key table sits directly on a scan,
+    so Catalyst's size estimate ignores the ~len-per-row explode
+    fan-out and would otherwise pick a driver-OOM broadcast (measured
+    at 2M names); sort-merge over shuffled-hash because the hash
+    relation cannot spill — SMJ degrades gracefully whatever the key
+    table's real size turns out to be.
+
     FastSS generalizes to distance d via d-deletion neighborhoods
     (O(len^d) keys per string); this implementation fixes d=1, the
     record-linkage sweet spot where the neighborhood stays linear.
     """
+    from dozer_spark.ops.dedup import _blocked_self_join_pairs
+
     s = (
-        df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
-        .filter(F.col("s").isNotNull())
+        df.select(F.col(id_col).alias("id"), F.col(str_col).alias("__str"))
+        .filter(F.col("__str").isNotNull())
     )
     keys = s.select(
-        "id", "s", F.explode(deletion_variants(F.col("s"))).alias("k")
-    )
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(b, F.col("a.k") == F.col("b.k"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
-        )
-        # the same pair can collide on several variant keys (e.g. equal
-        # strings share every key) — one verdict per pair
-        .dropDuplicates(["id_a", "id_b"])
+        "id", "__str", F.explode(deletion_variants(F.col("__str"))).alias("__k")
+    ).hint("merge")
+    cand = _blocked_self_join_pairs(
+        keys, ["__k"], "id", hot_cap=hot_cap,
+        broadcast_gate_bytes=broadcast_gate_bytes,
+        carry=(("s_a", "s_b", "__str"),),
     )
     return (
         cand.withColumn("dist", F.levenshtein("s_a", "s_b"))

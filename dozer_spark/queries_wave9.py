@@ -201,6 +201,134 @@ def cdc_streaming_fuzzy_index(spark, sf):
     return out
 
 
+@_q(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def entity_resolution_clusters(spark, sf):
+    """End-to-end entity resolution: fuzzy candidate pairs (FastSS
+    deletion-neighborhood join) -> connected components -> canonical
+    entity id (min member id). Composes ops/fuzzy.py with the shared
+    dedup_clusters machinery (size-gated driver union-find / iterative
+    min-label propagation); the oracle recomputes the same components
+    with a recursive transitive-closure CTE over the semantic
+    levenshtein pairs."""
+    from dozer_spark.ops.dedup import dedup_clusters
+    from dozer_spark.ops.fuzzy import fuzzy_self_join_dist1
+
+    c = _cat(spark, sf).df("customer")
+    pairs = fuzzy_self_join_dist1(c, "c_custkey", "c_name")
+    return dedup_clusters(pairs)
+
+
+@_q(
+    "timeseries_zscore_anomalies",
+    """
+    WITH obs AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+             ROUND(AVG(value), 9) AS v_obs
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT key, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY key
+    ), spine AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ), j AS (
+      SELECT s.key, s.bucket, o.v_obs
+      FROM spine s LEFT JOIN obs o ON s.key = o.key AND s.bucket = o.bucket
+    ), w AS (
+      SELECT *,
+        last_value(v_obs IGNORE NULLS) OVER wprev AS pv,
+        last_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER wprev AS pt,
+        first_value(v_obs IGNORE NULLS) OVER wnext AS nv,
+        first_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER wnext AS nt
+      FROM j
+      WINDOW wprev AS (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), filled AS (
+      SELECT key, bucket,
+        FLOOR((CASE WHEN v_obs IS NOT NULL THEN v_obs
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv)
+                         * (CAST(epoch(bucket) - epoch(pt) AS DOUBLE)
+                            / CAST(epoch(nt) - epoch(pt) AS DOUBLE)) END)
+              * 1e6 + 0.5) / 1e6 AS v
+      FROM w
+    ), roll AS (
+      SELECT key, bucket, v,
+        AVG(v) OVER wr AS mu, STDDEV_SAMP(v) OVER wr AS sd,
+        COUNT(*) OVER wr AS n
+      FROM filled
+      WINDOW wr AS (PARTITION BY key ORDER BY bucket
+              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT key AS user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+      v AS value_filled,
+      ROUND(CASE WHEN n >= 12 AND sd > 0 THEN (v - mu) / sd END, 4) AS zscore,
+      CAST((n >= 12 AND sd > 0 AND abs((v - mu) / sd) > 3.0) AS INT)
+        AS is_anomaly
+    FROM roll
+    """,
+)
+def timeseries_zscore_anomalies(spark, sf):
+    """Rolling z-score anomaly detection over the gap-filled hourly
+    series: 24-bucket trailing mean/stddev per user (one window sort,
+    same partitioning the gap-fill already produced), z emitted once
+    the warm-up window holds >= 12 buckets. Composes
+    ops/timeseries.gap_fill_interpolate with plain window aggregates —
+    the standard streaming-metrics monitor shape."""
+    from pyspark.sql import Window
+
+    from dozer_spark.ops.timeseries import gap_fill_interpolate
+
+    ev = _cat(spark, sf).df("events")
+    filled = gap_fill_interpolate(
+        ev, "user_id", "ts", "value", step="hour", obs_round_to=9
+    ).select(
+        "user_id", "bucket", F.col("value_filled").alias("v")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    roll = filled.select(
+        "user_id", "bucket", "v",
+        F.avg("v").over(wr).alias("mu"),
+        F.stddev_samp("v").over(wr).alias("sd"),
+        F.count(F.lit(1)).over(wr).alias("n"),
+    )
+    ok = (F.col("n") >= 12) & (F.col("sd") > 0)
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return roll.select(
+        "user_id",
+        F.col("bucket"),
+        F.col("v").alias("value_filled"),
+        F.round(F.when(ok, z), 4).alias("zscore"),
+        (ok & (F.abs(z) > 3.0)).cast("int").alias("is_anomaly"),
+    )
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

@@ -72,8 +72,8 @@ class StreamingFuzzyIndex:
         idc = self.id_col
         rows = (
             rows.select(F.col(idc).alias("id"),
-                        F.col(self.str_col).alias("s"))
-            .filter(F.col("s").isNotNull())
+                        F.col(self.str_col).alias("__str"))
+            .filter(F.col("__str").isNotNull())
             .dropDuplicates(["id"])
         )
         if self._keys is not None:
@@ -81,20 +81,25 @@ class StreamingFuzzyIndex:
                 self._keys.select("id"), "id", "left_anti")
 
         keys_new = rows.select(
-            "id", "s", F.explode(deletion_variants(F.col("s"))).alias("__k")
+            "id", "__str", F.explode(deletion_variants(F.col("__str"))).alias("__k")
         ).persist()
 
-        a, b = keys_new.alias("a"), keys_new.alias("b")
-        nn = (
-            a.join(b, F.col("a.__k") == F.col("b.__k"))
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
-            )
+        # new-vs-new: the full batch machinery (hot-bucket split, gated
+        # broadcasts) — identical output guarantees to the batch op
+        from dozer_spark.ops.dedup import _blocked_self_join_pairs
+
+        nn = _blocked_self_join_pairs(
+            keys_new, ["__k"], "id", hot_cap=4096,
+            broadcast_gate_bytes=self.gate,
+            carry=(("s_a", "s_b", "__str"),),
         )
         cand = nn
         if self._keys is not None:
+            # merge (SMJ): the exploded batch keys sit right on the
+            # source, so Catalyst under-sizes them (explode fan-out is
+            # invisible to scan stats) and would broadcast at scale;
+            # SMJ spills where a hash relation cannot
+            a = keys_new.hint("merge").alias("a")
             o = maybe_broadcast(self._keys, self.gate).alias("o")
             older = F.col("o.id") < F.col("a.id")
             no = (
@@ -103,9 +108,9 @@ class StreamingFuzzyIndex:
                 .select(
                     F.least(F.col("a.id"), F.col("o.id")).alias("id_a"),
                     F.greatest(F.col("a.id"), F.col("o.id")).alias("id_b"),
-                    F.when(older, F.col("o.s")).otherwise(F.col("a.s"))
+                    F.when(older, F.col("o.__str")).otherwise(F.col("a.__str"))
                     .alias("s_a"),
-                    F.when(older, F.col("a.s")).otherwise(F.col("o.s"))
+                    F.when(older, F.col("a.__str")).otherwise(F.col("o.__str"))
                     .alias("s_b"),
                 )
             )

@@ -88,6 +88,20 @@ def test_fuzzy_join_matches_brute_force_random(spark):
     assert got == expected
 
 
+def test_fuzzy_join_forced_split_equals_unsplit(spark):
+    # hot_cap=1 forces the triangle-fragment split on EVERY variant
+    # bucket; output must be identical to the plain plan
+    rows = [(i, w) for i, w in enumerate(
+        ["kitten", "mitten", "kitten", "kittens", "kitte", "ab", "ba", "cb"]
+    )]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    plain = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in fuzzy_self_join_dist1(df, "id", "name").collect()}
+    split = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in fuzzy_self_join_dist1(df, "id", "name", hot_cap=1).collect()}
+    assert split == plain and len(plain) > 0
+
+
 def test_fuzzy_join_plan_no_cartesian(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "cd")], ["id", "name"])
     plan = fuzzy_self_join_dist1(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
