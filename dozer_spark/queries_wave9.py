@@ -329,6 +329,97 @@ def timeseries_zscore_anomalies(spark, sf):
     )
 
 
+@_q(
+    "data_quality_report_orders",
+    """
+    WITH m AS (
+      SELECT
+        ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+          AS v0,
+        ROUND(CAST(COUNT(DISTINCT o_orderkey)
+                   + MAX(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*), 6) AS v1,
+        ROUND(AVG(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice >= 0
+                        AND o_totalprice <= 200000
+                  THEN 1.0 ELSE 0.0 END), 6) AS v2,
+        ROUND(AVG(CASE WHEN o_orderpriority IS NOT NULL
+                        AND regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1.0 ELSE 0.0 END), 6) AS v3,
+        ROUND(AVG(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                  THEN 1.0 ELSE 0.0 END), 6) AS v4
+      FROM orders
+    )
+    SELECT 'completeness(o_custkey)' AS "constraint",
+           'non_null_share' AS metric, v0 AS value,
+           CAST(v0 >= 1.0 AS INT) AS passed FROM m
+    UNION ALL SELECT 'uniqueness(o_orderkey)', 'distinct_share', v1,
+           CAST(v1 >= 1.0 AS INT) FROM m
+    UNION ALL SELECT 'in_range(o_totalprice,0,200000)', 'in_range_share', v2,
+           CAST(v2 >= 0.5 AS INT) FROM m
+    UNION ALL SELECT 'matches(o_orderpriority)', 'regex_share', v3,
+           CAST(v3 >= 1.0 AS INT) FROM m
+    UNION ALL SELECT 'accepted_values(o_orderpriority)', 'accepted_share', v4,
+           CAST(v4 >= 0.9 AS INT) FROM m
+    """,
+)
+def data_quality_report_orders(spark, sf):
+    """Deequ-style declarative data-quality gate: five constraints
+    (completeness, key uniqueness, range share, regex compliance,
+    accepted-value share) evaluated in ONE aggregation pass over orders
+    (ops/quality.py). Thresholds chosen so the report shows real
+    passes AND failures on TPC-H data. The reference validates schema
+    types only, never values."""
+    from dozer_spark.ops.quality import (
+        accepted_values,
+        completeness,
+        data_quality_report,
+        in_range,
+        matches,
+        uniqueness,
+    )
+
+    o = _cat(spark, sf).df("orders")
+    return data_quality_report(o, [
+        completeness("o_custkey"),
+        uniqueness("o_orderkey"),
+        in_range("o_totalprice", 0, 200000, min_value=0.5),
+        matches("o_orderpriority", "^[1-5]-"),
+        accepted_values(
+            "o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+            min_value=0.9,
+        ),
+    ])
+
+
+@_q(
+    "fk_orphan_audit_orders_customer",
+    """
+    SELECT 'o_custkey->c_custkey' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN o.o_custkey IS NOT NULL
+                            AND c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphans,
+           ROUND(CAST(COUNT(CASE WHEN o.o_custkey IS NOT NULL
+                                  AND c.c_custkey IS NULL THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS orphan_share
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def fk_orphan_audit_orders_customer(spark, sf):
+    """Referential-integrity audit: child rows pointing at a missing
+    parent key (ops/quality.py fk_orphan_audit — one key-projected left
+    join + one aggregate; NULL child keys are completeness's business,
+    not orphans)."""
+    from dozer_spark.ops.quality import fk_orphan_audit
+
+    cat = _cat(spark, sf)
+    return fk_orphan_audit(
+        cat.df("orders"), "o_custkey", cat.df("customer"), "c_custkey"
+    )
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

@@ -172,6 +172,67 @@ def test_hash_split_validation(spark):
         hash_split(df, "k", [("a", 1.5), ("b", -0.5)])
 
 
+# -------------------------------------------------------------- quality
+
+def test_data_quality_report_known_values(spark):
+    from dozer_spark.ops.quality import (
+        accepted_values, completeness, data_quality_report, in_range,
+        matches, uniqueness,
+    )
+
+    rows = [
+        (1, "a", 5.0), (2, "b", 15.0), (3, None, 25.0),
+        (3, "a", None), (4, "zz", -1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "cat", "x"])
+    got = {
+        r["constraint"]: (r["metric"], r["value"], r["passed"])
+        for r in data_quality_report(df, [
+            completeness("cat", min_value=0.9),
+            uniqueness("k"),                      # 4 distinct / 5 rows
+            in_range("x", 0, 20, min_value=0.5),  # 2 of 5 in range
+            matches("cat", "^[ab]$", min_value=0.6),
+            accepted_values("cat", ["a", "b"], min_value=0.6),
+        ]).collect()
+    }
+    assert got["completeness(cat)"] == ("non_null_share", 0.8, 0)
+    assert got["uniqueness(k)"] == ("distinct_share", 0.8, 0)
+    assert got["in_range(x,0,20)"] == ("in_range_share", 0.4, 0)
+    assert got["matches(cat)"] == ("regex_share", 0.6, 1)
+    assert got["accepted_values(cat)"] == ("accepted_share", 0.6, 1)
+
+
+def test_data_quality_report_edge_cases(spark):
+    from dozer_spark.ops.quality import (
+        completeness, data_quality_report, uniqueness,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["k", "cat"]).filter("k < 0")
+    got = data_quality_report(df, [completeness("cat")]).collect()
+    assert got[0]["value"] == 1.0 and got[0]["passed"] == 1  # empty passes
+    # nulls count as one shared value for uniqueness
+    df2 = spark.createDataFrame([(None,), (None,), (1,)], "k: int")
+    got2 = data_quality_report(df2, [uniqueness("k")]).collect()
+    assert got2[0]["value"] == round(2 / 3, 6)  # report rounds to 6
+    with pytest.raises(ValueError):
+        data_quality_report(df, [])
+    with pytest.raises(ValueError):
+        data_quality_report(df, [completeness("cat"), completeness("cat")])
+
+
+def test_fk_orphan_audit_planted_orphans(spark):
+    from dozer_spark.ops.quality import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "fk: int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: int")
+    r = fk_orphan_audit(child, "fk", parent, "pk").collect()[0]
+    assert r["relationship"] == "fk->pk"
+    assert r["n_child"] == 5
+    assert r["n_orphans"] == 1  # the 9; NULL is not an orphan
+    assert abs(r["orphan_share"] - 0.2) < 1e-9
+
+
 # ------------------------------------------------------- hard negatives
 
 def test_hard_negative_topk_matches_numpy(spark):

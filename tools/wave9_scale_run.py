@@ -112,6 +112,8 @@ def run_tier(spark, n: int) -> dict:
     out["fuzzy_pairs"] = fuzzy_self_join_dist1(names, "id", "name").count()
     out["fuzzy_sec"] = round(time.perf_counter() - t0, 2)
 
+    from pyspark.sql import functions as F
+
     p = os.path.join(SCRATCH, f"vecs_{n}.parquet")
     if not os.path.exists(p):
         gen_vectors(n, p)
@@ -119,8 +121,14 @@ def run_tier(spark, n: int) -> dict:
     t0 = time.perf_counter()
     model = pca_fit(vecs, "embedding", dim=64, n_components=8)
     out["pca_fit_sec"] = round(time.perf_counter() - t0, 2)
+    # checksum over the projection, NOT count(): a bare count lets
+    # Catalyst prune the projected column and skip the matmul entirely
     t0 = time.perf_counter()
-    out["pca_project_rows"] = pca_project(vecs, "embedding", model).count()
+    row = pca_project(vecs, "embedding", model).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("pc", 1)).alias("ck"),
+    ).first()
+    out["pca_project_rows"] = row["n"]
     out["pca_project_sec"] = round(time.perf_counter() - t0, 2)
 
     p = os.path.join(SCRATCH, f"events_{n}.parquet")
@@ -128,8 +136,11 @@ def run_tier(spark, n: int) -> dict:
         gen_events(n, p)
     ev = spark.read.parquet(p)
     t0 = time.perf_counter()
-    out["gapfill_rows"] = gap_fill_interpolate(
-        ev, "user_id", "ts", "value").count()
+    row = gap_fill_interpolate(ev, "user_id", "ts", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_filled").alias("ck"),
+    ).first()
+    out["gapfill_rows"] = row["n"]
     out["gapfill_sec"] = round(time.perf_counter() - t0, 2)
     return out
 
