@@ -106,6 +106,9 @@ def test_fuzzy_join_plan_no_cartesian(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "cd")], ["id", "name"])
     plan = fuzzy_self_join_dist1(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
+    # the variant self-join must be sort-merge (spillable), never a
+    # broadcast of the stats-underestimated exploded table
+    assert "SortMergeJoin" in plan
 
 
 # ----------------------------------------------------------- timeseries

@@ -145,11 +145,49 @@ def run_tier(spark, n: int) -> dict:
     return out
 
 
+def run_streaming_fuzzy(spark, n: int, epochs: int = 5) -> dict:
+    """Per-epoch wall time of StreamingFuzzyIndex as the accumulated
+    state grows — each epoch's batch probes ALL prior variants."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dozer_spark.streaming.fuzzy import StreamingFuzzyIndex
+
+    p = os.path.join(SCRATCH, f"names_{n}.parquet")
+    if not os.path.exists(p):
+        gen_names(n, p)
+    names = spark.read.parquet(p).persist()
+    names.count()
+    sd = tempfile.mkdtemp(prefix="fzscale_", dir=SCRATCH)
+    try:
+        fz = StreamingFuzzyIndex(spark, "name", "id",
+                                 state_dir=os.path.join(sd, "state"))
+        times, pairs = [], 0
+        for k in range(epochs):
+            batch = names.filter(F.col("id") % epochs == k)
+            t0 = time.perf_counter()
+            pairs += fz.process_batch(batch).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        return {"tier_rows": n, "op": "streaming_fuzzy",
+                "epochs": epochs, "epoch_sec": times, "total_pairs": pairs}
+    finally:
+        names.unpersist()
+        shutil.rmtree(sd, ignore_errors=True)
+
+
 def main() -> None:
-    tiers = [int(a) for a in sys.argv[1:]] or [200_000, 2_000_000]
+    argv = sys.argv[1:]
+    streaming = "--streaming" in argv
+    argv = [a for a in argv if a != "--streaming"]
+    tiers = [int(a) for a in argv] or [200_000, 2_000_000]
     spark = get_spark("wave9_scale")
     for n in tiers:
-        print(json.dumps(run_tier(spark, n)), flush=True)
+        if streaming:
+            print(json.dumps(run_streaming_fuzzy(spark, n)), flush=True)
+        else:
+            print(json.dumps(run_tier(spark, n)), flush=True)
 
 
 if __name__ == "__main__":
