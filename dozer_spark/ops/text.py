@@ -702,3 +702,65 @@ def winnow_fingerprint_score(docs, text_col: str, id_col: str,
         (F.count("__dup").cast("double")
          / F.greatest(n_fp, F.lit(1)).cast("double")).alias("share_score"),
     )
+
+
+def ccnet_perplexity_buckets(docs, text_col: str, id_col: str,
+                             lang_col: str, n_buckets: int = 3):
+    """CCNet-style quality stratification (Wenzek et al. 2020): rank
+    each document by in-corpus unigram perplexity WITHIN its language
+    and cut the ranking into equal-count buckets — bucket 1 is CCNet's
+    "head" (most fluent), the last is its "tail". Per-language buckets
+    matter: absolute perplexity is not comparable across languages, so
+    a global cut would put entire low-resource languages in the tail.
+
+    One window sort per language on top of the unigram census;
+    deterministic under ties (perplexity is rounded upstream, doc id
+    breaks ties identically in SQL's ntile). Output: (id, lang,
+    perplexity, bucket [1..n_buckets], tier [head/middle/tail]).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(docs, text_col, id_col).select(
+        id_col, "perplexity"
+    )
+    withlang = scored.join(
+        docs.select(id_col, F.col(lang_col).alias("lang")), id_col
+    )
+    w = Window.partitionBy("lang").orderBy("perplexity", id_col)
+    b = withlang.withColumn("bucket", F.ntile(n_buckets).over(w))
+    tier = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == n_buckets, "tail")
+        .otherwise("middle")
+    )
+    return b.select(
+        id_col, "lang", "perplexity",
+        F.col("bucket").cast("int").alias("bucket"),
+        tier.alias("tier"),
+    )
+
+
+def cross_source_dup_matrix(docs, text_col: str, source_col: str):
+    """Cross-source exact-duplicate matrix: for every pair of sources,
+    how many distinct normalized texts appear in BOTH — the dataset-
+    card fact that tells you whether two crawls/feeds overlap before
+    you pay for near-dup across them. One digest projection, one
+    distinct, one self-equi-join on the digest (a digest shared by k
+    sources contributes C(k,2) pairs — bounded by the source-count
+    square, not the corpus).
+    Output: (source_a, source_b, n_shared_texts), source_a < source_b.
+    """
+    srcs = docs.select(
+        F.md5(F.col(text_col)).alias("__dg"),
+        F.col(source_col).alias("__src"),
+    ).distinct()
+    a, b = srcs.alias("a"), srcs.alias("b")
+    return (
+        a.join(b, (F.col("a.__dg") == F.col("b.__dg"))
+               & (F.col("a.__src") < F.col("b.__src")))
+        .groupBy(
+            F.col("a.__src").alias("source_a"),
+            F.col("b.__src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )

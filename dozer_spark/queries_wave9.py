@@ -420,6 +420,73 @@ def fk_orphan_audit_orders_customer(spark, sf):
     )
 
 
+@_q(
+    "text_ccnet_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), census AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM census
+    ), per_doc AS (
+      SELECT t.doc_id, AVG(ln(ce.c)) AS avg_ln_c
+      FROM toks t JOIN census ce USING (tok)
+      GROUP BY t.doc_id
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(exp(-(ROUND(avg_ln_c - ln(totals.n), 6))), 3) AS perplexity
+      FROM per_doc, totals
+    ), ranked AS (
+      SELECT s.doc_id, d.lang, s.perplexity,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+                  ORDER BY s.perplexity, s.doc_id) AS INT) AS bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, perplexity, bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS tier
+    FROM ranked
+    """,
+)
+def text_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail stratification (Wenzek et al. 2020):
+    per-LANGUAGE perplexity tertiles over the in-corpus unigram LM
+    (ops/text.py ccnet_perplexity_buckets) — per-language because
+    absolute perplexity is not comparable across languages. ntile
+    shares its equal-count bucket definition between engines;
+    (perplexity, doc_id) ordering makes ties deterministic."""
+    from dozer_spark.ops.text import ccnet_perplexity_buckets
+
+    d = _cat(spark, sf).df("documents")
+    return ccnet_perplexity_buckets(d, "text", "doc_id", "lang")
+
+
+@_q(
+    "cross_source_dup_matrix",
+    """
+    WITH srcs AS (
+      SELECT DISTINCT md5(text) AS dg, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM srcs a JOIN srcs b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark, sf):
+    """Cross-source exact-duplicate matrix (ops/text.py): which crawls/
+    feeds overlap, counted on distinct text digests — the dataset-card
+    fact consulted before paying for cross-corpus near-dup."""
+    from dozer_spark.ops.text import cross_source_dup_matrix as op
+
+    d = _cat(spark, sf).df("documents")
+    return op(d, "text", "source")
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

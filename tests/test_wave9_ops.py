@@ -236,6 +236,57 @@ def test_fk_orphan_audit_planted_orphans(spark):
     assert abs(r["orphan_share"] - 0.2) < 1e-9
 
 
+# ------------------------------------------------------------ text wave9
+
+def test_cross_source_dup_matrix_counts(spark):
+    # the sf0.01 oracle gate is trivially empty (no exact dups in that
+    # corpus), so the counting logic is pinned here: distinct digests,
+    # C(k,2) source pairs per shared digest, a<b ordering
+    from dozer_spark.ops.text import cross_source_dup_matrix
+
+    rows = [
+        (1, "same text", "crawlA"), (2, "same text", "crawlB"),
+        (3, "same text", "crawlC"),           # shared by A,B,C -> 3 pairs
+        (4, "same text", "crawlA"),           # dup within A: still 1 digest
+        (5, "other", "crawlA"), (6, "other", "crawlB"),  # A-B again
+        (7, "solo", "crawlC"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in cross_source_dup_matrix(df, "text", "source").collect()}
+    assert got == {
+        ("crawlA", "crawlB"): 2,  # "same text" + "other"
+        ("crawlA", "crawlC"): 1,
+        ("crawlB", "crawlC"): 1,
+    }
+
+
+def test_ccnet_buckets_per_language_tertiles(spark):
+    from dozer_spark.ops.text import ccnet_perplexity_buckets
+
+    # 6 docs in one lang (buckets of 2), 2 in another (sizes 1,1,0)
+    rows = [(i, f"w{i} w{i} common", "en") for i in range(6)]
+    rows += [(10, "common common", "fr"), (11, "w10 w11 w12", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = ccnet_perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["en"]) == 6 and len(by_lang["fr"]) == 2
+    # en: equal-count tertiles of 2
+    from collections import Counter
+
+    assert Counter(r["bucket"] for r in by_lang["en"]) == {1: 2, 2: 2, 3: 2}
+    # buckets ordered by perplexity: every head perplexity <= every tail
+    en = by_lang["en"]
+    assert max(r["perplexity"] for r in en if r["tier"] == "head") <= min(
+        r["perplexity"] for r in en if r["tier"] == "tail")
+    # fr doc with corpus-common tokens is the head, rare-token doc next
+    fr = {r["doc_id"]: r for r in by_lang["fr"]}
+    assert fr[10]["bucket"] == 1 and fr[10]["tier"] == "head"
+    assert fr[11]["bucket"] == 2
+
+
 # ------------------------------------------------------- hard negatives
 
 def test_hard_negative_topk_matches_numpy(spark):
