@@ -487,6 +487,62 @@ def cross_source_dup_matrix(spark, sf):
     return op(d, "text", "source")
 
 
+@_q(
+    "cdc_streaming_fuzzy_ttl",
+    """
+    WITH base AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS s_a, b.c_name AS s_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), meta AS (
+      SELECT c_custkey AS id, c_custkey % 3 AS b,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (c_custkey) MINUTE AS ts
+      FROM customer
+    ), wm AS (
+      SELECT b, MAX(mx) OVER (ORDER BY b) AS wm
+      FROM (SELECT b, MAX(ts) AS mx FROM meta GROUP BY b)
+    )
+    SELECT p.id_a, p.id_b, p.s_a, p.s_b, p.dist
+    FROM base p
+    JOIN meta ma ON ma.id = p.id_a
+    JOIN meta mb ON mb.id = p.id_b
+    JOIN wm ON wm.b = greatest(ma.b, mb.b)
+    WHERE least(ma.ts, mb.ts) >= wm.wm - INTERVAL 250 MINUTE
+    """,
+)
+def cdc_streaming_fuzzy_ttl(spark, sf):
+    """BOUNDED-RECALL fuzzy matching: same three-batch replay as
+    cdc_streaming_fuzzy_index but against a 250-minute sliding
+    event-time window (ts derived deterministically from the key so
+    the oracle replays it) with per-batch physical eviction
+    (prune_every=1) — state is O(window), the direct answer to the
+    measured O(state) probe cost of full-history matching (SCALING.md).
+    The oracle is the batch fuzzy join minus pairs whose earlier
+    member had left the window when the later one arrived."""
+    from dozer_spark.streaming.fuzzy import StreamingFuzzyIndex
+
+    c = _cat(spark, sf).df("customer").withColumn(
+        "ts",
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, c_custkey, 0)"),
+    )
+    fz = StreamingFuzzyIndex(
+        spark, "c_name", "c_custkey",
+        ts_col="ts", retain="250 minutes", prune_every=1,
+    )
+    outs = [
+        fz.process_batch(c.filter(F.col("c_custkey") % 3 == k))
+        for k in range(3)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

@@ -32,12 +32,31 @@ _GEOM = {"max_dist": 1}
 class StreamingFuzzyIndex:
     def __init__(self, spark, str_col: str, id_col: str,
                  state_dir: str | None = None,
-                 broadcast_gate_bytes: int | None = None):
+                 broadcast_gate_bytes: int | None = None,
+                 ts_col: str | None = None, retain: str | None = None,
+                 prune_every: int = 8):
+        """ts_col/retain enable BOUNDED-RECALL mode (the same contract
+        as StreamingMinHashDedup): names are matched against a sliding
+        event-time window instead of all history — a pair is emitted
+        only when BOTH members' ts are >= watermark - retain at the
+        later member's arrival, rows beyond the horizon are dropped on
+        arrival (they could never pair), and the PHYSICAL state prune
+        is amortized (every prune_every batches), making state
+        O(window) instead of O(corpus). This is the lever for the
+        measured O(state) per-epoch probe cost of full-history matching
+        (SCALING.md, streaming fuzzy section)."""
         self.spark = spark
         self.str_col = str_col
         self.id_col = id_col
         self.gate = broadcast_gate_bytes
-        self._keys = None  # (id, s, __k)
+        if retain is not None and ts_col is None:
+            raise ValueError("retain requires ts_col")
+        self.ts_col = ts_col
+        self.retain = retain
+        self.prune_every = prune_every
+        self._watermark = None
+        self._batches = 0
+        self._keys = None  # (id, __str, __k[, __ts])
         self._store = None
         self._prev_caches: list = []
         if state_dir is not None:
@@ -57,6 +76,12 @@ class StreamingFuzzyIndex:
             if self._store.epoch > 0:
                 self._keys = self._tx.read_committed(
                     self._store.load_meta("fuzzy_txv"))
+                wm = self._store.load_meta("fz_wm")
+                if wm and wm.get("wm") is not None:
+                    import datetime as _dt
+
+                    self._watermark = _dt.datetime.fromisoformat(wm["wm"])
+                self._batches = self._store.epoch
 
     def process_batch(self, rows: DataFrame) -> DataFrame:
         """Edit-distance-<=1 pairs (id_a, id_b, s_a, s_b, dist) newly
@@ -70,9 +95,11 @@ class StreamingFuzzyIndex:
         self._prev_caches = []
 
         idc = self.id_col
+        sel = [F.col(idc).alias("id"), F.col(self.str_col).alias("__str")]
+        if self.retain is not None:
+            sel.append(F.col(self.ts_col).alias("__ts"))
         rows = (
-            rows.select(F.col(idc).alias("id"),
-                        F.col(self.str_col).alias("__str"))
+            rows.select(*sel)
             .filter(F.col("__str").isNotNull())
             .dropDuplicates(["id"])
         )
@@ -80,8 +107,25 @@ class StreamingFuzzyIndex:
             rows = rows.join(
                 self._keys.select("id"), "id", "left_anti")
 
+        # bounded-recall: advance the watermark, drop rows beyond the
+        # horizon (they could never pair), window-restrict the probe
+        cutoff = None
+        old_keys = self._keys
+        if self.retain is not None:
+            mx = rows.agg(F.max("__ts")).first()[0]
+            if mx is not None and (self._watermark is None
+                                   or mx > self._watermark):
+                self._watermark = mx
+            if self._watermark is not None:
+                cutoff = (F.lit(self._watermark)
+                          - F.expr(f"INTERVAL {self.retain}"))
+                rows = rows.filter(F.col("__ts") >= cutoff)
+                if old_keys is not None:
+                    old_keys = old_keys.filter(F.col("__ts") >= cutoff)
+
+        cols = ["id", "__str"] + (["__ts"] if self.retain is not None else [])
         keys_new = rows.select(
-            "id", "__str", F.explode(deletion_variants(F.col("__str"))).alias("__k")
+            *cols, F.explode(deletion_variants(F.col("__str"))).alias("__k")
         ).persist()
 
         # new-vs-new: the full batch machinery (hot-bucket split, gated
@@ -94,13 +138,13 @@ class StreamingFuzzyIndex:
             carry=(("s_a", "s_b", "__str"),),
         )
         cand = nn
-        if self._keys is not None:
+        if old_keys is not None:
             # merge (SMJ): the exploded batch keys sit right on the
             # source, so Catalyst under-sizes them (explode fan-out is
             # invisible to scan stats) and would broadcast at scale;
             # SMJ spills where a hash relation cannot
             a = keys_new.hint("merge").alias("a")
-            o = maybe_broadcast(self._keys, self.gate).alias("o")
+            o = maybe_broadcast(old_keys, self.gate).alias("o")
             older = F.col("o.id") < F.col("a.id")
             no = (
                 a.join(o, F.col("a.__k") == F.col("o.__k"))
@@ -124,19 +168,43 @@ class StreamingFuzzyIndex:
             .localCheckpoint(eager=False)
         )
 
+        # amortized PHYSICAL prune (correctness never depends on it —
+        # the probe filters by cutoff)
+        do_prune = (
+            self.retain is not None and cutoff is not None
+            and self._keys is not None
+            and self._batches % self.prune_every == self.prune_every - 1
+        )
         if self._store is not None:
             epoch = self._store.epoch + 1
             delta = keys_new.withColumn(
                 "__fk", row_digest(["__k", "id"])
             ).withColumn("__del", F.lit(False))
+            if do_prune:
+                delta = delta.unionByName(
+                    self._keys.filter(F.col("__ts") < cutoff)
+                    .withColumn("__fk", row_digest(["__k", "id"]))
+                    .withColumn("__del", F.lit(True))
+                )
             meta = self._tx.advance(delta, epoch, "fz_keys")
             self._store.stage_meta("fuzzy_txv", meta)
             self._store.stage_meta("fz_geom", _GEOM)
+            if self.retain is not None:
+                self._store.stage_meta(
+                    "fz_wm",
+                    {"wm": self._watermark.isoformat()
+                     if self._watermark is not None else None},
+                )
             self._keys = self._tx.read_live()
             self._store.commit()
         else:
             ck = keys_new.localCheckpoint(eager=True)
             self._keys = (ck if self._keys is None
                           else self._keys.unionByName(ck))
+            if do_prune:
+                self._keys = self._keys.filter(
+                    F.col("__ts") >= cutoff
+                ).localCheckpoint(eager=True)
+        self._batches += 1
         self._prev_caches = [keys_new]
         return pairs

@@ -58,6 +58,33 @@ def test_streaming_durable_resume_and_redelivery(spark, tmp_path):
     assert _pairs(fz3.process_batch(b1)) == {}
 
 
+def test_streaming_ttl_window_and_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # ids double as minutes; retain 10 minutes
+    rows = [
+        (1, "kitten", "2024-01-01 00:01:00"),
+        (2, "mitten", "2024-01-01 00:02:00"),
+        (30, "kittez", "2024-01-01 00:30:00"),  # kitten left the window
+        (31, "mittez", "2024-01-01 00:31:00"),
+        (32, "kittez", "2024-01-01 00:32:00"),  # dup of 30, in window
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts"))
+    fz = StreamingFuzzyIndex(
+        spark, "name", "id", state_dir=str(tmp_path / "fzttl"),
+        ts_col="ts", retain="10 minutes", prune_every=1,
+    )
+    got = _pairs(fz.process_batch(df.filter(F.col("id") <= 2)))
+    assert set(got) == {(1, 2)}  # both in window at epoch 1
+    got2 = _pairs(fz.process_batch(df.filter(F.col("id") >= 30)))
+    # cross-epoch pairs with 1/2 are NOT emitted (outside the window);
+    # within-window pairs among 30/31/32 are
+    assert set(got2) == {(30, 31), (30, 32), (31, 32)}
+    # physical prune ran (prune_every=1): expired variants are gone
+    assert fz._keys.filter(F.col("id") <= 2).count() == 0
+
+
 def test_streaming_geometry_guard(spark, tmp_path, monkeypatch):
     sd = str(tmp_path / "fzgeom")
     df = spark.createDataFrame(ROWS[:4], ["id", "name"])
