@@ -543,6 +543,46 @@ def cdc_streaming_fuzzy_ttl(spark, sf):
     return out
 
 
+@_q(
+    "cdc_streaming_entity_resolution",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def cdc_streaming_entity_resolution(spark, sf):
+    """TWO streaming operators composed under one exact oracle: names
+    arrive in three batches, StreamingFuzzyIndex emits each batch's
+    newly-discoverable edit-distance pairs, StreamingClusters folds
+    them into incrementally-maintained entity components. The final
+    label table must equal the one-shot batch pipeline
+    (fuzzy_self_join_dist1 -> dedup_clusters), replayed by the
+    recursive-CTE oracle — the streaming face of
+    entity_resolution_clusters."""
+    from dozer_spark.streaming.dedup import StreamingClusters
+    from dozer_spark.streaming.fuzzy import StreamingFuzzyIndex
+
+    c = _cat(spark, sf).df("customer")
+    fz = StreamingFuzzyIndex(spark, "c_name", "c_custkey")
+    cc = StreamingClusters(spark)
+    for k in range(3):
+        pairs = fz.process_batch(c.filter(F.col("c_custkey") % 3 == k))
+        cc.process_batch(pairs.select("id_a", "id_b"))
+    return cc.current().select("id", "cluster_id")
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):
