@@ -141,3 +141,42 @@ def fk_orphan_audit(child: DataFrame, child_key: str,
         F.lit(rel).alias("relationship"),
         "n_child", "n_orphans", "orphan_share",
     )
+
+
+def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                    n_buckets: int = 20) -> DataFrame:
+    """Equi-width histogram of a numeric column — the profiling
+    companion to the constraint report (spot skew/outliers before
+    choosing in_range thresholds). NULLs are excluded; values outside
+    [lo, hi) clamp into the edge buckets so the counts always sum to
+    the non-null row count. One aggregation pass (groupBy on a derived
+    bucket — map-side combinable, n_buckets cardinality).
+
+    Output: (bucket [0..n-1], lo_edge, hi_edge, n), only non-empty
+    buckets, edges rounded to 6.
+    """
+    if not n_buckets >= 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    w = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(w), 6)
+            .alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(w), 6)
+            .alias("hi_edge"),
+            "n",
+        )
+    )

@@ -583,6 +583,34 @@ def cdc_streaming_entity_resolution(spark, sf):
     return cc.current().select("id", "cluster_id")
 
 
+@_q(
+    "histogram_order_totalprice",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(
+               CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS INT), 0), 19)
+             AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           ROUND(CAST(bucket AS DOUBLE) * 25000.0, 6) AS lo_edge,
+           ROUND(CAST(bucket + 1 AS DOUBLE) * 25000.0, 6) AS hi_edge,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_order_totalprice(spark, sf):
+    """Equi-width value histogram (ops/quality.py value_histogram):
+    20 buckets over [0, 500000), out-of-range values clamped into the
+    edge buckets so counts sum to the non-null row count. One map-side
+    combinable aggregation; the profiling companion to the constraint
+    report."""
+    from dozer_spark.ops.quality import value_histogram
+
+    o = _cat(spark, sf).df("orders")
+    return value_histogram(o, "o_totalprice", 0.0, 500000.0, n_buckets=20)
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

@@ -223,6 +223,26 @@ def test_data_quality_report_edge_cases(spark):
         data_quality_report(df, [completeness("cat"), completeness("cat")])
 
 
+def test_value_histogram_clamping_and_totals(spark):
+    from dozer_spark.ops.quality import value_histogram
+
+    rows = [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (99.0,), (150.0,),
+            (None,)]
+    df = spark.createDataFrame(rows, "x: double")
+    got = {r["bucket"]: (r["lo_edge"], r["hi_edge"], r["n"])
+           for r in value_histogram(df, "x", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bucket 0; 150 clamps into bucket 9; NULL excluded
+    assert got[0] == (0.0, 10.0, 3)   # -5, 0, 9.9
+    assert got[1] == (10.0, 20.0, 1)  # 10.0 lands on its edge
+    assert got[2] == (20.0, 30.0, 1)
+    assert got[9] == (90.0, 100.0, 2)  # 99 + clamped 150
+    assert sum(n for (_, _, n) in got.values()) == 7
+    with pytest.raises(ValueError):
+        value_histogram(df, "x", 0.0, 100.0, 0)
+    with pytest.raises(ValueError):
+        value_histogram(df, "x", 5.0, 5.0, 10)
+
+
 def test_fk_orphan_audit_planted_orphans(spark):
     from dozer_spark.ops.quality import fk_orphan_audit
 
