@@ -85,6 +85,36 @@ def test_streaming_ttl_window_and_prune(spark, tmp_path):
     assert fz._keys.filter(F.col("id") <= 2).count() == 0
 
 
+def test_streaming_ttl_durable_crash_resume(spark, tmp_path):
+    """New instance per batch (crash + resume each time): the watermark
+    must come back from StateStore meta, so the window cutoff applies
+    identically to a single long-lived instance."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "kitten", "2024-01-01 00:01:00"),
+        (2, "mitten", "2024-01-01 00:02:00"),
+        (30, "kittez", "2024-01-01 00:30:00"),
+        (31, "mittez", "2024-01-01 00:31:00"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts"))
+    sd = str(tmp_path / "fzttlcr")
+
+    def mk():
+        return StreamingFuzzyIndex(
+            spark, "name", "id", state_dir=sd,
+            ts_col="ts", retain="10 minutes", prune_every=1,
+        )
+
+    got = _pairs(mk().process_batch(df.filter(F.col("id") <= 2)))
+    assert set(got) == {(1, 2)}
+    fz = mk()  # crash + resume: watermark restored from meta
+    assert fz._watermark is not None
+    got2 = _pairs(fz.process_batch(df.filter(F.col("id") >= 30)))
+    assert set(got2) == {(30, 31)}  # 1/2 outside the restored window
+
+
 def test_streaming_geometry_guard(spark, tmp_path, monkeypatch):
     sd = str(tmp_path / "fzgeom")
     df = spark.createDataFrame(ROWS[:4], ["id", "name"])
