@@ -34,6 +34,21 @@ as a table the SQL and sinks can reference:
         input: clean                # ops chain in declaration order
         args: {id_col: doc_id, text_col: text, budget: 2000}
 
+An optional `quality:` stage (ops/quality.py) runs LAST, so gates can
+target sources, op outputs, or SQL outputs; values export as metrics
+gauges, and `fail_on_violation: true` raises before the caller promotes
+the batch:
+
+    quality:
+      orders_gate:
+        table: orders
+        fail_on_violation: true
+        constraints:
+          - {type: completeness, col: o_custkey}
+          - {type: uniqueness, col: o_orderkey}
+          - {type: in_range, col: o_totalprice, lo: 0, hi: 200000,
+             min_value: 0.5}
+
 Each statement's INTO output is registered as a table for later
 statements (mirroring the reference, where INTO names an endpoint other
 pipelines and sinks can reference) and written by its sink if one is
@@ -58,6 +73,7 @@ class AppResult:
     written: dict[str, str] = field(default_factory=dict)  # name -> path
     metrics: object = None          # MetricsRegistry when `metrics:` set
     metrics_server: object = None   # MetricsServer when a port was given
+    quality: dict = field(default_factory=dict)  # gate -> constraint rows
 
 
 def _split_statements(sql: str) -> list[str]:
@@ -267,7 +283,71 @@ def run_app(spark: SparkSession, config: dict | str,
     unknown_sinks = set(sinks) - set(result.outputs)
     if unknown_sinks:
         raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")
+
+    # quality stage: declarative validation gates (ops/quality.py) over
+    # any registered table — sources, op outputs, or SQL outputs (it
+    # runs last so it can gate what the app produced). One aggregation
+    # pass per gate; values exported as gauges when `metrics:` is on;
+    # fail_on_violation raises BEFORE the caller promotes the batch.
+    for gname, spec in (config.get("quality") or {}).items():
+        table = spec.get("table")
+        if not table:
+            raise ValueError(f"quality.{gname}: missing required key 'table'")
+        src = cat.df(table) if cat.has(table) else result.outputs.get(table)
+        if src is None:
+            raise ValueError(
+                f"quality.{gname}: unknown table {table!r} "
+                f"(known: {sorted(set(cat.names()) | set(result.outputs))})"
+            )
+        cons = [_build_constraint(gname, c)
+                for c in (spec.get("constraints") or [])]
+        from dozer_spark.ops.quality import data_quality_report
+
+        rows = data_quality_report(src, cons).collect()  # 1 row/constraint
+        result.quality[gname] = rows
+        if registry is not None:
+            for r in rows:
+                registry.set_gauge("dozer_quality_value", r["value"],
+                                   gate=gname, constraint=r["constraint"])
+                registry.set_gauge("dozer_quality_passed", float(r["passed"]),
+                                   gate=gname, constraint=r["constraint"])
+        failed = [r["constraint"] for r in rows if r["passed"] == 0]
+        if failed and spec.get("fail_on_violation", False):
+            raise ValueError(
+                f"quality.{gname}: constraint(s) violated on {table!r}: "
+                f"{failed} — batch must not be promoted"
+            )
     return result
+
+
+_CONSTRAINT_TYPES = {
+    "completeness": ("col",),
+    "uniqueness": ("col",),
+    "in_range": ("col", "lo", "hi"),
+    "matches": ("col", "pattern"),
+    "accepted_values": ("col", "values"),
+}
+
+
+def _build_constraint(gate: str, spec: dict):
+    """YAML constraint entry -> ops/quality.py Constraint."""
+    from dozer_spark.ops import quality as q
+
+    kind = spec.get("type")
+    if kind not in _CONSTRAINT_TYPES:
+        raise ValueError(
+            f"quality.{gate}: unknown constraint type {kind!r} "
+            f"(available: {sorted(_CONSTRAINT_TYPES)})"
+        )
+    required = _CONSTRAINT_TYPES[kind]
+    missing = [k for k in required if k not in spec]
+    if missing:
+        raise ValueError(
+            f"quality.{gate}: constraint {kind!r} missing keys {missing}")
+    kwargs = {k: spec[k] for k in required}
+    if "min_value" in spec:
+        kwargs["min_value"] = float(spec["min_value"])
+    return getattr(q, kind)(**kwargs)
 
 
 def _app_ops() -> dict:

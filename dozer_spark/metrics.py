@@ -44,6 +44,13 @@ class MetricsRegistry:
             series = self._counters.setdefault(name, {})
             series[key] = series.get(key, 0.0) + value
 
+    def set_gauge(self, name: str, value: float, **labels) -> None:
+        """Last-write-wins gauge (quality shares, watermarks) — same
+        storage/exposition as counters, overwrite instead of add."""
+        key = tuple(sorted(labels.items()))
+        with self._lock:
+            self._counters.setdefault(name, {})[key] = value
+
     def get(self, name: str, **labels) -> float:
         key = tuple(sorted(labels.items()))
         with self._lock:

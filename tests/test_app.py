@@ -303,3 +303,72 @@ def test_app_ops_stage_chains_and_feeds_sql(spark, tmp_path):
             "ops": {"x": {"op": "nope", "input": "documents"}},
             "sql": "SELECT 1 AS one;",
         })
+
+
+def test_app_quality_gate_metrics_and_failure(spark):
+    base = {
+        "sources": {
+            "orders": {"path": "/root/testdata/sf0.001/orders.parquet",
+                       "pk": ["o_orderkey"]},
+        },
+        "sql": "SELECT o_orderkey, o_totalprice FROM orders "
+               "WHERE o_totalprice > 0 INTO positive",
+        "metrics": {},
+        "quality": {
+            "orders_gate": {
+                "table": "orders",
+                "constraints": [
+                    {"type": "completeness", "col": "o_custkey"},
+                    {"type": "uniqueness", "col": "o_orderkey"},
+                    {"type": "in_range", "col": "o_totalprice",
+                     "lo": 0, "hi": 100, "min_value": 0.5},
+                ],
+            },
+            # gates can target SQL OUTPUTS, not just sources
+            "result_gate": {
+                "table": "positive",
+                "constraints": [
+                    {"type": "in_range", "col": "o_totalprice",
+                     "lo": 0, "hi": 1e9},
+                ],
+            },
+        },
+    }
+    res = run_app(spark, base)
+    rows = {r["constraint"]: r for r in res.quality["orders_gate"]}
+    assert rows["completeness(o_custkey)"]["passed"] == 1
+    assert rows["uniqueness(o_orderkey)"]["passed"] == 1
+    assert rows["in_range(o_totalprice,0,100)"]["passed"] == 0  # real fail
+    assert res.quality["result_gate"][0]["passed"] == 1
+    # exported as gauges
+    assert res.metrics.get(
+        "dozer_quality_passed", gate="orders_gate",
+        constraint="uniqueness(o_orderkey)") == 1.0
+    assert res.metrics.get(
+        "dozer_quality_value", gate="result_gate",
+        constraint="in_range(o_totalprice,0,1000000000.0)") == 1.0
+
+    # fail_on_violation raises with the violated constraints named
+    base["quality"]["orders_gate"]["fail_on_violation"] = True
+    with pytest.raises(ValueError, match="in_range"):
+        run_app(spark, base)
+
+
+def test_app_quality_gate_config_errors(spark):
+    src = {"orders": {"path": "/root/testdata/sf0.001/orders.parquet",
+                      "pk": ["o_orderkey"]}}
+    sql = "SELECT 1 AS one FROM orders LIMIT 1"
+    with pytest.raises(ValueError, match="unknown table"):
+        run_app(spark, {"sources": src, "sql": sql, "quality": {
+            "g": {"table": "nope",
+                  "constraints": [{"type": "completeness", "col": "x"}]}}})
+    with pytest.raises(ValueError, match="unknown constraint type"):
+        run_app(spark, {"sources": src, "sql": sql, "quality": {
+            "g": {"table": "orders", "constraints": [{"type": "zzz"}]}}})
+    with pytest.raises(ValueError, match="missing keys"):
+        run_app(spark, {"sources": src, "sql": sql, "quality": {
+            "g": {"table": "orders",
+                  "constraints": [{"type": "in_range", "col": "x"}]}}})
+    with pytest.raises(ValueError, match="missing required key 'table'"):
+        run_app(spark, {"sources": src, "sql": sql, "quality": {
+            "g": {"constraints": [{"type": "completeness", "col": "x"}]}}})
