@@ -371,13 +371,33 @@ def _app_ops() -> dict:
         stratified_hash_sample,
         temperature_sample,
     )
-    from dozer_spark.ops.text import gopher_quality, redact_pii, top_ngrams
+    from dozer_spark.ops.embedding import pca_fit, pca_project
+    from dozer_spark.ops.fuzzy import fuzzy_self_join_dist1
+    from dozer_spark.ops.quality import value_histogram
+    from dozer_spark.ops.sampling import hash_split
+    from dozer_spark.ops.text import (
+        ccnet_perplexity_buckets,
+        cross_source_dup_matrix,
+        gopher_quality,
+        redact_pii,
+        top_ngrams,
+    )
+    from dozer_spark.ops.timeseries import gap_fill_interpolate
 
     def gopher_filter(df, text_col):
         return df.filter(gopher_quality(F.col(text_col))["passes"])
 
     def pii_redact(df, text_col, token="[PII]"):
         return df.withColumn(text_col, redact_pii(F.col(text_col), token))
+
+    def hash_split_op(df, key_col, splits, salt=""):
+        # YAML lists arrive as [[name, frac], ...]
+        return hash_split(df, key_col, [tuple(s) for s in splits], salt)
+
+    def pca_project_op(df, vec_col, dim, n_components, out_col="pc"):
+        model = pca_fit(df, vec_col, dim=int(dim),
+                        n_components=int(n_components))
+        return pca_project(df, vec_col, model, out_col=out_col)
 
     return {
         "exact_dedup": exact_dedup,
@@ -393,6 +413,13 @@ def _app_ops() -> dict:
         "top_ngrams": top_ngrams,
         "gopher_filter": gopher_filter,
         "pii_redact": pii_redact,
+        "fuzzy_pairs": fuzzy_self_join_dist1,
+        "gap_fill": gap_fill_interpolate,
+        "hash_split": hash_split_op,
+        "value_histogram": value_histogram,
+        "ccnet_buckets": ccnet_perplexity_buckets,
+        "cross_source_dup_matrix": cross_source_dup_matrix,
+        "pca_project": pca_project_op,
     }
 
 

@@ -372,3 +372,35 @@ def test_app_quality_gate_config_errors(spark):
     with pytest.raises(ValueError, match="missing required key 'table'"):
         run_app(spark, {"sources": src, "sql": sql, "quality": {
             "g": {"constraints": [{"type": "completeness", "col": "x"}]}}})
+
+
+def test_app_ops_stage_wave9_ops(spark, tmp_path):
+    cfg = {
+        "sources": {
+            "customer": {"path": "/root/testdata/sf0.001/customer.parquet",
+                         "pk": ["c_custkey"]},
+            "documents": {"path": "/root/testdata/sf0.001/documents.parquet",
+                          "pk": ["doc_id"]},
+        },
+        "ops": {
+            "name_pairs": {"op": "fuzzy_pairs", "input": "customer",
+                           "args": {"id_col": "c_custkey",
+                                    "str_col": "c_name"}},
+            "splits": {"op": "hash_split", "input": "documents",
+                       "args": {"key_col": "doc_id",
+                                "splits": [["train", 0.9], ["test", 0.1]],
+                                "salt": "s"}},
+            "price_hist": {"op": "value_histogram", "input": "customer",
+                           "args": {"col": "c_acctbal", "lo": -1000.0,
+                                    "hi": 10000.0, "n_buckets": 5}},
+        },
+        "sql": "SELECT split, COUNT(*) AS n FROM splits GROUP BY split",
+    }
+    res = run_app(spark, cfg)
+    assert res.outputs["name_pairs"].columns == [
+        "id_a", "id_b", "s_a", "s_b", "dist"]
+    assert res.outputs["name_pairs"].count() > 0
+    hist = res.outputs["price_hist"].collect()
+    assert sum(r["n"] for r in hist) == 150  # every non-null row bucketed
+    splits = {r["split"]: r["n"] for r in res.outputs["__result__"].collect()}
+    assert set(splits) <= {"train", "test"} and sum(splits.values()) == 500
