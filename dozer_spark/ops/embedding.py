@@ -39,14 +39,13 @@ class PcaModel:
     n_rows: int
 
 
-def _moment_schema(dim: int) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("n", T.LongType()),
-            T.StructField("s", T.ArrayType(T.DoubleType())),
-            T.StructField("g", T.ArrayType(T.DoubleType())),
-        ]
-    )
+_MOMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("g", T.ArrayType(T.DoubleType())),
+    ]
+)
 
 
 def pca_fit(
@@ -84,10 +83,12 @@ def pca_fit(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    rows = vecs.mapInPandas(partials, schema=_moment_schema(dim)).collect()
+    rows = vecs.mapInPandas(partials, schema=_MOMENT_SCHEMA).collect()
     if not rows:
         raise ValueError("pca_fit: empty input")
-    rows.sort(key=lambda r: (r["n"], r["s"]))
+    # full-row sort key: partials that tie on (n, s) must still combine
+    # in one fixed order for bit-identical float sums
+    rows.sort(key=lambda r: (r["n"], r["s"], r["g"]))
     n = sum(r["n"] for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
