@@ -129,6 +129,63 @@ def hard_negative_topk(
     )
 
 
+def hard_negative_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    block_rows: int = 65536,
+) -> DataFrame:
+    """Vectorized exact hard-negative mining, fully distributed: the
+    LABEL is the cogroup key. Each corpus row lands in its own label's
+    group; each query is replicated to every label EXCEPT its own (a
+    broadcast of the distinct-label set — label cardinality is class/
+    cluster count, small by contract), so every (query, corpus-row)
+    pair with differing labels meets in exactly one (label, block)
+    cogroup and the global window merge returns the exact top-k
+    negatives — bit-for-bit hard_negative_topk through the same
+    _bucketed_blas_topk bound as the brute/LSH/IVF fast paths (hot
+    labels split into ~block_rows blocks). No driver materialization
+    anywhere.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    # the label set rides into q under a FRESH name (re-aliased twice):
+    # c and q both joining the hot-count table on the SAME attribute id
+    # would trip Spark's ambiguous-self-join analysis inside the shared
+    # helper
+    labels = c.select(F.col("neg_label").alias("__lbl")).distinct()
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("q_label"),
+        )
+        .crossJoin(F.broadcast(labels))
+        .filter(F.col("__lbl") != F.col("q_label"))
+        .select("query_id", "qv", F.col("__lbl").alias("neg_label"))
+    )
+    topk = _bucketed_blas_topk(
+        c, q, ["neg_label"], k,
+        queries.schema[id_col].dataType, corpus.schema[id_col].dataType,
+        block_rows,
+    )
+    # re-attach the negative's label: broadcast the tiny top-k pair set
+    # against one corpus key projection — no corpus shuffle
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("int").alias("neighbor_label"),
+    )
+    return lab.join(F.broadcast(topk), "neighbor_id").select(
+        "query_id", "neighbor_id", "neighbor_label", "cosine", "rank"
+    )
+
+
 def brute_force_topk_fast(
     corpus: DataFrame,
     queries: DataFrame,

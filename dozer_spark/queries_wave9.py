@@ -139,6 +139,20 @@ def ann_hard_negatives(spark, sf):
     return hard_negative_topk(e, q, "embedding", "vec_id", "label", k=5)
 
 
+@_q("ann_hard_negatives_fast", None)  # BLAS cogroups -> rows-only gate
+def ann_hard_negatives_fast(spark, sf):
+    """Label-grouped BLAS fast path for hard-negative mining — exact
+    same results as ann_hard_negatives (pinned by the equivalence test
+    in tests/test_wave9_ops.py), through the shared bounded-cogroup
+    machinery; rows-only here because the applyInPandas plan defeats a
+    SQL oracle, the fold path above carries the exact one."""
+    from dozer_spark.ops.similarity import hard_negative_topk_fast
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return hard_negative_topk_fast(e, q, "embedding", "vec_id", "label", k=5)
+
+
 @_q(
     "split_train_valid_test",
     """

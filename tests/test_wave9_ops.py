@@ -338,6 +338,34 @@ def test_hard_negative_topk_matches_numpy(spark):
         assert [r["rank"] for r in mine] == [1, 2, 3]
 
 
+def test_hard_negative_fast_equals_fold(spark):
+    from dozer_spark.ops.similarity import hard_negative_topk_fast
+
+    rng = np.random.default_rng(9)
+    n, d = 150, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 5).astype(int)
+    rows = [(i, vecs[i].tolist(), int(labels[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") % 25 == 0)
+
+    def key(out):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             r["neighbor_label"], r["cosine"])
+            for r in out.collect()
+        )
+
+    fold = key(hard_negative_topk(df, q, "embedding", "vec_id", "label", k=4))
+    fast = key(hard_negative_topk_fast(
+        df, q, "embedding", "vec_id", "label", k=4))
+    assert fast == fold
+    # forced block split must not change results
+    split = key(hard_negative_topk_fast(
+        df, q, "embedding", "vec_id", "label", k=4, block_rows=16))
+    assert split == fold
+
+
 # ------------------------------------------------------------------ pca
 
 def test_pca_matches_numpy_eigh(spark):
