@@ -177,12 +177,64 @@ def run_streaming_fuzzy(spark, n: int, epochs: int = 5) -> dict:
         shutil.rmtree(sd, ignore_errors=True)
 
 
+def run_textops(spark, corpus_dir: str) -> dict:
+    """The wave-9 text/profiling ops on a generated documents corpus
+    (checksum aggregates throughout — see the count() lesson above)."""
+    from pyspark.sql import functions as F
+
+    from dozer_spark.ops.quality import (
+        completeness, data_quality_report, in_range, uniqueness,
+        value_histogram,
+    )
+    from dozer_spark.ops.text import (
+        ccnet_perplexity_buckets,
+        cross_source_dup_matrix,
+    )
+
+    d = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    out = {"corpus": corpus_dir, "docs": d.count()}
+
+    t0 = time.perf_counter()
+    row = ccnet_perplexity_buckets(d, "text", "doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bucket").alias("ck")).first()
+    out["ccnet_rows"] = row["n"]
+    out["ccnet_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rep = data_quality_report(d, [
+        completeness("text"), uniqueness("doc_id"),
+        in_range("n_chars", 0, 10000, min_value=0.5),
+    ]).collect()
+    out["quality_constraints"] = len(rep)
+    out["quality_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    row = value_histogram(d, "n_chars", 0, 5000, 25).agg(
+        F.sum("n").alias("ck")).first()
+    out["histogram_rows_bucketed"] = row["ck"]
+    out["histogram_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["cross_source_pairs"] = cross_source_dup_matrix(
+        d, "text", "source").count()
+    out["cross_source_sec"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> None:
     argv = sys.argv[1:]
     streaming = "--streaming" in argv
     argv = [a for a in argv if a != "--streaming"]
-    tiers = [int(a) for a in argv] or [200_000, 2_000_000]
+    textops_dirs = []
+    while "--textops" in argv:
+        i = argv.index("--textops")
+        textops_dirs.append(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     spark = get_spark("wave9_scale")
+    for cd in textops_dirs:
+        print(json.dumps(run_textops(spark, cd)), flush=True)
+    tiers = [int(a) for a in argv] or ([] if textops_dirs
+                                       else [200_000, 2_000_000])
     for n in tiers:
         if streaming:
             print(json.dumps(run_streaming_fuzzy(spark, n)), flush=True)
