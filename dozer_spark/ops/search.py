@@ -252,3 +252,46 @@ class StreamingBm25Index:
         n_docs = self._docs.count()
         return _bm25_from_tf(self._tf, n_docs, self.id_col, queries,
                              qtext_col, qid_col, k1, b, topn)
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, query_col: str, item_col: str,
+             rank_col: str = "rank", k: int = 60,
+             topn: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    retrieval lists — the standard hybrid-search combiner (lexical BM25
+    + vector ANN): score(item) = sum over lists of 1/(k + rank), k=60
+    the canonical constant. Rank-based, so the two lists' raw score
+    scales never need calibrating.
+
+    One full-outer join on (query, item) — both inputs are top-n lists,
+    so the join is tiny regardless of corpus size — then a per-query
+    window cut. Scores round to 6 before the cut, ties break on
+    item id: deterministic across engines.
+
+    Output: (query_id, item_id, rrf_score, rank).
+    """
+    fa = a.select(
+        F.col(query_col).alias("query_id"),
+        F.col(item_col).alias("item_id"),
+        F.col(rank_col).alias("__ra"),
+    )
+    fb = b.select(
+        F.col(query_col).alias("query_id"),
+        F.col(item_col).alias("item_id"),
+        F.col(rank_col).alias("__rb"),
+    )
+    j = fa.join(fb, ["query_id", "item_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("__ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("__rb")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("item_id"))
+    return (
+        j.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select("query_id", "item_id", "rrf_score",
+                F.col("rank").cast("long").alias("rank"))
+    )

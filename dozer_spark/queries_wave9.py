@@ -625,6 +625,103 @@ def histogram_order_totalprice(spark, sf):
     return value_histogram(o, "o_totalprice", 0.0, 500000.0, n_buckets=20)
 
 
+@_q(
+    "hybrid_search_rrf",
+    f"""
+    WITH q AS (
+      SELECT doc_id AS query_id, text AS qtext FROM documents
+      WHERE doc_id % 100 = 0
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), dfr AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (n.n - dfr.df + 0.5) / (dfr.df + 0.5)) AS idf
+      FROM dfr, n
+    ), qt AS (
+      SELECT query_id,
+             unnest(list_distinct(
+               list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+      FROM q
+    ), lscored AS (
+      SELECT qt.query_id, tf.doc_id,
+             ROUND(SUM(idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+               AS score
+      FROM qt
+      JOIN tf ON tf.term = qt.term
+      JOIN idf ON idf.term = qt.term
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+      GROUP BY qt.query_id, tf.doc_id
+    ), lex AS (
+      SELECT query_id, doc_id AS item_id, rn AS rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+            FROM lscored)
+      WHERE rn <= 10
+    ), vq AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), vscored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos_raw
+      FROM c, vq WHERE neighbor_id <> query_id
+    ), vec AS (
+      SELECT query_id, neighbor_id AS item_id, rn AS rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+            FROM vscored)
+      WHERE rn <= 5
+    ), fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.item_id, v.item_id) AS item_id,
+             ROUND(COALESCE(1.0 / (60 + l.rank), 0.0)
+                   + COALESCE(1.0 / (60 + v.rank), 0.0), 6) AS rrf_score
+      FROM lex l FULL JOIN vec v
+        ON l.query_id = v.query_id AND l.item_id = v.item_id
+    )
+    SELECT query_id, item_id, rrf_score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, item_id) AS rn
+          FROM fused)
+    WHERE rn <= 10
+    """,
+)
+def hybrid_search_rrf(spark, sf):
+    """Hybrid more-like-this retrieval: for each query document
+    (doc_id % 100 == 0), BM25 top-10 by its own text PLUS exact cosine
+    top-5 by its embedding (vec_id aligns with doc_id in the corpus),
+    combined with reciprocal-rank fusion (ops/search.py rrf_fuse,
+    Cormack et al. 2009, k=60) — the standard lexical+vector hybrid.
+    The query doc itself stays in its lexical list (it is its own best
+    lexical match; with rank-based fusion it does not dominate). The
+    oracle replays BM25, cosine, and the fusion join end-to-end."""
+    from dozer_spark.ops.search import bm25_topn, rrf_fuse
+    from dozer_spark.ops.similarity import brute_force_topk
+
+    cat = _cat(spark, sf)
+    d, e = cat.df("documents"), cat.df("embeddings")
+    qd = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+    lex = bm25_topn(d, "text", "doc_id", qd, "qtext", "qid", topn=10)
+    qv = e.filter(F.col("vec_id") % 100 == 0)
+    vec = brute_force_topk(e, qv, "embedding", "vec_id", k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, vec, "query_id", "doc_id", k=60, topn=10)
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

@@ -366,6 +366,29 @@ def test_hard_negative_fast_equals_fold(spark):
     assert split == fold
 
 
+# ------------------------------------------------------------------ rrf
+
+def test_rrf_fuse_semantics(spark):
+    from dozer_spark.ops.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], ["qid", "doc", "rank"])
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 9, 2)], ["qid", "doc", "rank"])
+    got = {r["item_id"]: (r["rrf_score"], r["rank"])
+           for r in rrf_fuse(a, b, "qid", "doc", k=60, topn=10).collect()}
+    # doc 2: in both lists -> 1/62 + 1/61
+    assert got[2][0] == round(1 / 62 + 1 / 61, 6)
+    assert got[2][1] == 1  # fused winner
+    # one-sided items still score
+    assert got[1][0] == round(1 / 61, 6)
+    assert got[9][0] == round(1 / 62, 6)
+    assert got[3][0] == round(1 / 63, 6)
+    # equal scores tie-break on item id: doc1 (1/61 from a) vs nothing equal
+    ranks = sorted((v[1], k) for k, v in got.items())
+    assert [k for _, k in ranks] == [2, 1, 9, 3]
+
+
 # ------------------------------------------------------------------ pca
 
 def test_pca_matches_numpy_eigh(spark):
