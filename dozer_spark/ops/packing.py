@@ -53,6 +53,21 @@ def token_shard_assignment(
     result is bit-identical for ANY n_buckets only when the order key
     includes the bucket — which it does, by construction.
     """
+    starts = _global_token_offsets(docs, id_col, text_col, n_buckets, salt)
+    return starts.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("__start") / budget).cast("long").alias("shard_id"),
+    )
+
+
+def _global_token_offsets(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    """(id, n_tokens, __start): the exact global token offset of each
+    doc in the deterministic shuffled order (bucket, md5 key, id), via
+    the two-level prefix sum described in the module docstring. Shared
+    by shard assignment and chunk-manifest construction."""
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_buckets).cast(
         "int"
@@ -94,13 +109,58 @@ def token_shard_assignment(
     )
 
     start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
-    return (
-        local.join(F.broadcast(offsets), "__b")
-        .select(
-            id_col,
-            "n_tokens",
-            F.floor(start / budget).cast("long").alias("shard_id"),
-        )
+    return local.join(F.broadcast(offsets), "__b").select(
+        id_col, "n_tokens", start.alias("__start")
+    )
+
+
+def chunk_assembly_manifest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    n_buckets: int = 16,
+    salt: str = "shard",
+) -> DataFrame:
+    """Concat-and-chunk manifest: cut the deterministically shuffled
+    token stream into fixed seq_len training sequences and say, for
+    every (chunk, document) intersection, which token span of the doc
+    lands where in the chunk — the assembly plan a tokenizer-sharding
+    job executes to build packed training sequences (docs straddling a
+    boundary are split, the standard GPT-style packing; no padding
+    except in the final chunk).
+
+    Output: (chunk_id, id, doc_from, doc_to, chunk_pos) with
+    [doc_from, doc_to) the doc's token span and chunk_pos its start
+    inside the chunk. Invariants: each doc's spans tile [0, n_tokens);
+    each chunk's segments tile [0, seq_len) (last chunk may end short).
+
+    Scale shape: the offsets are the same two-level prefix sum as shard
+    assignment; the explode emits ceil(n_tokens/seq_len)+1 rows per doc
+    at most — output is O(total_tokens / seq_len + n_docs).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    t = _global_token_offsets(docs, id_col, text_col, n_buckets, salt).filter(
+        F.col("n_tokens") > 0
+    )
+    first = F.floor(F.col("__start") / seq_len).cast("long")
+    last = F.floor((F.col("__start") + F.col("n_tokens") - 1) / seq_len).cast(
+        "long"
+    )
+    e = t.withColumn("chunk_id", F.explode(F.sequence(first, last)))
+    seg_start = F.greatest(F.col("__start"), F.col("chunk_id") * seq_len)
+    seg_end = F.least(
+        F.col("__start") + F.col("n_tokens"),
+        (F.col("chunk_id") + 1) * seq_len,
+    )
+    return e.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        id_col,
+        (seg_start - F.col("__start")).cast("long").alias("doc_from"),
+        (seg_end - F.col("__start")).cast("long").alias("doc_to"),
+        (seg_start - F.col("chunk_id") * seq_len).cast("long")
+        .alias("chunk_pos"),
     )
 
 

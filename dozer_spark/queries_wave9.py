@@ -722,6 +722,54 @@ def hybrid_search_rrf(spark, sf):
     return rrf_fuse(lex, vec, "query_id", "doc_id", k=60, topn=10)
 
 
+@_q(
+    "pack_chunk_manifest",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+          AS n_tokens,
+        md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT *, CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % 16 AS INT)
+        AS bucket
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY bucket, h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+             AS BIGINT) AS start
+      FROM b
+    ), e AS (
+      SELECT doc_id, n_tokens, start,
+             unnest(generate_series(start // 512,
+                                    (start + n_tokens - 1) // 512)) AS chunk_id
+      FROM s WHERE n_tokens > 0
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+      CAST(greatest(start, chunk_id * 512) - start AS BIGINT) AS doc_from,
+      CAST(least(start + n_tokens, (chunk_id + 1) * 512) - start AS BIGINT)
+        AS doc_to,
+      CAST(greatest(start, chunk_id * 512) - chunk_id * 512 AS BIGINT)
+        AS chunk_pos
+    FROM e
+    """,
+)
+def pack_chunk_manifest(spark, sf):
+    """Concat-and-chunk assembly manifest (ops/packing.py): the
+    deterministic shuffled token stream cut into 512-token training
+    sequences, each (chunk, doc) intersection mapped to its token span
+    and chunk position — the GPT-style packing plan downstream of
+    pack_token_shards, sharing its two-level prefix sum. The oracle
+    replays the single-global-window formulation plus the identical
+    integer span arithmetic."""
+    from dozer_spark.ops.packing import chunk_assembly_manifest
+
+    d = _cat(spark, sf).df("documents")
+    return chunk_assembly_manifest(d, "doc_id", "text", seq_len=512)
+
+
 @_q("embedding_pca_project", None)  # eigh not SQL-expressible; numpy-pinned
 def embedding_pca_project(spark, sf):
     """PCA preprocessing of the embedding corpus (ops/embedding.py):

@@ -453,3 +453,67 @@ def test_pca_validation(spark):
         pca_fit(df, "embedding", dim=3, n_components=1)  # wrong dim
     with pytest.raises(ValueError):
         pca_fit(df.filter("vec_id < 0"), "embedding", dim=2, n_components=1)
+
+
+# -------------------------------------------------------------- packing
+
+def test_chunk_manifest_tiling_invariants(spark):
+    from dozer_spark.ops.packing import chunk_assembly_manifest
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 20)))
+            for i in range(40)]
+    rows.append((99, ""))  # zero-token doc: no manifest rows
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_assembly_manifest(df, "doc_id", "text", seq_len=16).collect()
+    assert all(r["doc_id"] != 99 for r in out)
+
+    # per-doc spans tile [0, n_tokens)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok = {i: 3 + (i * 7) % 20 for i in range(40)}
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["doc_from"])
+        assert rs[0]["doc_from"] == 0
+        assert rs[-1]["doc_to"] == n_tok[d]
+        for a, b in zip(rs, rs[1:]):
+            assert a["doc_to"] == b["doc_from"]
+
+    # per-chunk segments tile [0, 16) except the final chunk's tail
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    total = sum(n_tok.values())
+    last_chunk = max(by_chunk)
+    for c, rs in by_chunk.items():
+        rs.sort(key=lambda r: r["chunk_pos"])
+        assert rs[0]["chunk_pos"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["chunk_pos"] + (a["doc_to"] - a["doc_from"]) == b["chunk_pos"]
+        filled = rs[-1]["chunk_pos"] + rs[-1]["doc_to"] - rs[-1]["doc_from"]
+        assert filled == (16 if c != last_chunk else total - 16 * last_chunk)
+
+    with pytest.raises(ValueError):
+        chunk_assembly_manifest(df, "doc_id", "text", seq_len=0)
+
+
+def test_chunk_manifest_consistent_with_shard_assignment(spark):
+    # chunk_id * seq_len boundaries and shard boundaries derive from the
+    # SAME global offsets: a doc's first chunk must equal its shard when
+    # seq_len == budget
+    from dozer_spark.ops.packing import (
+        chunk_assembly_manifest,
+        token_shard_assignment,
+    )
+
+    rows = [(i, " ".join("w" for _ in range(5 + i % 9))) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    shards = {r["doc_id"]: r["shard_id"] for r in
+              token_shard_assignment(df, "doc_id", "text", budget=32).collect()}
+    manifest = chunk_assembly_manifest(df, "doc_id", "text", seq_len=32).collect()
+    first_chunk = {}
+    for r in manifest:
+        d = r["doc_id"]
+        if d not in first_chunk or r["chunk_id"] < first_chunk[d]:
+            first_chunk[d] = r["chunk_id"]
+    assert first_chunk == shards
