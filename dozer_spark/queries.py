@@ -698,4 +698,12 @@ def registry() -> dict[str, Query]:
     import dozer_spark.queries_wave8  # noqa: F401
     import dozer_spark.queries_wave9  # noqa: F401
 
-    return dict(REGISTRY)
+    # Exact-oracle queries first (insertion order), rows-only variants after.
+    # The driver's CORRECTNESS artifact samples the first 50 entries; every
+    # slot in that window should carry a hard DuckDB value-hash check, so
+    # rows-only queries (non-SQL-expressible ANN/semantic variants, each
+    # pinned by equivalence tests in pytest instead) must never displace an
+    # exact-oracle query from the window.
+    ordered = {n: q for n, q in REGISTRY.items() if q.oracle is not None}
+    ordered.update({n: q for n, q in REGISTRY.items() if q.oracle is None})
+    return ordered
