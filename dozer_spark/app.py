@@ -289,34 +289,48 @@ def run_app(spark: SparkSession, config: dict | str,
     # runs last so it can gate what the app produced). One aggregation
     # pass per gate; values exported as gauges when `metrics:` is on;
     # fail_on_violation raises BEFORE the caller promotes the batch.
-    for gname, spec in (config.get("quality") or {}).items():
-        table = spec.get("table")
-        if not table:
-            raise ValueError(f"quality.{gname}: missing required key 'table'")
-        src = cat.df(table) if cat.has(table) else result.outputs.get(table)
-        if src is None:
-            raise ValueError(
-                f"quality.{gname}: unknown table {table!r} "
-                f"(known: {sorted(set(cat.names()) | set(result.outputs))})"
-            )
-        cons = [_build_constraint(gname, c)
-                for c in (spec.get("constraints") or [])]
-        from dozer_spark.ops.quality import data_quality_report
+    # A raising gate must not leak the scrape server started above: the
+    # caller never receives the AppResult holding it, so stop it here
+    # and attach the partial result to the exception (`exc.app_result`)
+    # for callers that want the gate rows / registry post-mortem.
+    try:
+        for gname, spec in (config.get("quality") or {}).items():
+            table = spec.get("table")
+            if not table:
+                raise ValueError(
+                    f"quality.{gname}: missing required key 'table'")
+            src = (cat.df(table) if cat.has(table)
+                   else result.outputs.get(table))
+            if src is None:
+                raise ValueError(
+                    f"quality.{gname}: unknown table {table!r} "
+                    f"(known: {sorted(set(cat.names()) | set(result.outputs))})"
+                )
+            cons = [_build_constraint(gname, c)
+                    for c in (spec.get("constraints") or [])]
+            from dozer_spark.ops.quality import data_quality_report
 
-        rows = data_quality_report(src, cons).collect()  # 1 row/constraint
-        result.quality[gname] = rows
-        if registry is not None:
-            for r in rows:
-                registry.set_gauge("dozer_quality_value", r["value"],
-                                   gate=gname, constraint=r["constraint"])
-                registry.set_gauge("dozer_quality_passed", float(r["passed"]),
-                                   gate=gname, constraint=r["constraint"])
-        failed = [r["constraint"] for r in rows if r["passed"] == 0]
-        if failed and spec.get("fail_on_violation", False):
-            raise ValueError(
-                f"quality.{gname}: constraint(s) violated on {table!r}: "
-                f"{failed} — batch must not be promoted"
-            )
+            rows = data_quality_report(src, cons).collect()  # 1/constraint
+            result.quality[gname] = rows
+            if registry is not None:
+                for r in rows:
+                    registry.set_gauge("dozer_quality_value", r["value"],
+                                       gate=gname, constraint=r["constraint"])
+                    registry.set_gauge("dozer_quality_passed",
+                                       float(r["passed"]),
+                                       gate=gname, constraint=r["constraint"])
+            failed = [r["constraint"] for r in rows if r["passed"] == 0]
+            if failed and spec.get("fail_on_violation", False):
+                raise ValueError(
+                    f"quality.{gname}: constraint(s) violated on {table!r}: "
+                    f"{failed} — batch must not be promoted"
+                )
+    except Exception as exc:
+        if result.metrics_server is not None:
+            result.metrics_server.stop()
+            result.metrics_server = None
+        exc.app_result = result
+        raise
     return result
 
 

@@ -37,6 +37,11 @@ class MetricsRegistry:
     def __init__(self):
         self._lock = threading.Lock()
         self._counters: dict[str, dict[tuple, float]] = {}
+        # Names ever written via set_gauge: last-write-wins values can
+        # decrease, so the exposition must declare them `gauge` — a
+        # `counter` TYPE would make rate()/increase() garbage and strict
+        # scrapers may reject a decreasing counter series.
+        self._gauge_names: set[str] = set()
 
     def inc(self, name: str, value: float = 1.0, **labels) -> None:
         key = tuple(sorted(labels.items()))
@@ -49,6 +54,7 @@ class MetricsRegistry:
         storage/exposition as counters, overwrite instead of add."""
         key = tuple(sorted(labels.items()))
         with self._lock:
+            self._gauge_names.add(name)
             self._counters.setdefault(name, {})[key] = value
 
     def get(self, name: str, **labels) -> float:
@@ -68,11 +74,12 @@ class MetricsRegistry:
             }
 
     def prometheus_text(self) -> str:
-        """Prometheus text exposition format (counters only)."""
+        """Prometheus text exposition format (counters + gauges)."""
         lines = []
         with self._lock:
             for name, series in sorted(self._counters.items()):
-                lines.append(f"# TYPE {name} counter")
+                kind = "gauge" if name in self._gauge_names else "counter"
+                lines.append(f"# TYPE {name} {kind}")
                 for key, v in sorted(series.items()):
                     if key:
                         lbl = ",".join(f'{k}="{val}"' for k, val in key)

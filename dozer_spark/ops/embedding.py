@@ -54,10 +54,14 @@ def pca_fit(
     """Exact PCA of the vector column: one scan, map-side moment
     partials, driver-side d x d eigendecomposition.
 
-    Deterministic: float64 moments are summed in partition order on the
-    driver after a sorted collect, and each eigenvector's sign is
-    canonicalized (largest-|coefficient| entry positive), so repeated
-    fits on the same data agree bit-for-bit.
+    Deterministic for a FIXED partitioning: float64 moments are summed
+    in partition order on the driver after a sorted collect, and each
+    eigenvector's sign is canonicalized (largest-|coefficient| entry
+    positive), so repeated fits on the same data with the same
+    partitioning agree bit-for-bit. A different partitioning produces
+    different per-partition float64 partials, so moments can differ in
+    the last ulp across repartitionings — cross-partitioning stability
+    for parity comes from pca_project's downstream rounding (round_to).
     """
     if not 1 <= n_components <= dim:
         raise ValueError(f"n_components must be in [1, {dim}]")

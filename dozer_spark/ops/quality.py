@@ -160,13 +160,16 @@ def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
     if not hi > lo:
         raise ValueError("hi must be > lo")
     w = (hi - lo) / n_buckets
+    # Clamp while the floor result is still LONG: an outlier more than
+    # 2^31 bucket-widths from lo would wrap if cast to INT first and
+    # could land in an interior bucket instead of the edge bucket.
     bucket = F.least(
         F.greatest(
-            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
-            F.lit(0),
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
+            F.lit(0).cast("long"),
         ),
-        F.lit(n_buckets - 1),
-    )
+        F.lit(n_buckets - 1).cast("long"),
+    ).cast("int")
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(bucket.alias("bucket"))
