@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,19 +38,20 @@ def main() -> None:
     # warmup: JVM/codegen/file-listing
     run_query(next(iter(headline.values())).build(spark, SF_DIR))
 
-    # min-of-2 per query: single-pass numbers at the 1-3s scale swing
-    # ±0.7s (GC, file-cache, JIT), burying real regressions; the min of
-    # two passes tracks the query's actual cost with ~±0.2s variance.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # Median-of-3 per query (warm JVM, passes interleaved per query):
+    # single-pass numbers on a shared host swing ±25% artifact-to-
+    # artifact (adjudicated rounds 5/7/8/9), burying real regressions;
+    # the per-query median is robust to a one-off GC/IO stall in either
+    # direction, unlike min (optimistic) or mean (stall-polluted).
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        best = None
+        samples = []
         for _ in range(n_passes):
             t0 = time.perf_counter()
             run_query(q.build(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -58,6 +60,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": n_passes,
+        "agg": "median",
+        "warm": True,  # one shared JVM; warmup pass precedes timing
     }
     print(json.dumps(out))
 
