@@ -433,6 +433,93 @@ def ivf_ann_topk(
     )
 
 
+def ivf_ann_topk_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF ANN against a FROZEN (pre-trained) coarse quantizer: the
+    centroids arrive as float literals, so the whole serving path —
+    nearest-centroid cell assignment (squared euclidean, ties on
+    centroid index), n_probe probe-set selection, in-cell exact cosine
+    re-rank — is pure sequential-fold Column math with NO training
+    step, NO UDF, and NO dependence on partitioning or scan order.
+
+    This is the production IVF serving shape (an index pins its trained
+    quantizer; refits happen offline), and it makes the operator
+    SQL-replayable: given the same literals an external engine computes
+    bit-identical distances, the same argmin cells, the same probe
+    sets, and therefore the same top-k — the DuckDB oracle for
+    ann_ivf_topk_frozen replays it exactly. Scale shape matches
+    ivf_ann_topk: centroid array is a literal (broadcast with the
+    plan), corpus assigned in one scan, queries broadcast to the
+    bucket join, each query touches ~n_probe/n_centroids of the corpus.
+    """
+    ncent = len(centroids)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    idx = F.sequence(F.lit(0), F.lit(ncent - 1))
+
+    def cell_pairs(vcol: Column) -> Column:
+        # [(d2 to centroid j, j)] — d2 as the same left-fold the oracle
+        # replays with list_sum(list_transform(...))
+        d2 = F.transform(
+            cent_arr,
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    vcol, cent,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.arrays_zip(d2.alias("d"), idx.alias("i"))
+
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_pairs(F.col("qv"))), 1, n_probe),
+                lambda s: s["i"],
+            )
+        ),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", F.array_min(cell_pairs(F.col("cv")))["i"])
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -44,14 +44,16 @@ class Query:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => non-SQL-expressible (weaker rows-only check)
     headline: bool = False  # include in bench.py
+    window: bool = False  # hoist into the driver's sampled first-50 window
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def _q(name: str, oracle: str | None, headline: bool = False):
+def _q(name: str, oracle: str | None, headline: bool = False,
+       window: bool = False):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, oracle, headline)
+        REGISTRY[name] = Query(name, fn, oracle, headline, window)
         return fn
 
     return deco
@@ -698,12 +700,17 @@ def registry() -> dict[str, Query]:
     import dozer_spark.queries_wave8  # noqa: F401
     import dozer_spark.queries_wave9  # noqa: F401
 
-    # Exact-oracle queries first (insertion order), rows-only variants after.
-    # The driver's CORRECTNESS artifact samples the first 50 entries; every
-    # slot in that window should carry a hard DuckDB value-hash check, so
-    # rows-only queries (non-SQL-expressible ANN/semantic variants, each
-    # pinned by equivalence tests in pytest instead) must never displace an
-    # exact-oracle query from the window.
-    ordered = {n: q for n, q in REGISTRY.items() if q.oracle is not None}
+    # Exact-oracle queries first (window-flagged ones hoisted to the very
+    # front, then insertion order), rows-only variants after. The driver's
+    # CORRECTNESS artifact samples the first 50 entries; every slot in that
+    # window should carry a hard DuckDB value-hash check, so rows-only
+    # queries (non-SQL-expressible ANN/semantic variants, each pinned by
+    # equivalence tests in pytest instead) must never displace an
+    # exact-oracle query from the window, and late-registered exact oracles
+    # the window should exercise (e.g. the frozen-quantizer IVF replay) can
+    # opt in with window=True.
+    ordered = {n: q for n, q in REGISTRY.items()
+               if q.oracle is not None and q.window}
+    ordered.update({n: q for n, q in REGISTRY.items() if q.oracle is not None})
     ordered.update({n: q for n, q in REGISTRY.items() if q.oracle is None})
     return ordered

@@ -499,6 +499,78 @@ def ann_ivf_topk(spark, sf):
     return ivf_ann_topk(e, q, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
 
 
+def _ivf_frozen_oracle(k: int = 5, n_probe: int = 4, dim: int = 64) -> str:
+    """EXACT oracle for frozen-quantizer IVF: the centroids are float64
+    literals (ops/ivf_frozen.py), so the oracle replays the per-centroid
+    squared-euclidean fold, the argmin cell (ties on centroid index —
+    both engines sort the same (d, i) structs), the n_probe probe set,
+    the probe-cell join, and the in-cell cosine top-k. Distances are the
+    same left-fold sums on both sides, so cells — and therefore results
+    — agree bit-for-bit."""
+    from dozer_spark.ops.ivf_frozen import FROZEN_CENTROIDS_16x64
+
+    cm = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]"
+        for row in FROZEN_CENTROIDS_16x64
+    ) + "]"
+    ncent = len(FROZEN_CENTROIDS_16x64)
+    pairs = f"""
+        list_transform(generate_series(1, {ncent}), j ->
+          {{'d': list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (CAST(embedding[i] AS DOUBLE) - c[j][i])
+                      * (CAST(embedding[i] AS DOUBLE) - c[j][i]))),
+           'i': j - 1}})"""
+    cos = f"""
+        list_sum(list_transform(generate_series(1, {dim}),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))"""
+    return f"""
+    WITH cm AS (SELECT {cm} AS c),
+    probes AS (
+      SELECT query_id, qv, unnest(cells) AS cell
+      FROM (
+        SELECT vec_id AS query_id, embedding AS qv,
+               list_transform(list_slice(list_sort({pairs}), 1, {n_probe}),
+                              s -> s.i) AS cells
+        FROM embeddings, cm WHERE vec_id % 100 = 0
+      )
+    ), cc AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             list_sort({pairs})[1].i AS cell
+      FROM embeddings, cm
+    ), scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_raw
+      FROM cc JOIN probes USING (cell) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id) <= {k}
+    """
+
+
+@_q("ann_ivf_topk_frozen", _ivf_frozen_oracle(), window=True)
+def ann_ivf_topk_frozen(spark, sf):
+    """IVF ANN with a frozen pre-trained quantizer — the serving-index
+    shape (train offline, pin the centroids, serve deterministically).
+    Because the centroids are literals, this is the one IVF variant
+    whose full path (assignment + probing + re-rank) replays EXACTLY in
+    SQL; it shares cells with ivf_ann_topk whenever the live fit
+    converges to the same centroids (same seed + sample)."""
+    from dozer_spark.ops.ivf_frozen import FROZEN_CENTROIDS_16x64
+    from dozer_spark.ops.similarity import ivf_ann_topk_frozen
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk_frozen(e, q, "embedding", "vec_id",
+                               FROZEN_CENTROIDS_16x64, k=5, n_probe=4)
+
+
 @_q("ann_ivf_pq_topk", None)  # k-means cells + PQ candidates -> rows-only
 def ann_ivf_pq_topk(spark, sf):
     """IVF-PQ with exact re-rank (Jegou et al. 2011): the compressed-

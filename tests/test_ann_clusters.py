@@ -420,3 +420,46 @@ def test_lsh_multiprobe_fast_matches_fold(catalog):
                              n_probes=3).collect()
     assert {(r.query_id, r.neighbor_id, r.rank) for r in fold} == \
            {(r.query_id, r.neighbor_id, r.rank) for r in fast}
+
+
+def test_ivf_frozen_recall_and_shape(catalog):
+    """Frozen-quantizer IVF (serving shape): valid ranks, no self
+    matches, and cosines that agree exactly with brute force for the
+    pairs it returns (the re-rank is exact within probed cells)."""
+    from dozer_spark.ops.ivf_frozen import FROZEN_CENTROIDS_16x64
+    from dozer_spark.ops.similarity import ivf_ann_topk_frozen
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    froz = ivf_ann_topk_frozen(
+        e, q, "embedding", "vec_id", FROZEN_CENTROIDS_16x64, k=5, n_probe=4
+    ).collect()
+    assert froz
+    for r in froz:
+        assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in froz:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+    # centroids were fit at sf0.01 but generalize: probing 4/16 cells
+    # must recover a chunk of the true neighbors even on sf0.001
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    froz_set = {(r.query_id, r.neighbor_id) for r in froz}
+    assert len(exact_set & froz_set) / len(exact_set) > 0.3
+
+
+def test_ivf_frozen_deterministic_across_partitionings(catalog):
+    """Unlike the live-fit variants, the frozen path has NO training
+    step — results are identical under any repartitioning."""
+    from dozer_spark.ops.ivf_frozen import FROZEN_CENTROIDS_16x64
+    from dozer_spark.ops.similarity import ivf_ann_topk_frozen
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_ann_topk_frozen(
+        e, q, "embedding", "vec_id", FROZEN_CENTROIDS_16x64, k=3).collect()))
+    b = sorted(map(tuple, ivf_ann_topk_frozen(
+        e.repartition(7), q.coalesce(1), "embedding", "vec_id",
+        FROZEN_CENTROIDS_16x64, k=3).collect()))
+    assert a == b
