@@ -50,12 +50,20 @@ def hash_split(
     Adds a ``split`` string column; no shuffle (a pure filter-style
     projection).
     """
+    return df.withColumn(
+        "split", _split_col(F.col(key_col), splits, salt))
+
+
+def _split_col(key: Column, splits: list[tuple[str, float]],
+               salt: str) -> Column:
+    """Split-name Column for a key: md5 bucket against cumulative
+    integer cutoffs (shared by hash_split and leakage_safe_split)."""
     total = sum(f for _, f in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1.0, got {total}")
     if any(f < 0 for _, f in splits):
         raise ValueError("split fractions must be non-negative")
-    bucket = hash_bucket(F.col(key_col), salt)
+    bucket = hash_bucket(key, salt)
     expr = None
     acc = 0.0
     for name, frac in splits[:-1]:
@@ -67,8 +75,58 @@ def hash_split(
             else expr.when(bucket < cut, F.lit(name))
         )
     last = F.lit(splits[-1][0])
-    split_col = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", split_col)
+    return last if expr is None else expr.otherwise(last)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    pairs: DataFrame,
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+    pair_id_a: str = "id_a",
+    pair_id_b: str = "id_b",
+) -> DataFrame:
+    """Train/valid/test split at near-duplicate-CLUSTER granularity:
+    connected components over ``pairs`` (any upstream near-dup pair
+    stream — MinHash LSH, SimHash, embedding cosine) give every row a
+    cluster representative (min id in its component), and the hash
+    split runs on the REPRESENTATIVE — so an entire near-dup cluster
+    lands in one split.
+
+    This closes the leakage channel a row-level hash split leaves open:
+    two near-identical documents hash independently, one lands in
+    train and its twin in test, and the eval set silently measures
+    memorization. Splitting by cluster representative makes that
+    impossible by construction while keeping every hash_split
+    guarantee (deterministic, engine-portable, stable as the corpus
+    grows — as long as the pair stream is, which MinHash is).
+
+    Rows that appear in no pair are their own singleton cluster (their
+    representative is their own key). Adds the ``split`` column.
+
+    100 TB design: the cluster label table is bounded by the dup tail
+    (ids that appear in at least one pair — a few percent of a real
+    corpus), so the label join broadcasts; the split itself is the
+    same shuffle-free projection as hash_split.
+    """
+    from dozer_spark.operators.hints import maybe_broadcast
+    from dozer_spark.ops.dedup import dedup_clusters
+
+    labels = dedup_clusters(pairs, id_a=pair_id_a, id_b=pair_id_b)
+    rep_t = labels.schema["cluster_id"].dataType
+    joined = df.join(
+        maybe_broadcast(
+            labels.select(F.col("id").alias("__lk"),
+                          F.col("cluster_id").alias("__rep"))),
+        df[key_col] == F.col("__lk"),
+        "left",
+    )
+    rep = F.coalesce(F.col("__rep"), F.col(key_col).cast(rep_t))
+    return (
+        joined.withColumn("split", _split_col(rep, splits, salt))
+        .drop("__lk", "__rep")
+    )
 
 
 def stratified_hash_sample(

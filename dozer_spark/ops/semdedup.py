@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,15 +59,33 @@ from dozer_spark.operators.hints import (
 )
 
 
+def _unit(vec: Column) -> Column:
+    """L2-normalize a float array Column (zero vectors pass through a
+    1e-12 floor, matching the numpy guards in the pandas stages)."""
+    from dozer_spark.ops.similarity import _norm
+
+    n = F.greatest(_norm(vec), F.lit(1e-12))
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
 def _semdedup_centroids(df: DataFrame, vec_col: str, id_col: str,
                         n_centroids: int | None, seed: int):
-    """Sample-fit the cluster quantizer; returns list[list[float]]."""
+    """Sample-fit the cluster quantizer on L2-NORMALIZED vectors;
+    returns list[list[float]].
+
+    Normalization first is the paper's recipe (SemDeDup clusters
+    normalized embeddings; the dedup criterion is cosine) and is what
+    makes cell assignment scale-invariant: a scaled copy of a vector —
+    cosine-identical, the canonical semantic duplicate — must land in
+    the same cell, which raw-euclidean k-means does not guarantee
+    (measured: 39% of planted scaled dups split cells at 20k vectors
+    before this change; see tools/semantic_recall_run.py)."""
     from pyspark.ml.functions import array_to_vector
 
     from dozer_spark.ops.similarity import _fit_quantizer
 
     c = df.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).alias("cv"))
+                  _unit(F.col(vec_col)).alias("cv"))
     n = c.count()
     if n == 0:
         return []
@@ -147,9 +165,12 @@ def semantic_dedup(
             if pdf.empty:
                 continue
             V = np.array([list(map(float, v)) for v in pdf["__v"]])
-            cells = _nearest_cells(V, C, 1)[:, 0]
             Vn = V / np.maximum(
                 np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            # spherical assignment: argmin ||vn - cn||^2 == argmax
+            # cosine — scale-invariant, so cosine-identical duplicates
+            # share a cell by construction
+            cells = _nearest_cells(Vn, Cn, 1)[:, 0]
             sim = np.einsum("ij,ij->i", Vn, Cn[cells])
             yield pd.DataFrame({
                 id_col: pdf[id_col],
@@ -270,6 +291,7 @@ def cluster_balanced_sample(
                 T.StructField("cell", T.IntegerType()),
             ]))
     C = np.array(centroids)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     from dozer_spark.ops.similarity import _nearest_cells
 
@@ -285,7 +307,9 @@ def cluster_balanced_sample(
             if pdf.empty:
                 continue
             V = np.array([list(map(float, v)) for v in pdf["__v"]])
-            cells = _nearest_cells(V, C, 1)[:, 0]
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cells = _nearest_cells(Vn, Cn, 1)[:, 0]
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "cell": cells.astype("int32")})
 

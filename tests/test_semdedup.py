@@ -39,7 +39,8 @@ def _random_vecs(n, dim, seed):
 
 def test_single_cell_matches_numpy_reference(spark):
     # n=36 <= 39*k so _fit_quantizer trains on the FULL set and the
-    # k=1 centroid is exactly the mean of the float-cast vectors
+    # k=1 centroid is exactly the mean of the L2-NORMALIZED float-cast
+    # vectors (spherical clustering per the SemDeDup paper)
     vecs = _random_vecs(36, 8, seed=7)
     # plant near-duplicate groups: tiny perturbations of base vectors
     for base in (3, 11, 22):
@@ -53,7 +54,9 @@ def test_single_cell_matches_numpy_reference(spark):
 
     fvecs = [list(np.array(v, dtype=np.float32).astype(float))
              for v in vecs]
-    centroid = list(np.mean(np.array(fvecs), axis=0))
+    A = np.array(fvecs)
+    An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+    centroid = list(np.mean(An, axis=0))
     want_kept, want_sim = _numpy_semdedup(
         list(range(36)), fvecs, centroid, threshold=0.95)
     for r in got:
