@@ -194,3 +194,80 @@ def token_shard_assignment_oracle(
         / {budget}) AS BIGINT) AS shard_id
     FROM b
     """
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_edges: list[int],
+    batch_tokens: int,
+    n_subbuckets: int = 16,
+    salt: str = "batch",
+) -> DataFrame:
+    """Length-bucketed batch manifest: group documents into LENGTH
+    buckets (batching similar lengths together is the standard
+    padding-waste fix for non-packed training and inference), then cut
+    each bucket's deterministically shuffled stream into batches of
+    ~batch_tokens.
+
+    bucket_edges are ascending upper bounds: with edges [16, 64],
+    bucket 0 holds n_tokens < 16, bucket 1 holds [16, 64), bucket 2 the
+    rest. Output: (id_col, n_tokens, bucket, batch_id) with batch_id
+    local to its bucket (floor(start_offset / batch_tokens) over the
+    bucket's stream ordered by (md5 key, id) — same straddling rule as
+    token_shard_assignment).
+
+    Scale shape: the per-bucket running sum would be one task per
+    LENGTH bucket (a handful of huge stragglers at corpus scale), so it
+    uses the module's two-level prefix sum WITHIN each length bucket:
+    hash subbuckets carry parallel local cumsums, per-(bucket,
+    subbucket) totals — a constant-size table — prefix-sum in one tiny
+    task and broadcast back. Identical output to the single-window
+    formulation, which is what the DuckDB oracle runs.
+    """
+    if sorted(bucket_edges) != list(bucket_edges) or not bucket_edges:
+        raise ValueError("bucket_edges must be a non-empty ascending list")
+    if batch_tokens < 1:
+        raise ValueError("batch_tokens must be >= 1")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    sub = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+           % n_subbuckets).cast("int")
+    bucket = F.lit(len(bucket_edges))
+    for i, edge in reversed(list(enumerate(bucket_edges))):
+        bucket = F.when(F.col("n_tokens") < edge, F.lit(i)).otherwise(bucket)
+
+    from dozer_spark.operators.hints import cache_materialized
+
+    t = cache_materialized(
+        docs.select(
+            F.col(id_col),
+            token_count(text_col).alias("n_tokens"),
+            h.alias("__h"),
+            sub.alias("__s"),
+        ).withColumn("__lb", bucket)
+    )
+    w_local = (
+        Window.partitionBy("__lb", "__s")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__cum", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("__lb")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        t.groupBy("__lb", "__s")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn("__off", F.sum("__tot").over(w_off) - F.col("__tot"))
+        .select("__lb", "__s", "__off")
+    )
+    start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
+    return local.join(F.broadcast(offsets), ["__lb", "__s"]).select(
+        id_col,
+        "n_tokens",
+        F.col("__lb").cast("int").alias("bucket"),
+        F.floor(start / batch_tokens).cast("long").alias("batch_id"),
+    )

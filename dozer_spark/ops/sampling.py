@@ -376,3 +376,68 @@ def dsir_gumbel_topk(docs: DataFrame, text_col: str, id_col: str,
         .orderBy(F.desc("gumbel_score"), F.asc(id_col))
         .limit(n_select)
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    size_col: Column | str | None = None,
+    target: dict[str, float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-domain resampling weights to hit a target mixture — the
+    static form of domain reweighting (the DoReMi line of work tunes
+    the target itself; given a target, the per-example weight is just
+    target_share / corpus_share).
+
+    size_col measures each row's mass (e.g. a token count); None
+    weighs rows equally. target maps domain -> desired share (need not
+    sum to 1; it is renormalized over the domains PRESENT). target=None
+    means uniform over observed domains. Domains absent from an
+    explicit target get share 0 -> weight 0 (dropped by the sampler
+    consuming the weights).
+
+    Output: (domain, n_rows, mass, corpus_share, target_share, weight),
+    one row per observed domain, all shares/weights rounded for
+    engine-portable parity. weight > 1 means upsample (repeat/epoch),
+    < 1 means downsample — feed to temperature_sample/quota_sample or a
+    repetition-factor writer.
+
+    Scale: one aggregation pass (map-side combinable groupBy on the
+    domain column) + a single-row totals broadcast — the same shape as
+    the BM25 stats join; no shuffle beyond the domain agg.
+    """
+    mass = (F.lit(1.0) if size_col is None
+            else (F.col(size_col) if isinstance(size_col, str)
+                  else size_col)).cast("double")
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(mass).alias("mass"),
+    )
+    if target is not None:
+        tshare = None
+        for dom, share in target.items():
+            if share < 0:
+                raise ValueError(f"target share for {dom!r} must be >= 0")
+            c = F.when(F.col("domain") == dom, F.lit(float(share)))
+            tshare = c if tshare is None else tshare.when(
+                F.col("domain") == dom, F.lit(float(share)))
+        tshare = tshare.otherwise(F.lit(0.0))
+    else:
+        tshare = F.lit(1.0)
+    per = per.withColumn("__t", tshare)
+    totals = per.agg(
+        F.sum("mass").alias("__tot_mass"),
+        F.sum("__t").alias("__tot_t"),
+    )
+    out = per.crossJoin(F.broadcast(totals))
+    corpus_share = F.col("mass") / F.col("__tot_mass")
+    target_share = F.col("__t") / F.col("__tot_t")
+    return out.select(
+        "domain",
+        "n_rows",
+        F.round("mass", round_to).alias("mass"),
+        F.round(corpus_share, round_to).alias("corpus_share"),
+        F.round(target_share, round_to).alias("target_share"),
+        F.round(target_share / corpus_share, round_to).alias("weight"),
+    )

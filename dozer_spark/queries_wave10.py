@@ -1,0 +1,138 @@
+"""Wave 10: corpus-assembly utilities around the split/pack/mix stages
+— leakage-safe cluster-granular splits, static domain-mixture
+reweighting, and length-bucketed batch manifests. All exact DuckDB
+oracles (the leakage-safe split replays the full MinHash transitive
+closure inside its oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dozer_spark.queries import _q, _cat
+from dozer_spark.queries_ops import _clusters_oracle
+
+
+def _leakage_split_oracle() -> str:
+    clusters = _clusters_oracle().strip()
+    # same cutoffs as split_train_valid_test: int(frac * 2^32) exactly
+    return f"""
+    WITH RECURSIVE labels AS (
+      {clusters}
+    ), b AS (
+      SELECT d.doc_id,
+        CAST(concat('0x', substr(md5('split:' ||
+          CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+          AS BIGINT) AS bucket
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    )
+    SELECT doc_id,
+      CASE WHEN bucket < 3435973836 THEN 'train'
+           WHEN bucket < 3865470566 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@_q("split_leakage_safe", _leakage_split_oracle())
+def split_leakage_safe(spark, sf):
+    """80/10/10 split at near-dup-CLUSTER granularity
+    (ops/sampling.py leakage_safe_split): MinHash connected components
+    give each doc a cluster representative and the md5 split hashes the
+    REPRESENTATIVE, so a near-dup pair can never straddle train/test
+    (the memorization-leak channel of row-level splits). Oracle replays
+    the full pipeline: LSH pairs -> recursive-CTE components -> rep
+    coalesce -> identical integer cutoffs."""
+    from dozer_spark.ops.dedup import minhash_lsh_pairs
+    from dozer_spark.ops.sampling import leakage_safe_split
+
+    d = _cat(spark, sf).df("documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+    return leakage_safe_split(
+        d, "doc_id", pairs,
+        [("train", 0.8), ("valid", 0.1), ("test", 0.1)], salt="split",
+    ).select("doc_id", "split")
+
+
+_MIX_TARGET = {"en": 0.3, "zh": 0.2, "es": 0.2, "fr": 0.15, "de": 0.15}
+
+
+def _mixture_oracle() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v!r}" for k, v in _MIX_TARGET.items()
+    ) + " ELSE 0.0 END"
+    toks = ("CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+            " AS DOUBLE)")
+    return f"""
+    WITH per AS (
+      SELECT lang AS domain,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM({toks}) AS mass,
+             {case} AS t
+      FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(mass) AS tm, SUM(t) AS tt FROM per)
+    SELECT domain, n_rows,
+           ROUND(mass, 6) AS mass,
+           ROUND(mass / tm, 6) AS corpus_share,
+           ROUND(t / tt, 6) AS target_share,
+           ROUND((t / tt) / (mass / tm), 6) AS weight
+    FROM per, tot
+    """
+
+
+@_q("domain_mixture_weights", _mixture_oracle())
+def domain_mixture_weights_by_lang(spark, sf):
+    """Static domain-mixture reweighting (ops/sampling.py
+    domain_mixture_weights): token-mass shares per language vs an
+    explicit target mixture -> per-domain up/down-sampling weights.
+    Token masses are integer-valued doubles (exact under any summation
+    order), so the shares replay exactly; rounding shields the
+    divisions."""
+    from dozer_spark.ops.sampling import domain_mixture_weights
+    from dozer_spark.ops.text import token_count
+
+    d = _cat(spark, sf).df("documents")
+    return domain_mixture_weights(
+        d, "lang", size_col=token_count("text"), target=_MIX_TARGET)
+
+
+def _length_batch_oracle(edges=(32, 64), batch_tokens=2048,
+                         n_sub=16) -> str:
+    case = "CASE " + " ".join(
+        f"WHEN n_tokens < {e} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_tokens,
+        md5('batch:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT *,
+        CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % {n_sub} AS INT)
+          AS sub,
+        CAST({case} AS INT) AS bucket
+      FROM t
+    )
+    SELECT doc_id, n_tokens, bucket,
+      CAST(floor(
+        (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY sub, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        / {batch_tokens}) AS BIGINT) AS batch_id
+    FROM b
+    """
+
+
+@_q("batch_length_bucketed", _length_batch_oracle())
+def batch_length_bucketed(spark, sf):
+    """Length-bucketed batch manifest (ops/packing.py
+    length_bucketed_batches): docs bucketed by token-length range, each
+    bucket's deterministically shuffled stream cut into ~2048-token
+    batches via the module's two-level prefix sum. The oracle is the
+    single-window formulation the two-level plan is provably equal to
+    (same pattern as pack_token_shards)."""
+    from dozer_spark.ops.packing import length_bucketed_batches
+
+    d = _cat(spark, sf).df("documents")
+    return length_bucketed_batches(
+        d, "doc_id", "text", bucket_edges=[32, 64], batch_tokens=2048)
