@@ -57,7 +57,18 @@ from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_top
 from dozer_spark.ops.bloom import BloomFilter
 from dozer_spark.ops.search import StreamingBm25Index, bm25_topn
 from dozer_spark.ops.semdedup import cluster_balanced_sample, semantic_dedup
-from dozer_spark.ops.similarity import ivf_pq_ann_topk
+from dozer_spark.ops.similarity import (
+    ivf_ann_topk_frozen,
+    ivf_pq_ann_topk,
+    ivf_pq_ann_topk_frozen,
+    unit_vector,
+)
+from dozer_spark.ops.packing import length_bucketed_batches
+from dozer_spark.ops.sampling import (
+    domain_mixture_weights,
+    hash_split,
+    leakage_safe_split,
+)
 
 __all__ = [
     "tokens",
@@ -108,4 +119,11 @@ __all__ = [
     "dsir_gumbel_topk",
     "cluster_balanced_sample",
     "semantic_dedup",
+    "ivf_ann_topk_frozen",
+    "ivf_pq_ann_topk_frozen",
+    "unit_vector",
+    "length_bucketed_batches",
+    "domain_mixture_weights",
+    "hash_split",
+    "leakage_safe_split",
 ]

@@ -426,11 +426,15 @@ def domain_mixture_weights(
     else:
         tshare = F.lit(1.0)
     per = per.withColumn("__t", tshare)
-    totals = per.agg(
-        F.sum("mass").alias("__tot_mass"),
-        F.sum("__t").alias("__tot_t"),
-    )
-    out = per.crossJoin(F.broadcast(totals))
+    # totals via an unpartitioned window over the PER-DOMAIN frame —
+    # n_domains rows, so the single-partition window is bounded by
+    # construction and the corpus is scanned exactly once (a crossJoin
+    # against per.agg() would recompute the domain agg — two scans)
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    out = per.withColumn("__tot_mass", F.sum("mass").over(w_all)) \
+             .withColumn("__tot_t", F.sum("__t").over(w_all))
     corpus_share = F.col("mass") / F.col("__tot_mass")
     target_share = F.col("__t") / F.col("__tot_t")
     return out.select(

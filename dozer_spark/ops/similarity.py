@@ -520,6 +520,190 @@ def ivf_ann_topk_frozen(
     )
 
 
+def unit_vector(vec: Column) -> Column:
+    """L2-normalize a float array Column with the sequential-fold norm
+    (sqrt of the left-fold sum of squares, floored at 1e-12) — the
+    engine-portable normalization every frozen/oracle path shares."""
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x.cast("double")
+                            * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-12),
+    )
+    return F.transform(vec, lambda x: x.cast("double") / nrm)
+
+
+def ivf_pq_ann_topk_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN against FROZEN geometry (pre-trained coarse centroids
+    + residual PQ codebooks as float literals): normalize, coarse-cell
+    assign, residual-encode to m_sub codes, per-(query, probed-cell)
+    ADC lookup tables, keep the refine*k best ADC candidates, exact
+    cosine re-rank — ALL as sequential-fold Column math, no UDF, no
+    training step, no numpy.
+
+    This is the serving shape of a compressed index (codebooks pinned
+    at build time; refits offline) and — like ivf_ann_topk_frozen — it
+    makes the full compressed-index path SQL-replayable: identical
+    literals give an external engine bit-identical residuals, codes,
+    ADC distances, candidate sets, and final top-k (the DuckDB oracle
+    for ann_ivf_pq_topk_frozen). The live ivf_pq_ann_topk remains the
+    BLAS-batched scale path; this variant is the exactness anchor.
+
+    Scale shape mirrors the live path: literals ride the plan
+    (broadcast), corpus is encoded in one scan, queries broadcast to
+    the cell join, each query touches ~n_probe/n_centroids of the
+    corpus, and only refine*k survivors reach the exact re-rank.
+    """
+    m_sub = len(books)
+    n_codes = len(books[0])
+    dsub = len(books[0][0])
+    ncent = len(coarse)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in coarse]
+    )
+    books_arr = F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in code]) for code in book]
+            )
+            for book in books
+        ]
+    )
+    idx_cent = F.sequence(F.lit(0), F.lit(ncent - 1))
+    idx_code = F.sequence(F.lit(0), F.lit(n_codes - 1))
+
+    def cell_pairs(vcol: Column) -> Column:
+        d2 = F.transform(
+            cent_arr,
+            lambda cent: F.aggregate(
+                F.zip_with(vcol, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.arrays_zip(d2.alias("d"), idx_cent.alias("i"))
+
+    def residual(vcol: Column) -> Column:
+        return F.zip_with(
+            vcol,
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda a, b: a - b,
+        )
+
+    def sub_d2(res_col: str, j: Column, code: Column) -> Column:
+        # squared distance of residual subspace j (1-based) to a code
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(F.col(res_col), (j - 1) * dsub + i)
+               - F.element_at(code, i))
+            * (F.element_at(F.col(res_col), (j - 1) * dsub + i)
+               - F.element_at(code, i)),
+        )
+
+    # corpus: normalize -> cell -> residual -> m_sub PQ codes
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("cv"),
+    )
+    c = c.withColumn("cell", F.array_min(cell_pairs(F.col("cv")))["i"])
+    c = c.withColumn("rv", residual(F.col("cv")))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(m_sub)),
+        lambda j: F.array_min(
+            F.arrays_zip(
+                F.transform(
+                    F.element_at(books_arr, j),
+                    lambda code: sub_d2("rv", j, code),
+                ).alias("d"),
+                idx_code.alias("i"),
+            )
+        )["i"],
+    )
+    c = c.withColumn("codes", codes).drop("rv")
+
+    # queries: normalize -> n_probe cells -> per-cell residual -> LUT
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), unit_vector(F.col(vec_col)).alias("qv")
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_pairs(F.col("qv"))), 1, n_probe),
+                lambda s: s["i"],
+            )
+        ),
+    )
+    q = q.withColumn("qr", residual(F.col("qv")))
+    lut = F.transform(
+        F.sequence(F.lit(1), F.lit(m_sub)),
+        lambda j: F.transform(
+            F.element_at(books_arr, j), lambda code: sub_d2("qr", j, code)
+        ),
+    )
+    q = q.select("query_id", "qv", "cell", lut.alias("lut"))
+
+    # ADC candidates within probed cells, then exact cosine re-rank
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m_sub)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), j), F.element_at(F.col("codes"), j) + 1
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("__cr", F.row_number().over(w_cand))
+        .filter(F.col("__cr") <= refine * k)
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

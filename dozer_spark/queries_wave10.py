@@ -136,3 +136,143 @@ def batch_length_bucketed(spark, sf):
     d = _cat(spark, sf).df("documents")
     return length_bucketed_batches(
         d, "doc_id", "text", bucket_edges=[32, 64], batch_tokens=2048)
+
+
+def _ivf_pq_frozen_oracle(k: int = 5, n_probe: int = 4, refine: int = 4,
+                          dim: int = 64) -> str:
+    """EXACT oracle for frozen-geometry IVF-PQ: replays normalization,
+    coarse-cell argmin, residual computation, per-subspace code argmin
+    (ties on code index), the per-(query, probed-cell) ADC lookup
+    tables, the refine*k ADC candidate cut (ties on neighbor id), and
+    the exact-cosine re-rank. Every float is the same sequential fold
+    on both sides, so codes, ADC, candidates, and the top-k agree
+    bit-for-bit."""
+    from dozer_spark.ops.pq_frozen import (
+        FROZEN_PQ_BOOKS_8x16x8,
+        FROZEN_PQ_COARSE_16x64,
+    )
+
+    m_sub = len(FROZEN_PQ_BOOKS_8x16x8)
+    n_codes = len(FROZEN_PQ_BOOKS_8x16x8[0])
+    dsub = len(FROZEN_PQ_BOOKS_8x16x8[0][0])
+    ncent = len(FROZEN_PQ_COARSE_16x64)
+    cm = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]"
+        for row in FROZEN_PQ_COARSE_16x64
+    ) + "]"
+    bk = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in code) + "]" for code in book
+        ) + "]"
+        for book in FROZEN_PQ_BOOKS_8x16x8
+    ) + "]"
+
+    def cpairs(v: str) -> str:
+        return f"""
+        list_transform(generate_series(1, {ncent}), jj ->
+          {{'d': list_sum(list_transform(generate_series(1, {dim}),
+                   i -> ({v}[i] - c[jj][i]) * ({v}[i] - c[jj][i]))),
+           'i': jj - 1}})"""
+
+    sub = f"(j-1)*{dsub} + i"
+    return f"""
+    WITH cm AS (SELECT {cm} AS c, {bk} AS bk),
+    q0 AS (
+      SELECT vec_id, embedding,
+        greatest(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), qn AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS qv
+      FROM q0
+    ), qp AS (
+      SELECT query_id, qv, unnest(cells) AS cell
+      FROM (
+        SELECT query_id, qv,
+          list_transform(list_slice(list_sort({cpairs("qv")}),
+                                    1, {n_probe}), s -> s.i) AS cells
+        FROM qn, cm)
+    ), ql AS (
+      SELECT query_id, qv, cell,
+        list_transform(generate_series(1, {dim}),
+                       i -> qv[i] - c[cell + 1][i]) AS qr
+      FROM qp, cm
+    ), qlut AS (
+      SELECT query_id, qv, cell,
+        list_transform(generate_series(1, {m_sub}), j ->
+          list_transform(bk[j], code ->
+            list_sum(list_transform(generate_series(1, {dsub}), i ->
+              (qr[{sub}] - code[i]) * (qr[{sub}] - code[i]))))) AS lut
+      FROM ql, cm
+    ), c0 AS (
+      SELECT vec_id, embedding,
+        greatest(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
+      FROM embeddings
+    ), cn AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS cv
+      FROM c0
+    ), ccell AS (
+      SELECT neighbor_id, cv, list_sort({cpairs("cv")})[1].i AS cell
+      FROM cn, cm
+    ), crv AS (
+      SELECT neighbor_id, cv, cell,
+        list_transform(generate_series(1, {dim}),
+                       i -> cv[i] - c[cell + 1][i]) AS rv
+      FROM ccell, cm
+    ), ccodes AS (
+      SELECT neighbor_id, cv, cell,
+        list_transform(generate_series(1, {m_sub}), j ->
+          list_sort(list_transform(generate_series(1, {n_codes}), t ->
+            {{'d': list_sum(list_transform(generate_series(1, {dsub}), i ->
+               (rv[{sub}] - bk[j][t][i]) * (rv[{sub}] - bk[j][t][i]))),
+             'i': t - 1}}))[1].i) AS codes
+      FROM crv, cm
+    ), scored AS (
+      SELECT query_id, qv, neighbor_id, cv,
+        list_sum(list_transform(generate_series(1, {m_sub}),
+                 j -> lut[j][codes[j] + 1])) AS adc
+      FROM ccodes JOIN qlut USING (cell)
+      WHERE neighbor_id <> query_id
+    ), cand AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY adc, neighbor_id) <= {refine * k}
+    ), rer AS (
+      SELECT query_id, neighbor_id,
+        list_sum(list_transform(generate_series(1, {dim}),
+                 i -> qv[i] * cv[i])) AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM rer
+    QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id) <= {k}
+    """
+
+
+@_q("ann_ivf_pq_topk_frozen", _ivf_pq_frozen_oracle(), window=True)
+def ann_ivf_pq_topk_frozen(spark, sf):
+    """IVF-PQ ANN with frozen pre-trained geometry (ops/pq_frozen.py):
+    the compressed-index serving shape — coarse centroids + residual
+    codebooks pinned at build time — as pure Column math, so the WHOLE
+    path (normalize, cell, encode, ADC, candidate cut, exact re-rank)
+    replays exactly in SQL. Complements the rows-only live
+    ann_ivf_pq_topk (BLAS scale path) with an exactness anchor, the
+    same way ann_ivf_topk_frozen anchors the IVF family."""
+    from dozer_spark.ops.pq_frozen import (
+        FROZEN_PQ_BOOKS_8x16x8,
+        FROZEN_PQ_COARSE_16x64,
+    )
+    from dozer_spark.ops.similarity import ivf_pq_ann_topk_frozen
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_ann_topk_frozen(
+        e, q, "embedding", "vec_id",
+        FROZEN_PQ_COARSE_16x64, FROZEN_PQ_BOOKS_8x16x8,
+        k=5, n_probe=4, refine=4)

