@@ -764,3 +764,59 @@ def cross_source_dup_matrix(docs, text_col: str, source_col: str):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
     )
+
+
+def contamination_share(docs, text_col: str, id_col: str,
+                        eval_pred, n: int = 3, round_to: int = 6):
+    """Per-document contamination SHARE against the eval split — the
+    GPT-3-appendix-style dirtiness metric (Brown et al. 2020 measure
+    leakage as n-gram overlap with benchmarks): for every NON-eval
+    document, the fraction of its distinct word n-grams that appear
+    anywhere in the eval set. eval_ngram_overlap reports absolute hit
+    counts for docs with at least one hit; policy thresholds are
+    usually RELATIVE ("drop if >X% dirty"), which needs the per-doc
+    gram denominator and a row for every document, including clean
+    ones.
+
+    Output: (id_col, n_grams, n_hits, share), one row per non-eval doc;
+    documents shorter than n tokens report (0, 0, 0.0).
+
+    100 TB design: same no-corpus-shuffle shape as eval_ngram_overlap —
+    the eval gram set is distinct-reduced and size-gate broadcast; the
+    corpus side is one scan + explode; the only corpus-sized shuffle is
+    the final map-side-combinable groupBy on the doc id (explode_outer
+    keeps gram-less docs in that same pass instead of a second scan +
+    join)."""
+    from dozer_spark.operators.hints import (
+        cache_materialized,
+        ensure_min_partitions,
+        maybe_broadcast,
+    )
+
+    g = ensure_min_partitions(docs).select(
+        F.col(id_col),
+        F.coalesce(eval_pred, F.lit(False)).alias("__eval"),
+        word_ngrams(F.col(text_col), n).alias("__g"),
+    )
+    ev = cache_materialized(
+        g.filter(F.col("__eval"))
+        .select(F.explode("__g").alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = g.filter(~F.col("__eval")).select(
+        id_col, F.explode_outer("__g").alias("__h")
+    )
+    per = (
+        corpus.join(maybe_broadcast(ev), "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__h").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long").alias("n_hits"),
+        )
+    )
+    share = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_hits") / F.col("n_grams"), round_to)
+    )
+    return per.select(id_col, "n_grams", "n_hits", share.alias("share"))

@@ -276,3 +276,50 @@ def ann_ivf_pq_topk_frozen(spark, sf):
         e, q, "embedding", "vec_id",
         FROZEN_PQ_COARSE_16x64, FROZEN_PQ_BOOKS_8x16x8,
         k=5, n_probe=4, refine=4)
+
+
+@_q(
+    "decontaminate_share",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 0)),
+          i -> md5(array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(g) AS h FROM grams WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(g) AS h FROM grams WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id, NULL AS h FROM grams
+      WHERE doc_id % 97 <> 0 AND len(g) = 0
+    ), per AS (
+      SELECT c.doc_id,
+             CAST(COUNT(c.h) AS BIGINT) AS n_grams,
+             CAST(COUNT(e.h) AS BIGINT) AS n_hits
+      FROM corpus c LEFT JOIN eval_grams e USING (h)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, n_hits,
+           CASE WHEN n_grams = 0 THEN 0.0
+                ELSE ROUND(n_hits / n_grams, 6) END AS share
+    FROM per
+    """,
+)
+def decontaminate_share(spark, sf):
+    """Per-document contamination share (ops/text.py
+    contamination_share): fraction of each non-eval doc's distinct
+    3-grams present in the eval split (doc_id % 97 = 0) — one row per
+    corpus document including clean and gram-less ones, the relative
+    metric decontamination policies actually threshold on. Integer/
+    integer division replays exactly; oracle keeps gram-less docs via
+    an explicit NULL-gram union (DuckDB unnest drops empty lists the
+    same way Spark explode does)."""
+    from dozer_spark.ops.text import contamination_share
+
+    d = _cat(spark, sf).df("documents")
+    return contamination_share(d, "text", "doc_id",
+                               F.col("doc_id") % 97 == 0, n=3)

@@ -157,3 +157,38 @@ class TestLengthBucketedBatches:
             length_bucketed_batches(docs, "doc_id", "text", [8, 4], 10)
         with pytest.raises(ValueError):
             length_bucketed_batches(docs, "doc_id", "text", [4], 0)
+
+
+class TestContaminationShare:
+    def test_known_values_and_clean_and_short_docs(self, spark):
+        from dozer_spark.ops.text import contamination_share
+
+        rows = [
+            (0, "a b c d e"),          # eval doc: grams {abc, bcd, cde}
+            (1, "a b c x y z"),        # dirty: {abc, bcx, cxy, xyz} -> 1/4
+            (2, "p q r s"),            # clean: {pqr, qrs} -> 0/2
+            (3, "t u"),                # too short: 0 grams
+            (4, "a b c d e"),          # fully dirty: 3/3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in contamination_share(
+            df, "text", "doc_id", F.col("doc_id") == 0, n=3).collect()}
+        assert set(out) == {1, 2, 3, 4}  # eval doc excluded
+        assert (out[1].n_grams, out[1].n_hits, out[1].share) == (4, 1, 0.25)
+        assert (out[2].n_grams, out[2].n_hits, out[2].share) == (2, 0, 0.0)
+        assert (out[3].n_grams, out[3].n_hits, out[3].share) == (0, 0, 0.0)
+        assert (out[4].n_grams, out[4].n_hits, out[4].share) == (3, 3, 1.0)
+
+    def test_null_text_and_null_pred_rows_survive(self, spark):
+        from dozer_spark.ops.text import contamination_share
+
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, None), (2, "a b c")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in contamination_share(
+            df, "text", "doc_id",
+            F.when(F.col("doc_id") == 0, True), n=3).collect()}
+        # NULL predicate rows are corpus rows (coalesce False), NULL
+        # text behaves as gram-less
+        assert (out[1].n_grams, out[1].share) == (0, 0.0)
+        assert (out[2].n_grams, out[2].n_hits) == (1, 1)
