@@ -137,3 +137,48 @@ def pca_project(
             out_col, F.transform(F.col(out_col), lambda x: F.round(x, round_to))
         )
     return out
+
+
+def pca_project_frozen(
+    df: DataFrame,
+    vec_col: str,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str | None = None,
+    out_col: str = "pc",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project onto FROZEN PCA geometry (pinned mean + components as
+    float literals) with sequential-fold Column math — no UDF, no BLAS:
+    pc[k] = fold_i (v[i] - mean[i]) * comp[k][i], left to right.
+
+    The serving shape of a dimensionality reducer (components are fit
+    offline and pinned; projections must be reproducible), and — like
+    the frozen ANN variants — it makes the projection SQL-replayable:
+    identical literals give an external engine bit-identical folds
+    (the DuckDB oracle for the pca_project_frozen registry query). The
+    live pca_fit + pandas-UDF pca_project remain the scale path for
+    refits.
+    """
+    from pyspark.sql import functions as F
+
+    mean_arr = F.array(*[F.lit(float(x)) for x in mean])
+    comp_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in components]
+    )
+    centered = F.zip_with(
+        F.col(vec_col), mean_arr, lambda a, b: a.cast("double") - b
+    )
+    proj = F.transform(
+        comp_arr,
+        lambda comp: F.round(
+            F.aggregate(
+                F.zip_with(centered, comp, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        ),
+    )
+    cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    return df.select(*cols, proj.alias(out_col))

@@ -323,3 +323,46 @@ def decontaminate_share(spark, sf):
     d = _cat(spark, sf).df("documents")
     return contamination_share(d, "text", "doc_id",
                                F.col("doc_id") % 97 == 0, n=3)
+
+
+def _pca_frozen_oracle(n_components: int = 8, dim: int = 64) -> str:
+    """EXACT oracle for frozen-geometry PCA projection: the centered
+    matvec is the same sequential fold on both sides, so each projected
+    coordinate agrees bit-for-bit before the shared rounding."""
+    from dozer_spark.ops.pca_frozen import (
+        FROZEN_PCA_COMPONENTS_8x64,
+        FROZEN_PCA_MEAN_64,
+    )
+
+    m = "[" + ", ".join(repr(x) for x in FROZEN_PCA_MEAN_64) + "]"
+    p = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]"
+        for row in FROZEN_PCA_COMPONENTS_8x64
+    ) + "]"
+    return f"""
+    WITH pm AS (SELECT {m} AS m, {p} AS p)
+    SELECT vec_id,
+      list_transform(generate_series(1, {n_components}), k ->
+        round(list_sum(list_transform(generate_series(1, {dim}), i ->
+          (CAST(embedding[i] AS DOUBLE) - m[i]) * p[k][i])), 6)) AS pc
+    FROM embeddings, pm
+    """
+
+
+@_q("pca_project_frozen", _pca_frozen_oracle())
+def pca_project_frozen_query(spark, sf):
+    """PCA projection onto frozen geometry (ops/pca_frozen.py): the
+    pinned mean + top-8 components make the centered matvec pure
+    sequential-fold Column math with an exact SQL replay — the
+    exactness anchor for the PCA family (live pca_fit is rows-only:
+    partition-order moment sums + BLAS projection)."""
+    from dozer_spark.ops.embedding import pca_project_frozen
+    from dozer_spark.ops.pca_frozen import (
+        FROZEN_PCA_COMPONENTS_8x64,
+        FROZEN_PCA_MEAN_64,
+    )
+
+    e = _cat(spark, sf).df("embeddings")
+    return pca_project_frozen(
+        e, "embedding", FROZEN_PCA_MEAN_64, FROZEN_PCA_COMPONENTS_8x64,
+        id_col="vec_id")

@@ -192,3 +192,41 @@ class TestContaminationShare:
         # text behaves as gram-less
         assert (out[1].n_grams, out[1].share) == (0, 0.0)
         assert (out[2].n_grams, out[2].n_hits) == (1, 1)
+
+
+class TestPcaProjectFrozen:
+    def test_matches_numpy_and_deterministic(self, spark):
+        import numpy as np
+
+        from dozer_spark.ops.embedding import pca_project_frozen
+        from dozer_spark.ops.pca_frozen import (
+            FROZEN_PCA_COMPONENTS_8x64,
+            FROZEN_PCA_MEAN_64,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=64)])
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: list(r.pc) for r in pca_project_frozen(
+            df, "embedding", FROZEN_PCA_MEAN_64,
+            FROZEN_PCA_COMPONENTS_8x64, id_col="vec_id").collect()}
+        m = np.array(FROZEN_PCA_MEAN_64)
+        P = np.array(FROZEN_PCA_COMPONENTS_8x64)
+        for i, v in rows:
+            want = (np.array(v, dtype=np.float32).astype(np.float64) - m) @ P.T
+            got = np.array(out[i])
+            assert np.allclose(got, np.round(want, 6), atol=1e-6), i
+        # repartitioning does not change a single bit
+        again = {r.vec_id: list(r.pc) for r in pca_project_frozen(
+            df.repartition(7), "embedding", FROZEN_PCA_MEAN_64,
+            FROZEN_PCA_COMPONENTS_8x64, id_col="vec_id").collect()}
+        assert out == again
+
+    def test_components_orthonormal(self):
+        import numpy as np
+
+        from dozer_spark.ops.pca_frozen import FROZEN_PCA_COMPONENTS_8x64
+
+        P = np.array(FROZEN_PCA_COMPONENTS_8x64)
+        assert np.allclose(P @ P.T, np.eye(8), atol=1e-9)
