@@ -98,9 +98,15 @@ def leakage_safe_split(
     two near-identical documents hash independently, one lands in
     train and its twin in test, and the eval set silently measures
     memorization. Splitting by cluster representative makes that
-    impossible by construction while keeping every hash_split
-    guarantee (deterministic, engine-portable, stable as the corpus
-    grows — as long as the pair stream is, which MinHash is).
+    impossible by construction, deterministically and
+    engine-portably. Stability under corpus growth is necessarily
+    CLUSTER-scoped, not row-scoped: a doc keeps its split while its
+    component is unchanged, but a new pair that MERGES two components
+    re-splits the merged cluster as one unit (min-id representative),
+    which can migrate members — the unavoidable price of keeping a
+    cluster atomic, and the leakage-safe behavior (the alternative,
+    pinning old members, would leave the merged near-dup group
+    straddling splits).
 
     Rows that appear in no pair are their own singleton cluster (their
     representative is their own key). Adds the ``split`` column.
