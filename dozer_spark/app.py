@@ -220,80 +220,82 @@ def run_app(spark: SparkSession, config: dict | str,
         if name in sinks_cfg_names or name == "__result__":
             registry.inc("dozer_output_rows_total", df.count(), output=name)
 
-    # ops stage: declarative corpus-pipeline steps (beyond the
-    # reference's SQL-only app model — the ops/ layer exposed to the
-    # `dozer run` UX). Each entry registers its output as a table the
-    # SQL stage and sinks can reference; entries run in declaration
-    # order, so an op can consume an earlier op's output.
-    for name, spec in (config.get("ops") or {}).items():
-        fn = _APP_OPS.get(spec.get("op"))
-        if fn is None:
-            raise ValueError(
-                f"ops.{name}: unknown op {spec.get('op')!r} "
-                f"(available: {sorted(_APP_OPS)})"
-            )
-        if cat.has(name):
-            # an op output named like an existing source/op would
-            # silently shadow that table for the SQL stage
-            raise ValueError(
-                f"ops.{name}: name collides with an existing table — "
-                "rename the op entry or the source"
-            )
-        inp = spec.get("input")
-        if not inp:
-            raise ValueError(f"ops.{name}: missing required key 'input'")
-        if not cat.has(inp):
-            raise ValueError(
-                f"ops.{name}: unknown input table {inp!r} "
-                f"(known: {sorted(cat.names())})"
-            )
-        import time as _time
-
-        t0 = _time.monotonic()
-        out = fn(cat.df(inp), **(spec.get("args") or {}))
-        cat.register(name, out)
-        result.outputs[name] = out
-        if name in sinks:
-            result.written[name] = _run_sink(spark, cat, out, name,
-                                             sinks[name])
-        _record(name, out, t0)
-
-    statements = _split_statements(config.get("sql", ""))
-    for i, stmt in enumerate(statements):
-        import time as _time
-
-        t0 = _time.monotonic()
-        df, into = statement_to_dataframe(spark, stmt, cat)
-        if into is None:
-            if i != len(statements) - 1:
-                raise ValueError(
-                    "only the final statement may omit INTO (intermediate "
-                    "outputs must be named so later statements/sinks can "
-                    "reference them — builder/mod.rs:336-358)"
-                )
-            result.outputs["__result__"] = df
-            _record("__result__", df, t0)
-            continue
-        cat.register(into, df)
-        result.outputs[into] = df
-        if into in sinks:
-            result.written[into] = _run_sink(spark, cat, df, into,
-                                             sinks[into])
-        _record(into, df, t0)
-    unknown_sinks = set(sinks) - set(result.outputs)
-    if unknown_sinks:
-        raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")
-
-    # quality stage: declarative validation gates (ops/quality.py) over
-    # any registered table — sources, op outputs, or SQL outputs (it
-    # runs last so it can gate what the app produced). One aggregation
-    # pass per gate; values exported as gauges when `metrics:` is on;
-    # fail_on_violation raises BEFORE the caller promotes the batch.
-    # A raising gate must not leak the scrape server started above: the
-    # caller never receives the AppResult holding it, so stop it here
-    # and attach the partial result to the exception (`exc.app_result`)
-    # for callers that want the gate rows / registry post-mortem.
+    # Every stage below can raise (unknown op/table, SQL errors, sink
+    # failures, fail_on_violation quality gates). A raising stage must
+    # not leak the scrape server started above: the caller never
+    # receives the AppResult holding it, so stop it here and attach the
+    # partial result to the exception (`exc.app_result`) for callers
+    # that want the stage outputs / registry post-mortem.
     try:
+        # ops stage: declarative corpus-pipeline steps (beyond the
+        # reference's SQL-only app model — the ops/ layer exposed to the
+        # `dozer run` UX). Each entry registers its output as a table the
+        # SQL stage and sinks can reference; entries run in declaration
+        # order, so an op can consume an earlier op's output.
+        for name, spec in (config.get("ops") or {}).items():
+            fn = _APP_OPS.get(spec.get("op"))
+            if fn is None:
+                raise ValueError(
+                    f"ops.{name}: unknown op {spec.get('op')!r} "
+                    f"(available: {sorted(_APP_OPS)})"
+                )
+            if cat.has(name):
+                # an op output named like an existing source/op would
+                # silently shadow that table for the SQL stage
+                raise ValueError(
+                    f"ops.{name}: name collides with an existing table — "
+                    "rename the op entry or the source"
+                )
+            inp = spec.get("input")
+            if not inp:
+                raise ValueError(f"ops.{name}: missing required key 'input'")
+            if not cat.has(inp):
+                raise ValueError(
+                    f"ops.{name}: unknown input table {inp!r} "
+                    f"(known: {sorted(cat.names())})"
+                )
+            import time as _time
+
+            t0 = _time.monotonic()
+            out = fn(cat.df(inp), **(spec.get("args") or {}))
+            cat.register(name, out)
+            result.outputs[name] = out
+            if name in sinks:
+                result.written[name] = _run_sink(spark, cat, out, name,
+                                                 sinks[name])
+            _record(name, out, t0)
+
+        statements = _split_statements(config.get("sql", ""))
+        for i, stmt in enumerate(statements):
+            import time as _time
+
+            t0 = _time.monotonic()
+            df, into = statement_to_dataframe(spark, stmt, cat)
+            if into is None:
+                if i != len(statements) - 1:
+                    raise ValueError(
+                        "only the final statement may omit INTO (intermediate "
+                        "outputs must be named so later statements/sinks can "
+                        "reference them — builder/mod.rs:336-358)"
+                    )
+                result.outputs["__result__"] = df
+                _record("__result__", df, t0)
+                continue
+            cat.register(into, df)
+            result.outputs[into] = df
+            if into in sinks:
+                result.written[into] = _run_sink(spark, cat, df, into,
+                                                 sinks[into])
+            _record(into, df, t0)
+        unknown_sinks = set(sinks) - set(result.outputs)
+        if unknown_sinks:
+            raise ValueError(f"sinks reference unknown outputs: {sorted(unknown_sinks)}")
+
+        # quality stage: declarative validation gates (ops/quality.py) over
+        # any registered table — sources, op outputs, or SQL outputs (it
+        # runs last so it can gate what the app produced). One aggregation
+        # pass per gate; values exported as gauges when `metrics:` is on;
+        # fail_on_violation raises BEFORE the caller promotes the batch.
         for gname, spec in (config.get("quality") or {}).items():
             table = spec.get("table")
             if not table:

@@ -162,12 +162,16 @@ def pca_project_frozen(
     """
     from pyspark.sql import functions as F
 
+    from dozer_spark.ops.similarity import _guard_dim
+
     mean_arr = F.array(*[F.lit(float(x)) for x in mean])
     comp_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in components]
     )
     centered = F.zip_with(
-        F.col(vec_col), mean_arr, lambda a, b: a.cast("double") - b
+        _guard_dim(F.col(vec_col), len(mean), "pca_project_frozen"),
+        mean_arr,
+        lambda a, b: a.cast("double") - b,
     )
     proj = F.transform(
         comp_arr,

@@ -214,9 +214,13 @@ def length_bucketed_batches(
     bucket_edges are ascending upper bounds: with edges [16, 64],
     bucket 0 holds n_tokens < 16, bucket 1 holds [16, 64), bucket 2 the
     rest. Output: (id_col, n_tokens, bucket, batch_id) with batch_id
-    local to its bucket (floor(start_offset / batch_tokens) over the
-    bucket's stream ordered by (md5 key, id) — same straddling rule as
-    token_shard_assignment).
+    local to its bucket: floor(start_offset / batch_tokens) over the
+    bucket's stream ordered by (SUBBUCKET, md5 key, id) — the hash
+    subbucket is the LEADING sort key, so n_subbuckets is part of the
+    manifest's identity: changing it reorders the stream and reassigns
+    batch ids. Pin n_subbuckets (and salt) when a committed manifest
+    must be reproducible; tune parallelism within a pinned value, not
+    by changing it.
 
     Scale shape: the per-bucket running sum would be one task per
     LENGTH bucket (a handful of huge stragglers at corpus scale), so it

@@ -421,6 +421,11 @@ def domain_mixture_weights(
         F.sum(mass).alias("mass"),
     )
     if target is not None:
+        if not target:
+            raise ValueError("target must not be empty (omit it for a "
+                             "uniform mixture over observed domains)")
+        if all(share == 0 for share in target.values()):
+            raise ValueError("target shares must not all be zero")
         tshare = None
         for dom, share in target.items():
             if share < 0:

@@ -60,12 +60,13 @@ from dozer_spark.operators.hints import (
 
 
 def _unit(vec: Column) -> Column:
-    """L2-normalize a float array Column (zero vectors pass through a
-    1e-12 floor, matching the numpy guards in the pandas stages)."""
-    from dozer_spark.ops.similarity import _norm
+    """L2-normalize a float array Column — the shared engine-portable
+    normalization (similarity.unit_vector); aliased here so every
+    semdedup call site uses the same 1e-12-floored sequential-fold norm
+    as the frozen/oracle ANN paths."""
+    from dozer_spark.ops.similarity import unit_vector
 
-    n = F.greatest(_norm(vec), F.lit(1e-12))
-    return F.transform(vec, lambda x: x.cast("double") / n)
+    return unit_vector(vec)
 
 
 def _semdedup_centroids(df: DataFrame, vec_col: str, id_col: str,

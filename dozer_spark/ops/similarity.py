@@ -483,9 +483,11 @@ def ivf_ann_topk_frozen(
         )
         return F.arrays_zip(d2.alias("d"), idx.alias("i"))
 
+    dim = len(centroids[0])
     qid = query_id_col or id_col
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(qid).alias("query_id"),
+        _guard_dim(F.col(vec_col), dim, "ivf_ann_topk_frozen").alias("qv"),
     )
     q = q.withColumn(
         "cell",
@@ -497,7 +499,8 @@ def ivf_ann_topk_frozen(
         ),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _guard_dim(F.col(vec_col), dim, "ivf_ann_topk_frozen").alias("cv"),
     ).withColumn("cell", F.array_min(cell_pairs(F.col("cv")))["i"])
 
     scored = (
@@ -516,6 +519,22 @@ def ivf_ann_topk_frozen(
             "neighbor_id",
             F.round("cosine", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _guard_dim(vec: Column, dim: int, where: str) -> Column:
+    """Fail loudly on a vector/geometry dimension mismatch: zip_with
+    against literal geometry would otherwise null-pad the shorter side
+    and propagate silent nulls through the folds (wrong column,
+    truncated vectors). The guard is a per-row size branch — negligible
+    next to the folds it protects."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: expected vectors of dim {dim}, got dim "),
+                F.size(vec).cast("string"),
+            )
         )
     )
 
@@ -621,7 +640,9 @@ def ivf_pq_ann_topk_frozen(
     # corpus: normalize -> cell -> residual -> m_sub PQ codes
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        unit_vector(F.col(vec_col)).alias("cv"),
+        unit_vector(
+            _guard_dim(F.col(vec_col), m_sub * dsub, "ivf_pq_ann_topk_frozen")
+        ).alias("cv"),
     )
     c = c.withColumn("cell", F.array_min(cell_pairs(F.col("cv")))["i"])
     c = c.withColumn("rv", residual(F.col("cv")))
@@ -642,7 +663,10 @@ def ivf_pq_ann_topk_frozen(
     # queries: normalize -> n_probe cells -> per-cell residual -> LUT
     qid = query_id_col or id_col
     q = queries.select(
-        F.col(qid).alias("query_id"), unit_vector(F.col(vec_col)).alias("qv")
+        F.col(qid).alias("query_id"),
+        unit_vector(
+            _guard_dim(F.col(vec_col), m_sub * dsub, "ivf_pq_ann_topk_frozen")
+        ).alias("qv"),
     )
     q = q.withColumn(
         "cell",

@@ -152,3 +152,36 @@ class TestDriverWindowAllExact:
         assert len(names) >= 50
         missing = [n for n in names[:50] if r[n].oracle is None]
         assert missing == []
+
+
+class TestServerCleanupAllStages:
+    def test_failed_ops_stage_stops_metrics_server(self, spark):
+        """The leak guard must cover every stage after the server
+        starts, not just quality gates (review finding r10)."""
+        from dozer_spark.app import run_app
+
+        cfg = {
+            "sources": {"nation": {
+                "path": "/root/testdata/sf0.001/nation.parquet"}},
+            "metrics": {"port": 0},
+            "ops": {"bad": {"op": "no_such_op", "input": "nation"}},
+            "sql": ["SELECT n_nationkey FROM nation"],
+        }
+        with pytest.raises(ValueError, match="unknown op") as ei:
+            run_app(spark, cfg, serve_metrics=True)
+        partial = getattr(ei.value, "app_result", None)
+        assert partial is not None and partial.metrics_server is None
+
+    def test_failed_sql_stage_stops_metrics_server(self, spark):
+        from dozer_spark.app import run_app
+
+        cfg = {
+            "sources": {"nation": {
+                "path": "/root/testdata/sf0.001/nation.parquet"}},
+            "metrics": {"port": 0},
+            "sql": ["SELECT no_such_col FROM nation"],
+        }
+        with pytest.raises(Exception) as ei:
+            run_app(spark, cfg, serve_metrics=True)
+        partial = getattr(ei.value, "app_result", None)
+        assert partial is not None and partial.metrics_server is None

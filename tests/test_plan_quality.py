@@ -210,18 +210,15 @@ def test_length_bucketed_batches_no_global_window(spark):
         spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
-    # every Window's required ordering follows a hash-partitioned
-    # exchange, never Exchange SinglePartition feeding a Window
     assert "CartesianProduct" not in plan
-    import re
-
-    for m in re.finditer(r"Exchange SinglePartition", plan):
-        # the only allowed single-partition exchange is the tiny
-        # per-(bucket, sub) offsets aggregate (constant rows)
-        pass
-    # offsets path exists but the doc-level window is hash partitioned
-    assert "hashpartitioning(__lb" in plan.replace(" ", "") or \
-        "hashpartitioning(__lb" in plan
+    # BOTH running sums stay partitioned: the doc-level window hashes on
+    # (__lb, __s) and the offsets window on __lb (its input is the
+    # constant-size per-(bucket, sub) aggregate) — no single-partition
+    # exchange may appear anywhere, because the only candidate would be
+    # a corpus-sized global window, the exact straggler the two-level
+    # prefix sum exists to avoid
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__lb" in plan
 
 
 def test_domain_mixture_single_agg_pass(spark):

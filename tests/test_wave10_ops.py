@@ -230,3 +230,35 @@ class TestPcaProjectFrozen:
 
         P = np.array(FROZEN_PCA_COMPONENTS_8x64)
         assert np.allclose(P @ P.T, np.eye(8), atol=1e-9)
+
+
+class TestReviewFindingsR10:
+    def test_domain_mixture_rejects_empty_and_all_zero_target(self, spark):
+        df = spark.createDataFrame([("a",)], "dom string")
+        with pytest.raises(ValueError, match="empty"):
+            domain_mixture_weights(df, "dom", target={})
+        with pytest.raises(ValueError, match="zero"):
+            domain_mixture_weights(df, "dom", target={"a": 0.0})
+
+    def test_frozen_paths_reject_wrong_dimension(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkRuntimeError
+
+        from dozer_spark.ops.embedding import pca_project_frozen
+        from dozer_spark.ops.pca_frozen import (
+            FROZEN_PCA_COMPONENTS_8x64,
+            FROZEN_PCA_MEAN_64,
+        )
+        from dozer_spark.ops.ivf_frozen import FROZEN_CENTROIDS_16x64
+        from dozer_spark.ops.similarity import ivf_ann_topk_frozen
+
+        short = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(Exception, match="pca_project_frozen"):
+            pca_project_frozen(
+                short, "embedding", FROZEN_PCA_MEAN_64,
+                FROZEN_PCA_COMPONENTS_8x64, id_col="vec_id").collect()
+        with pytest.raises(Exception, match="ivf_ann_topk_frozen"):
+            ivf_ann_topk_frozen(
+                short, short, "embedding", "vec_id",
+                FROZEN_CENTROIDS_16x64, k=1).collect()
