@@ -38,14 +38,19 @@ def main() -> None:
     # warmup: JVM/codegen/file-listing
     run_query(next(iter(headline.values())).build(spark, SF_DIR))
 
-    # Median-of-3 per query (warm JVM, passes interleaved per query):
+    # Median-of-3 per query AFTER a per-query untimed warmup pass:
     # single-pass numbers on a shared host swing ±25% artifact-to-
-    # artifact (adjudicated rounds 5/7/8/9), burying real regressions;
-    # the per-query median is robust to a one-off GC/IO stall in either
-    # direction, unlike min (optimistic) or mean (stall-polluted).
+    # artifact (adjudicated rounds 5/7/8/9), and a query's FIRST
+    # execution pays its own whole-stage-codegen/JIT (measured 19.4s
+    # vs 4.6s steady-state for dedup_minhash_lsh at sf0.1), which one
+    # global warmup does not cover. The warmup pass absorbs the JIT;
+    # the per-query median of the remaining passes is then robust to a
+    # one-off GC/IO stall in either direction, unlike min (optimistic)
+    # or mean (stall-polluted).
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for name, q in headline.items():
+        run_query(q.build(spark, SF_DIR))  # per-query JIT warmup, untimed
         samples = []
         for _ in range(n_passes):
             t0 = time.perf_counter()
@@ -62,7 +67,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": n_passes,
         "agg": "median",
-        "warm": True,  # one shared JVM; warmup pass precedes timing
+        "warm": True,  # shared JVM; per-query untimed JIT warmup pass
     }
     print(json.dumps(out))
 
