@@ -121,6 +121,20 @@ def leakage_safe_split(
 
     labels = dedup_clusters(pairs, id_a=pair_id_a, id_b=pair_id_b)
     rep_t = labels.schema["cluster_id"].dataType
+    key_t = df.schema[key_col].dataType
+    if key_t != rep_t:
+        # The singleton path hashes coalesce(rep, key CAST rep_t); if the
+        # key type differs from the pair-id type the cast can re-render
+        # the key (string canonicalization) or null out under ANSI, so an
+        # unpaired row would hash differently than hash_split on the same
+        # key. Refuse up front with a clear message instead.
+        raise ValueError(
+            f"leakage_safe_split: key column {key_col!r} has type "
+            f"{key_t.simpleString()} but the pair ids have type "
+            f"{rep_t.simpleString()}; cast {key_col!r} (or the pair ids) "
+            "so the types match — otherwise singleton rows could hash a "
+            "different rendering than hash_split would"
+        )
     joined = df.join(
         maybe_broadcast(
             labels.select(F.col("id").alias("__lk"),
@@ -446,13 +460,35 @@ def domain_mixture_weights(
     w_all = Window.partitionBy()
     out = per.withColumn("__tot_mass", F.sum("mass").over(w_all)) \
              .withColumn("__tot_t", F.sum("__t").over(w_all))
-    corpus_share = F.col("mass") / F.col("__tot_mass")
-    target_share = F.col("__t") / F.col("__tot_t")
+    # Guard the two plan-level divisions so degenerate inputs surface as
+    # clear validation errors / defined values rather than an opaque ANSI
+    # DIVIDE_BY_ZERO killing the whole frame:
+    #  - a target whose nonzero shares all name ABSENT domains makes
+    #    __tot_t = 0 -> raise with an actionable message;
+    #  - zero total mass (every row weightless) likewise;
+    #  - a present domain with zero mass gets corpus_share 0 and weight 0
+    #    (dropped by the consuming sampler) instead of 0-division.
+    tot_t_ok = F.when(
+        F.col("__tot_t") > 0, F.col("__tot_t")
+    ).otherwise(F.raise_error(F.lit(
+        "domain_mixture_weights: target matches no observed domain "
+        "(every nonzero target share names a domain absent from the corpus)"
+    )).cast("double"))
+    tot_mass_ok = F.when(
+        F.col("__tot_mass") > 0, F.col("__tot_mass")
+    ).otherwise(F.raise_error(F.lit(
+        "domain_mixture_weights: total corpus mass is zero "
+        "(size_col sums to 0 over every domain)"
+    )).cast("double"))
+    corpus_share = F.col("mass") / tot_mass_ok
+    target_share = F.col("__t") / tot_t_ok
+    weight = F.when(corpus_share == 0, F.lit(0.0)).otherwise(
+        target_share / corpus_share)
     return out.select(
         "domain",
         "n_rows",
         F.round("mass", round_to).alias("mass"),
         F.round(corpus_share, round_to).alias("corpus_share"),
         F.round(target_share, round_to).alias("target_share"),
-        F.round(target_share / corpus_share, round_to).alias("weight"),
+        F.round(weight, round_to).alias("weight"),
     )

@@ -607,11 +607,18 @@ def ivf_pq_ann_topk_frozen(
     idx_cent = F.sequence(F.lit(0), F.lit(ncent - 1))
     idx_code = F.sequence(F.lit(0), F.lit(n_codes - 1))
 
+    # Defensive .cast("double") below: unit_vector already yields doubles
+    # for both corpus and query vectors here, so the cast is a noop on this
+    # path — but it keeps the fold precision independent of that call-site
+    # invariant (a float32 input reused through these closures would
+    # otherwise fold in float32 and break the bit-for-bit oracle claim).
     def cell_pairs(vcol: Column) -> Column:
         d2 = F.transform(
             cent_arr,
             lambda cent: F.aggregate(
-                F.zip_with(vcol, cent, lambda a, b: (a - b) * (a - b)),
+                F.zip_with(vcol, cent,
+                           lambda a, b: (a.cast("double") - b)
+                           * (a.cast("double") - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ),
@@ -622,7 +629,7 @@ def ivf_pq_ann_topk_frozen(
         return F.zip_with(
             vcol,
             F.element_at(cent_arr, F.col("cell") + 1),
-            lambda a, b: a - b,
+            lambda a, b: a.cast("double") - b,
         )
 
     def sub_d2(res_col: str, j: Column, code: Column) -> Column:

@@ -45,15 +45,18 @@ class Query:
     oracle: str | None  # None => non-SQL-expressible (weaker rows-only check)
     headline: bool = False  # include in bench.py
     window: bool = False  # hoist into the driver's sampled first-50 window
+    defer: bool = False  # push behind other exact oracles (redundant
+    # intra-family anchor — still parity-checked every round, just not
+    # occupying one of the driver's 50 sampled CORRECTNESS slots)
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def _q(name: str, oracle: str | None, headline: bool = False,
-       window: bool = False):
+       window: bool = False, defer: bool = False):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, oracle, headline, window)
+        REGISTRY[name] = Query(name, fn, oracle, headline, window, defer)
         return fn
 
     return deco
@@ -286,6 +289,7 @@ def join_left_outer(spark, sf):
     FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
+    defer=True,  # join family anchored by inner/left/multiway in-window
 )
 def join_right_outer(spark, sf):
     cat = _cat(spark, sf)
@@ -358,6 +362,7 @@ def union_all_keys(spark, sf):
     UNION
     SELECT s_nationkey AS k FROM supplier
     """,
+    defer=True,  # set-op family anchored by union_all_keys in-window
 )
 def union_distinct_keys(spark, sf):
     cat = _cat(spark, sf)
@@ -583,6 +588,7 @@ def datetime_extract(spark, sf):
            strftime(o_orderdate, '%Y/%m') AS om
     FROM orders
     """,
+    defer=True,  # datetime family anchored by datetime_extract in-window
 )
 def to_char_format(spark, sf):
     """TO_CHAR with chrono strftime formats (scalar/string.rs:244-331)."""
@@ -602,6 +608,7 @@ def to_char_format(spark, sf):
            strftime(o_orderdate - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS hr_before
     FROM orders
     """,
+    defer=True,  # datetime family anchored by datetime_extract in-window
 )
 def interval_arithmetic(spark, sf):
     """Timestamp +/- INTERVAL (execution.rs:606-629)."""
@@ -710,8 +717,15 @@ def registry() -> dict[str, Query]:
     # exact-oracle query from the window, and late-registered exact oracles
     # the window should exercise (e.g. the frozen-quantizer IVF replay) can
     # opt in with window=True.
+    # `defer` pushes redundant intra-family anchors (e.g. a third datetime
+    # formatter when datetime_extract already anchors the family) behind the
+    # other exact oracles so fresh queries rotate into the sampled window;
+    # deferred queries keep their exact oracle and are still replayed by the
+    # full-registry parity run every round.
     ordered = {n: q for n, q in REGISTRY.items()
                if q.oracle is not None and q.window}
+    ordered.update({n: q for n, q in REGISTRY.items()
+                    if q.oracle is not None and not q.defer})
     ordered.update({n: q for n, q in REGISTRY.items() if q.oracle is not None})
     ordered.update({n: q for n, q in REGISTRY.items() if q.oracle is None})
     return ordered

@@ -461,7 +461,8 @@ def _lsh_multiprobe_oracle(n_planes: int = 8, dim: int = 64, k: int = 5,
     """
 
 
-@_q("ann_lsh_multiprobe_topk", _lsh_multiprobe_oracle())
+@_q("ann_lsh_multiprobe_topk", _lsh_multiprobe_oracle(),
+    defer=True)  # ANN-LSH family anchored by ann_lsh_topk in-window
 def ann_lsh_multiprobe_topk(spark, sf):
     """Multi-probe LSH ANN (Lv et al. 2007): each query probes its own
     bucket plus the buckets across its two thinnest hyperplane margins

@@ -33,7 +33,7 @@ def _leakage_split_oracle() -> str:
     """
 
 
-@_q("split_leakage_safe", _leakage_split_oracle())
+@_q("split_leakage_safe", window=True, oracle=_leakage_split_oracle())
 def split_leakage_safe(spark, sf):
     """80/10/10 split at near-dup-CLUSTER granularity
     (ops/sampling.py leakage_safe_split): MinHash connected components
@@ -79,7 +79,7 @@ def _mixture_oracle() -> str:
     """
 
 
-@_q("domain_mixture_weights", _mixture_oracle())
+@_q("domain_mixture_weights", window=True, oracle=_mixture_oracle())
 def domain_mixture_weights_by_lang(spark, sf):
     """Static domain-mixture reweighting (ops/sampling.py
     domain_mixture_weights): token-mass shares per language vs an
@@ -123,7 +123,7 @@ def _length_batch_oracle(edges=(32, 64), batch_tokens=2048,
     """
 
 
-@_q("batch_length_bucketed", _length_batch_oracle())
+@_q("batch_length_bucketed", window=True, oracle=_length_batch_oracle())
 def batch_length_bucketed(spark, sf):
     """Length-bucketed batch manifest (ops/packing.py
     length_bucketed_batches): docs bucketed by token-length range, each
@@ -308,6 +308,7 @@ def ann_ivf_pq_topk_frozen(spark, sf):
                 ELSE ROUND(n_hits / n_grams, 6) END AS share
     FROM per
     """,
+    window=True,
 )
 def decontaminate_share(spark, sf):
     """Per-document contamination share (ops/text.py
@@ -349,7 +350,7 @@ def _pca_frozen_oracle(n_components: int = 8, dim: int = 64) -> str:
     """
 
 
-@_q("pca_project_frozen", _pca_frozen_oracle())
+@_q("pca_project_frozen", window=True, oracle=_pca_frozen_oracle())
 def pca_project_frozen_query(spark, sf):
     """PCA projection onto frozen geometry (ops/pca_frozen.py): the
     pinned mean + top-8 components make the centered matvec pure
