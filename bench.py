@@ -49,8 +49,16 @@ def main() -> None:
     # or mean (stall-polluted).
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in headline.items():
-        run_query(q.build(spark, SF_DIR))  # per-query JIT warmup, untimed
+        # the per-query warmup pass doubles as the COLD single-pass
+        # reading (first execution in this JVM: pays whole-stage-
+        # codegen/JIT) — recorded alongside the warm median so
+        # round-over-round deltas can separate plan changes from JIT
+        # effects (r10 verdict task: keep the bench honest)
+        t0 = time.perf_counter()
+        run_query(q.build(spark, SF_DIR))
+        cold[name] = round(time.perf_counter() - t0, 3)
         samples = []
         for _ in range(n_passes):
             t0 = time.perf_counter()
@@ -68,6 +76,8 @@ def main() -> None:
         "passes": n_passes,
         "agg": "median",
         "warm": True,  # shared JVM; per-query untimed JIT warmup pass
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,  # first-execution pass (JIT included)
     }
     print(json.dumps(out))
 

@@ -58,20 +58,41 @@ class ConcurrentWriteError(RuntimeError):
 
 class TransactionalTable:
     def __init__(self, spark: SparkSession, path: str, pk: list[str],
-                 n_buckets: int = 16, change_retention: int | None = None):
+                 n_buckets: int = 16, change_retention: int | None = None,
+                 bucket_cols: list[str] | None = None):
         """change_retention: number of trailing versions whose change-feed
         dirs survive _vacuum (None = keep the full feed). Without a bound
         the feed grows with every merge — set this on long-running CDC
-        sinks once downstream consumers are known to be caught up."""
+        sinks once downstream consumers are known to be caught up.
+
+        bucket_cols: the columns the hash-bucket layout keys on (default:
+        the PK). Setting them to a PROBE key instead (e.g. an LSH band or
+        a fuzzy variant key while the PK stays a unique row digest) lets
+        readers prune a key-equality probe to the buckets the probe keys
+        actually hash to (read_buckets) — the lever that makes a
+        streaming index's per-epoch state probe O(matched buckets)
+        instead of O(state). The bucket of a row must never change, so
+        bucket_cols MUST be functionally determined by the PK (true for
+        a digest PK computed over the bucket columns). Point lookups
+        (lookup/lookup_rel) require bucket_cols == pk."""
         self.spark = spark
         self.path = path
         self.pk = pk
+        self.bucket_cols = list(bucket_cols) if bucket_cols is not None else list(pk)
         self.change_retention = change_retention
         os.makedirs(path, exist_ok=True)
         m = self._read_manifest()
         if m is not None:
             if m["pk"] != pk:
                 raise ValueError(f"existing table has pk {m['pk']}, got {pk}")
+            stored_bc = m.get("bucket_cols", m["pk"])
+            if stored_bc != self.bucket_cols:
+                raise ValueError(
+                    f"existing table is bucketed by {stored_bc}, got "
+                    f"{self.bucket_cols}: the bucket layout is physical — "
+                    "delete the state/table dir to rebuild under the new "
+                    "bucketing"
+                )
             self.n_buckets = m["n_buckets"]
             self.version = m["version"]
             self._buckets: dict[str, str] = dict(m["buckets"])  # bucket -> rel dir
@@ -111,6 +132,7 @@ class TransactionalTable:
         m = {
             "version": self.version,
             "pk": self.pk,
+            "bucket_cols": self.bucket_cols,
             "n_buckets": self.n_buckets,
             "buckets": self._buckets,
             "schema": self._schema_json,
@@ -131,27 +153,29 @@ class TransactionalTable:
     # -- helpers -------------------------------------------------------------
 
     def _bucket_col(self) -> F.Column:
-        key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in self.pk])
+        key = F.concat_ws(
+            "\x01", *[F.col(c).cast("string") for c in self.bucket_cols])
         return F.pmod(F.crc32(key), F.lit(self.n_buckets)).cast("int")
 
-    def _bucket_of(self, pk_values: list) -> int:
-        """Driver-side replica of _bucket_col: same concat, same CRC32
-        (Spark's crc32 and zlib.crc32 share the polynomial), so a point
-        lookup can resolve its bucket without any Spark job. int/str/bool
-        PK values only — float string-casts differ between Python and
-        Spark ('1e+20' vs '1.0E20'), so they are rejected rather than
-        silently routed to the wrong bucket."""
+    def _bucket_of(self, bucket_values: list) -> int:
+        """Driver-side replica of _bucket_col over the BUCKET columns:
+        same concat, same CRC32 (Spark's crc32 and zlib.crc32 share the
+        polynomial), so a point lookup / probe-key prune can resolve its
+        bucket without any Spark job. int/str/bool values only — float
+        string-casts differ between Python and Spark ('1e+20' vs
+        '1.0E20'), so they are rejected rather than silently routed to
+        the wrong bucket."""
         import zlib
 
-        for v in pk_values:
+        for v in bucket_values:
             if v is None:
-                raise ValueError("point lookup requires non-NULL PK values")
+                raise ValueError("point lookup requires non-NULL key values")
             if isinstance(v, float):
                 raise NotImplementedError(
-                    "float PK point lookups are unsupported (Python/Spark "
+                    "float key point lookups are unsupported (Python/Spark "
                     "string casts diverge); use read() + filter"
                 )
-        key = "\x01".join(_spark_str(v) for v in pk_values).encode("utf-8")
+        key = "\x01".join(_spark_str(v) for v in bucket_values).encode("utf-8")
         return zlib.crc32(key) % self.n_buckets
 
     def _footer_stats(self, rel: str) -> dict | None:
@@ -215,6 +239,21 @@ class TransactionalTable:
         paths = [os.path.join(self.path, rel) for rel in self._buckets.values()]
         return self.spark.read.schema(self._schema()).parquet(*paths)
 
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+        """Current snapshot restricted to the given hash buckets — the
+        pruned read for a key-equality probe: a probe key's rows can
+        only live in its own hash bucket, so reading the buckets the
+        probe keys hash to yields every possible match while the scan
+        stays O(matched buckets), not O(table)."""
+        if self._schema_json is None:
+            raise ValueError("table is empty and has no schema yet")
+        rels = [self._buckets[str(b)] for b in bucket_ids
+                if str(b) in self._buckets]
+        if not rels:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.schema(self._schema()).parquet(
+            *[os.path.join(self.path, rel) for rel in rels])
+
     def read_as_of(self, version: int) -> DataFrame:
         """Time-travel read: the table AS OF a past committed version
         (0 = before the first merge, an empty frame), reconstructed
@@ -258,6 +297,12 @@ class TransactionalTable:
         when the manifest's footer stats prove the key cannot exist
         (outside the bucket's [min, max] for any PK column) — zero IO in
         that case. Falls back to the hash bucket when stats are absent."""
+        if self.bucket_cols != self.pk:
+            raise NotImplementedError(
+                f"point lookup by PK requires the table to be bucketed by "
+                f"its PK (this table buckets by {self.bucket_cols}); use "
+                "read_buckets with the bucket-key values instead"
+            )
         b = str(self._bucket_of(pk_values))
         rel = self._buckets.get(b)
         if rel is None:
@@ -364,7 +409,11 @@ class TransactionalTable:
                 return self.version
         deletes = None
         if delete_col is not None:
-            deletes = batch.filter(F.col(delete_col)).select(*self.pk)
+            # carry the bucket columns too (they may not be part of the
+            # PK when the table buckets by a probe key) so the
+            # touched-bucket scan below can hash delete rows
+            dcols = list(dict.fromkeys(self.pk + self.bucket_cols))
+            deletes = batch.filter(F.col(delete_col)).select(*dcols)
             batch = batch.filter(~F.col(delete_col)).drop(delete_col)
         # NO dropDuplicates here: last-writer-wins dedup folds into the
         # merge join itself (groupBy PK below shares the join's shuffle

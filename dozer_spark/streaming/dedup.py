@@ -82,7 +82,7 @@ class StreamingMinHashDedup:
                  n_bands: int | None = None, state_dir: str | None = None,
                  broadcast_gate_bytes: int | None = None,
                  ts_col: str | None = None, retain: str | None = None,
-                 prune_every: int = 8):
+                 prune_every: int = 8, state_buckets: int = 256):
         """ts_col/retain enable BOUNDED-RECALL mode: docs are deduped
         against a sliding event-time window instead of all history. The
         watermark is the max ts_col seen; a pair is emitted only when
@@ -94,7 +94,14 @@ class StreamingMinHashDedup:
         O(corpus). Re-delivery idempotence then holds within the
         window: a doc re-sent after its state was pruned re-enters as
         new — the same bounded-state tradeoff as Spark's
-        dropDuplicatesWithinWatermark."""
+        dropDuplicatesWithinWatermark.
+
+        state_buckets: hash-bucket count of the durable band state,
+        which is bucketed BY THE BAND KEY (band, band_key) so the
+        per-epoch new-vs-old probe reads only the buckets the batch's
+        bands hash to (read_live_pruned) — O(matched buckets), not
+        O(state). Also the deployment parallelism lever; a resumed
+        state keeps the count it was built with."""
         from dozer_spark.ops.dedup import minhash_geometry
 
         self.spark = spark
@@ -133,13 +140,17 @@ class StreamingMinHashDedup:
             self._bandtx = DiffStateTable(
                 spark, diff_state_path(state_dir, "bands"),
                 key_cols=["__bk"], internal_key=True,
+                bucket_cols=["band", "band_key"], n_buckets=state_buckets,
             )
             self._tokstx = DiffStateTable(
                 spark, diff_state_path(state_dir, "toks"),
                 key_cols=[self.id_col],
             )
             if self._store.epoch > 0:
-                self._bands = self._bandtx.read_committed(
+                # restore the band log position (pending deltas / base
+                # version) for the pruned per-epoch probe reads; the
+                # band frame itself is never held — probes read pruned
+                self._bandtx.read_committed(
                     self._store.load_meta("bands_txv"))
                 self._toks = self._tokstx.read_committed(
                     self._store.load_meta("toks_txv"))
@@ -185,7 +196,6 @@ class StreamingMinHashDedup:
         # then drop docs beyond the horizon (they could never pair) and
         # restrict the probe-side state to the window
         cutoff = None
-        old_bands = self._bands
         if self.retain is not None:
             mx = docs.agg(F.max(self.ts_col)).first()[0]
             if mx is not None and (self._watermark is None
@@ -195,8 +205,6 @@ class StreamingMinHashDedup:
                 cutoff = (F.lit(self._watermark)
                           - F.expr(f"INTERVAL {self.retain}"))
                 docs = docs.filter(F.col(self.ts_col) >= cutoff)
-                if old_bands is not None:
-                    old_bands = old_bands.filter(F.col("__ts") >= cutoff)
 
         sigs = minhash_signatures(
             docs, self.text_col, self.id_col, self.n_hashes
@@ -223,9 +231,26 @@ class StreamingMinHashDedup:
         )
         # new-vs-old: batch bands probe the corpus bands; canonical
         # (id_a < id_b) keeps the pair orientation identical to batch
-        # mode whichever side arrived first
+        # mode whichever side arrived first. Durable state reads ONLY
+        # the buckets the batch's band keys hash to (state is bucketed
+        # by (band, band_key)); ephemeral state is the in-memory frame.
+        old_bands = None
+        if self._store is not None:
+            if self._batches > 0:
+                bids = self._bandtx.touched_bucket_ids(
+                    bands_new.select("band", "band_key"))
+                old_bands = self._bandtx.read_live_pruned(bids)
+        else:
+            old_bands = self._bands
+        if old_bands is not None and cutoff is not None:
+            old_bands = old_bands.filter(F.col("__ts") >= cutoff)
         if old_bands is not None:
-            a = bands_new.alias("a")
+            # pin the BATCH side to a broadcast when its measured cache
+            # size clears the gate — the state side then streams through
+            # a hash probe with no shuffle and no sort; otherwise leave
+            # both sides unhinted (AQE sizes the join at runtime)
+            bb = maybe_broadcast(bands_new, self.gate)
+            a = bb.alias("a")
             o = old_bands.alias("b")
             no = (
                 a.join(o, ["band", "band_key"])
@@ -281,7 +306,7 @@ class StreamingMinHashDedup:
         # run every prune_every batches, enrich-style)
         do_prune = (
             self.retain is not None and cutoff is not None
-            and self._bands is not None
+            and self._batches > 0
             and self._batches % self.prune_every == self.prune_every - 1
         )
         if self._store is not None:
@@ -297,9 +322,12 @@ class StreamingMinHashDedup:
             toks_delta = toks_new.withColumn("__del", F.lit(False))
             if do_prune:
                 # delete rows never collide with this batch's upserts:
-                # new docs are inside the window, pruned rows are not
+                # new docs are inside the window, pruned rows are not.
+                # The full-state read here is the design's ONE
+                # state-sized scan, paid every prune_every epochs —
+                # never on the probe path.
                 bands_delta = bands_delta.unionByName(
-                    self._bands.filter(F.col("__ts") < cutoff)
+                    self._bandtx.read_live().filter(F.col("__ts") < cutoff)
                     .withColumn("__bk", row_digest(
                         ["band", "band_key", self.id_col]))
                     .withColumn("__del", F.lit(True))
@@ -326,7 +354,6 @@ class StreamingMinHashDedup:
                     {"wm": self._watermark.isoformat()
                      if self._watermark is not None else None},
                 )
-            self._bands = self._bandtx.read_live()
             self._toks = self._tokstx.read_live()
             self._store.commit()
         else:
@@ -375,10 +402,13 @@ class StreamingSimHashDedup:
                  state_dir: str | None = None,
                  broadcast_gate_bytes: int | None = None,
                  ts_col: str | None = None, retain: str | None = None,
-                 prune_every: int = 8):
+                 prune_every: int = 8, state_buckets: int = 256):
         """ts_col/retain: bounded-recall mode, same contract as
         StreamingMinHashDedup (probe-side cutoff filter for emission
-        correctness, amortized physical eviction for O(window) state)."""
+        correctness, amortized physical eviction for O(window) state).
+        state_buckets: durable chunk-state bucket count — the state is
+        bucketed BY THE CHUNK KEY so per-epoch probes read only matched
+        buckets (see StreamingMinHashDedup)."""
         self.spark = spark
         self.text_col = text_col
         self.id_col = id_col
@@ -392,7 +422,8 @@ class StreamingSimHashDedup:
         self.prune_every = prune_every
         self._watermark = None
         self._batches = 0
-        self._chunks = None  # (id, simhash, chunk, chunk_val[, __ts])
+        self._chunks = None  # ephemeral: (id, simhash, chunk, chunk_val[, __ts])
+        self._seen = None    # durable: (id[, __ts])
         self._store = None
         self._prev_caches: list = []
         if state_dir is not None:
@@ -411,9 +442,24 @@ class StreamingSimHashDedup:
             self._chunktx = DiffStateTable(
                 spark, diff_state_path(state_dir, "chunks"),
                 key_cols=["__ck"], internal_key=True,
+                bucket_cols=["chunk", "chunk_val"], n_buckets=state_buckets,
+            )
+            self._ids_tx = DiffStateTable(
+                spark, diff_state_path(state_dir, "ssh_ids"),
+                key_cols=[self.id_col],
             )
             if self._store.epoch > 0:
-                self._chunks = self._chunktx.read_committed(
+                ids_meta = self._store.load_meta("ssh_ids_txv")
+                if ids_meta is None:
+                    raise ValueError(
+                        "StreamingSimHashDedup: durable state at "
+                        f"{state_dir!r} predates the bucketed-probe "
+                        "layout (no ssh_ids state); delete the state "
+                        "dir to rebuild"
+                    )
+                self._seen = self._ids_tx.read_committed(ids_meta)
+                # restore the chunk log position for pruned probe reads
+                self._chunktx.read_committed(
                     self._store.load_meta("chunks_txv"))
                 wm = self._store.load_meta("ssh_wm")
                 if wm and wm.get("wm") is not None:
@@ -441,9 +487,14 @@ class StreamingSimHashDedup:
         from dozer_spark.operators.hints import maybe_broadcast
 
         # re-delivery idempotence: skip ids already indexed (same
-        # contract as StreamingMinHashDedup)
+        # contract as StreamingMinHashDedup). Durable mode checks the
+        # slim per-id table; ephemeral projects the chunk frame.
         docs = docs.dropDuplicates([self.id_col])
-        if self._chunks is not None:
+        if self._store is not None:
+            if self._seen is not None:
+                docs = docs.join(
+                    self._seen.select(self.id_col), self.id_col, "left_anti")
+        elif self._chunks is not None:
             docs = docs.join(
                 self._chunks.select(self.id_col).distinct(),
                 self.id_col, "left_anti",
@@ -451,7 +502,6 @@ class StreamingSimHashDedup:
 
         # bounded-recall window (see StreamingMinHashDedup)
         cutoff = None
-        old_chunks = self._chunks
         if self.retain is not None:
             mx = docs.agg(F.max(self.ts_col)).first()[0]
             if mx is not None and (self._watermark is None
@@ -461,8 +511,6 @@ class StreamingSimHashDedup:
                 cutoff = (F.lit(self._watermark)
                           - F.expr(f"INTERVAL {self.retain}"))
                 docs = docs.filter(F.col(self.ts_col) >= cutoff)
-                if old_chunks is not None:
-                    old_chunks = old_chunks.filter(F.col("__ts") >= cutoff)
 
         sigs = simhash(docs, self.text_col, self.id_col, self.n_bits).persist()
         # chunk geometry is the batch code (shared helper)
@@ -485,8 +533,21 @@ class StreamingSimHashDedup:
             hot_cap=4096, broadcast_gate_bytes=self.gate,
             carry=(("sig_a", "sig_b", "simhash"),),
         )
+        # new-vs-old probe: durable state reads only the buckets the
+        # batch's chunk keys hash to; batch side broadcast under the
+        # gate (see StreamingMinHashDedup)
+        old_chunks = None
+        if self._store is not None:
+            if self._batches > 0:
+                bids = self._chunktx.touched_bucket_ids(
+                    chunks_new.select("chunk", "chunk_val"))
+                old_chunks = self._chunktx.read_live_pruned(bids)
+        else:
+            old_chunks = self._chunks
+        if old_chunks is not None and cutoff is not None:
+            old_chunks = old_chunks.filter(F.col("__ts") >= cutoff)
         if old_chunks is not None:
-            a = chunks_new.alias("a")
+            a = maybe_broadcast(chunks_new, self.gate).alias("a")
             o = old_chunks.alias("b")
             aid, bid = F.col(f"a.{self.id_col}"), F.col(f"b.{self.id_col}")
             # canonical orientation: sig_a belongs to the smaller id,
@@ -519,7 +580,7 @@ class StreamingSimHashDedup:
 
         do_prune = (
             self.retain is not None and cutoff is not None
-            and self._chunks is not None
+            and self._batches > 0
             and self._batches % self.prune_every == self.prune_every - 1
         )
         if self._store is not None:
@@ -527,16 +588,36 @@ class StreamingSimHashDedup:
             delta = chunks_new.withColumn(
                 "__ck", row_digest(["chunk", "chunk_val", self.id_col])
             ).withColumn("__del", F.lit(False))
+            id_cols = [self.id_col] + (
+                ["__ts"] if self.retain is not None else [])
+            ids_delta = (
+                sigs.select(self.id_col)
+                if self.retain is None else
+                sigs.join(
+                    docs.select(F.col(self.id_col),
+                                F.col(self.ts_col).alias("__ts")),
+                    self.id_col,
+                ).select(*id_cols)
+            ).withColumn("__del", F.lit(False))
             if do_prune:
+                # the one full-state read, amortized every prune_every
+                # epochs — never on the probe path
                 delta = delta.unionByName(
-                    self._chunks.filter(F.col("__ts") < cutoff)
+                    self._chunktx.read_live().filter(F.col("__ts") < cutoff)
                     .withColumn("__ck", row_digest(
                         ["chunk", "chunk_val", self.id_col]))
                     .withColumn("__del", F.lit(True))
                 )
+                ids_delta = ids_delta.unionByName(
+                    self._seen.filter(F.col("__ts") < cutoff)
+                    .withColumn("__del", F.lit(True))
+                )
             meta = self._chunktx.advance(delta, epoch=epoch,
                                          app_id="ssh_chunks")
+            ids_meta = self._ids_tx.advance(ids_delta, epoch=epoch,
+                                            app_id="ssh_ids")
             self._store.stage_meta("chunks_txv", meta)
+            self._store.stage_meta("ssh_ids_txv", ids_meta)
             self._store.stage_meta(
                 "ssh_geom",
                 {"n_bits": self.n_bits, "max_hamming": self.max_hamming},
@@ -547,7 +628,7 @@ class StreamingSimHashDedup:
                     {"wm": self._watermark.isoformat()
                      if self._watermark is not None else None},
                 )
-            self._chunks = self._chunktx.read_live()
+            self._seen = self._ids_tx.read_live()
             self._store.commit()
         else:
             # append-only ephemeral state: checkpoint just the new rows,

@@ -107,10 +107,22 @@ class DiffStateTable:
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
                  n_buckets: int = 16, compact_every: int = 8,
-                 internal_key: bool = False):
+                 internal_key: bool = False,
+                 bucket_cols: list[str] | None = None):
+        """bucket_cols: bucket the base table by these PAYLOAD columns
+        instead of the key (see TransactionalTable.bucket_cols). They
+        MUST be functionally determined by key_cols — true when the key
+        is a digest computed over them — so a row's bucket never moves
+        across upsert/delete. With probe-key bucketing,
+        read_live_pruned(touched_bucket_ids(batch_keys)) gives a state
+        view that provably contains every row whose bucket columns
+        equal some batch row's — the O(matched buckets) per-epoch probe
+        the streaming dedup/fuzzy/BM25 indexes use."""
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        self.bucket_cols = (list(bucket_cols) if bucket_cols is not None
+                            else list(key_cols))
         self.internal_key = internal_key
         self.compact_every = compact_every
         if os.path.exists(os.path.join(path, "MANIFEST.json")):
@@ -124,7 +136,8 @@ class DiffStateTable:
                 "or migrate it before resuming"
             )
         self.tx = TransactionalTable(spark, os.path.join(path, "base"),
-                                     pk=self.key_cols, n_buckets=n_buckets)
+                                     pk=self.key_cols, n_buckets=n_buckets,
+                                     bucket_cols=self.bucket_cols)
         # live (uncommitted-manifest) view of the log; callers publish
         # the returned meta at their epoch commit
         self._pending: list[int] = []
@@ -224,6 +237,55 @@ class DiffStateTable:
         """Current payload rows (base at head + all pending deltas)."""
         base = self.tx.read() if self.tx.version > 0 else None
         out = self._apply_deltas(base, self._pending)
+        if out is None:
+            raise ValueError("no state advanced yet")
+        return self._strip(out)
+
+    # -- bucket-pruned probe reads --------------------------------------------
+
+    def touched_bucket_ids(self, probe: DataFrame) -> list[int]:
+        """Distinct hash buckets of `probe`'s bucket columns — one small
+        job bounded by n_buckets output rows. Rows of this table whose
+        bucket columns equal some probe row's can ONLY live in these
+        buckets (bucket = pure hash of bucket_cols)."""
+        return sorted(
+            r[0] for r in
+            probe.select(self.tx._bucket_col().alias("__pb"))
+            .distinct().collect()
+        )
+
+    def bucket_ids_for_values(self, values: list[list]) -> list[int]:
+        """Driver-side bucket resolution for literal bucket-key values
+        (e.g. a query's terms) — no Spark job at all."""
+        return sorted({self.tx._bucket_of(v) for v in values})
+
+    def read_live_pruned(self, bucket_ids: list[int]) -> DataFrame:
+        """read_live restricted to the given buckets: the base's
+        matching bucket dirs plus the pending deltas filtered by the
+        same bucket hash. Because bucket_cols are functionally
+        determined by key_cols (the constructor contract), restricting
+        BOTH sides of the per-delta anti-join to the same bucket set
+        yields exactly read_live().where(bucket in bucket_ids) — every
+        possible equality match on the bucket columns is present."""
+        base = (self.tx.read_buckets(bucket_ids)
+                if self.tx.version > 0 else None)
+        if not self._pending:
+            out = base
+        else:
+            ids = set(bucket_ids)
+            out = base
+            for e in self._pending:
+                d = self.spark.read.schema(self._delta_schema()).parquet(
+                    self._delta_dir(e)
+                ).filter(self.tx._bucket_col().isin(*ids) if ids
+                         else F.lit(False))
+                upserts = d.filter(~F.col("__del")).drop("__del")
+                if out is None:
+                    out = upserts
+                else:
+                    out = out.join(
+                        d.select(*self.key_cols), self.key_cols, "left_anti"
+                    ).unionByName(upserts)
         if out is None:
             raise ValueError("no state advanced yet")
         return self._strip(out)

@@ -1,0 +1,155 @@
+"""Probe-key bucketing: TransactionalTable.bucket_cols +
+DiffStateTable.read_live_pruned — the round-11 scale fix that makes the
+streaming fuzzy/minhash/BM25 per-epoch state probes read O(matched
+buckets) instead of O(state). Pins:
+
+- a bucket_cols table MERGEs/reads correctly and read_buckets returns
+  exactly the rows whose bucket columns hash to the requested ids;
+- read_live_pruned == read_live restricted to the pruned buckets, both
+  before and after compaction, with deletes in flight;
+- layout guards fail loudly (bucket mismatch on resume, point lookup
+  on a probe-bucketed table);
+- the BM25 serving scalars produce the exact batch avgdl.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dozer_spark.storage import TransactionalTable
+from dozer_spark.streaming.incstate import DiffStateTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_txtable_bucket_cols_merge_and_read_buckets(spark, tmp_path):
+    p = str(tmp_path / "bt")
+    tx = TransactionalTable(spark, p, pk=["digest"], n_buckets=8,
+                            bucket_cols=["k"])
+    data = [(f"d{i}", f"key{i % 5}", i) for i in range(40)]
+    df = spark.createDataFrame(data, ["digest", "k", "v"])
+    tx.merge(df)
+    assert _rows(tx.read()) == sorted(data)
+
+    # every row whose k hashes to bucket b is in read_buckets([b]) and
+    # nowhere else; the union over all buckets is the table
+    seen = []
+    for b in range(8):
+        part = tx.read_buckets([b])
+        for r in part.collect():
+            assert tx._bucket_of([r["k"]]) == b
+            seen.append(tuple(r))
+    assert sorted(seen) == sorted(data)
+
+    # a probe for specific keys only needs their buckets
+    want_keys = {"key1", "key3"}
+    bids = sorted({tx._bucket_of([k]) for k in want_keys})
+    got = tx.read_buckets(bids).filter(F.col("k").isin(*want_keys))
+    assert _rows(got) == sorted(t for t in data if t[1] in want_keys)
+
+
+def test_txtable_bucket_cols_resume_mismatch_raises(spark, tmp_path):
+    p = str(tmp_path / "bt2")
+    tx = TransactionalTable(spark, p, pk=["digest"], bucket_cols=["k"])
+    tx.merge(spark.createDataFrame([("d1", "a", 1)], ["digest", "k", "v"]))
+    with pytest.raises(ValueError, match="bucketed by"):
+        TransactionalTable(spark, p, pk=["digest"])  # pk-bucketed resume
+    # same bucketing resumes fine
+    tx2 = TransactionalTable(spark, p, pk=["digest"], bucket_cols=["k"])
+    assert tx2.read().count() == 1
+
+
+def test_txtable_point_lookup_guard(spark, tmp_path):
+    p = str(tmp_path / "bt3")
+    tx = TransactionalTable(spark, p, pk=["digest"], bucket_cols=["k"])
+    tx.merge(spark.createDataFrame([("d1", "a", 1)], ["digest", "k", "v"]))
+    with pytest.raises(NotImplementedError, match="bucketed by its PK"):
+        tx.lookup(["d1"])
+
+
+def test_txtable_bucket_cols_delete_rows(spark, tmp_path):
+    """Delete rows carry the (non-PK) bucket columns so the
+    touched-bucket scan can hash them."""
+    p = str(tmp_path / "bt4")
+    tx = TransactionalTable(spark, p, pk=["digest"], n_buckets=4,
+                            bucket_cols=["k"])
+    df = spark.createDataFrame(
+        [(f"d{i}", f"key{i}", i) for i in range(6)], ["digest", "k", "v"])
+    tx.merge(df)
+    dels = spark.createDataFrame(
+        [("d2", "key2", 2, True), ("d9", "key9", 9, False)],
+        ["digest", "k", "v", "__del"])
+    tx.merge(dels, delete_col="__del")
+    got = {r["digest"] for r in tx.read().collect()}
+    assert got == {"d0", "d1", "d3", "d4", "d5", "d9"}
+
+
+def _mk_state(spark, path, compact_every=2):
+    return DiffStateTable(
+        spark, path, key_cols=["dg"], internal_key=True,
+        bucket_cols=["k"], n_buckets=8, compact_every=compact_every)
+
+
+def test_diffstate_pruned_equals_full_filtered(spark, tmp_path):
+    st = _mk_state(spark, str(tmp_path / "ds"))
+    # 5 epochs spanning a compaction (compact_every=2), incl. a delete
+    for e in range(1, 6):
+        rows = [(f"dg{e}_{i}", f"key{i}", e * 100 + i) for i in range(10)]
+        delta = spark.createDataFrame(rows, ["dg", "k", "v"]).withColumn(
+            "__del", F.lit(False))
+        if e == 4:  # delete epoch-1 rows for key3
+            delta = delta.unionByName(spark.createDataFrame(
+                [("dg1_3", "key3", 103, True)], ["dg", "k", "v", "__del"]))
+        st.advance(delta, epoch=e, app_id="t")
+
+    full = st.read_live()
+    probe_keys = ["key0", "key3", "key7"]
+    bids = st.bucket_ids_for_values([[k] for k in probe_keys])
+    pruned = st.read_live_pruned(bids)
+    # the pruned view, restricted to the probe keys, equals the full
+    # view restricted to the probe keys (no match can hide elsewhere)
+    assert (_rows(pruned.filter(F.col("k").isin(*probe_keys)))
+            == _rows(full.filter(F.col("k").isin(*probe_keys))))
+    # and the deleted digest is gone from both
+    assert pruned.filter(F.col("dg") == "dg1_3").count() == 0
+    # pruned view only contains rows from the requested buckets
+    for r in pruned.collect():
+        assert st.tx._bucket_of([r["k"]]) in bids
+
+
+def test_diffstate_touched_bucket_ids(spark, tmp_path):
+    st = _mk_state(spark, str(tmp_path / "ds2"))
+    st.advance(
+        spark.createDataFrame([("d1", "a", 1)], ["dg", "k", "v"])
+        .withColumn("__del", F.lit(False)), epoch=1, app_id="t")
+    probe = spark.createDataFrame([("x", "a"), ("y", "b")], ["id", "k"])
+    ids = st.touched_bucket_ids(probe.select("k"))
+    assert set(ids) == {st.tx._bucket_of(["a"]), st.tx._bucket_of(["b"])}
+    # driver-side resolution agrees with the Spark-side hash
+    assert st.bucket_ids_for_values([["a"], ["b"]]) == ids
+
+
+def test_bm25_serving_avgdl_matches_batch_avg(spark, tmp_path):
+    """The maintained integer scalars reproduce F.avg bit-for-bit —
+    the precondition for the serving path's exact-oracle claim."""
+    from dozer_spark.ops.search import StreamingBm25Index
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7))) for i in range(1, 40)],
+        ["doc_id", "text"])
+    idx = StreamingBm25Index(spark, "text", "doc_id",
+                             state_dir=str(tmp_path / "bm"))
+    for k in range(3):
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == k))
+    sc = idx._scalars
+    got = float(sc["sum_dl"]) / float(sc["n_nonempty"])
+    want = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .filter(F.col("text") != "")
+        .agg(F.avg(F.col("n").cast("double"))).first()[0]
+    )
+    assert got == want
+    assert sc["n_docs"] == 39

@@ -82,7 +82,9 @@ def test_streaming_ttl_window_and_prune(spark, tmp_path):
     # within-window pairs among 30/31/32 are
     assert set(got2) == {(30, 31), (30, 32), (31, 32)}
     # physical prune ran (prune_every=1): expired variants are gone
-    assert fz._keys.filter(F.col("id") <= 2).count() == 0
+    # from the durable variant state AND the slim seen-ids state
+    assert fz._tx.read_live().filter(F.col("id") <= 2).count() == 0
+    assert fz._seen.filter(F.col("id") <= 2).count() == 0
 
 
 def test_streaming_ttl_durable_crash_resume(spark, tmp_path):

@@ -305,7 +305,8 @@ def test_bounded_recall_durable_crash_resume_evicts(spark, tmp_path):
     assert live == {3, 4, 5}
     # the band state is evicted too (not just filtered at probe time)
     band_live = {r.doc_id for r in
-                 s._bands.select("doc_id").distinct().collect()}
+                 s._bandtx.read_live().select("doc_id")
+                 .distinct().collect()}
     assert band_live == {3, 4, 5}
 
 
@@ -331,7 +332,7 @@ def test_simhash_bounded_recall_window_and_durable_eviction(spark, tmp_path):
         got.extend((r.id_a, r.id_b) for r in out.collect())
     assert sorted(got) == [(1, 2), (3, 4), (3, 5), (4, 5)]
     live = {r.doc_id for r in
-            s._chunks.select("doc_id").distinct().collect()}
+            s._chunktx.read_live().select("doc_id").distinct().collect()}
     assert live == {3, 4, 5}
 
 
