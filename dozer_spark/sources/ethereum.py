@@ -128,3 +128,121 @@ def eth_logs_changelog(spark: SparkSession, spool_dir: str) -> DataFrame:
         F.col("logIndex").alias("__seq"),
         *[c for c in df.columns if c != "removed"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Traces (reference: dozer-ingestion/ethereum/src/trace/ — the
+# `debug_traceBlockByNumber` callTracer pull, TraceResult/Trace in
+# helper.rs:17-36, recursive flatten map_trace_to_ops helper.rs:152-176)
+# ---------------------------------------------------------------------------
+
+TRACE_SCHEMA_DDL = (
+    "type_field string, from_addr string, to_addr string, value long, "
+    "gas long, gas_used long, input string, output string, "
+    "blockNumber long, traceIndex long"
+)
+
+
+def _hex_i(v, default: int = 0) -> int:
+    """Hex-quantity ('0x..') or plain-int field -> int."""
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return int(v, 16)
+    return int(v)
+
+
+def flatten_trace(trace: dict, block_number: int,
+                  counter: list[int]) -> list[dict]:
+    """One callTracer trace -> flat rows, parent before its nested
+    calls — the reference's recursive map_trace_to_ops order
+    (helper.rs:152-176). traceIndex is the within-block emission order
+    (the changelog __seq). Values clamp to low 64 bits like the
+    reference's U256::low_u64."""
+    row = {
+        "type_field": trace.get("type") or "",
+        "from_addr": trace.get("from"),
+        "to_addr": trace.get("to"),
+        "value": _hex_i(trace.get("value")) & ((1 << 63) - 1),
+        "gas": _hex_i(trace.get("gas")) & ((1 << 63) - 1),
+        "gas_used": _hex_i(trace.get("gasUsed")) & ((1 << 63) - 1),
+        "input": trace.get("input"),
+        "output": trace.get("output"),
+        "blockNumber": block_number,
+        "traceIndex": counter[0],
+    }
+    counter[0] += 1
+    rows = [row]
+    for call in trace.get("calls") or []:
+        rows.extend(flatten_trace(call, block_number, counter))
+    return rows
+
+
+def pull_traces_to_spool(url: str, spool_dir: str,
+                         from_block: int | None = None,
+                         to_block: int | None = None,
+                         chunk_blocks: int = 100) -> int:
+    """Walk `debug_traceBlockByNumber` (callTracer) over bounded block
+    ranges and land one atomic ndjson file per non-empty chunk — the
+    same spool/cursor/resume contract as pull_logs_to_spool. Returns
+    the number of trace rows written (nested calls flattened)."""
+    os.makedirs(spool_dir, exist_ok=True)
+    cursor_path = os.path.join(spool_dir, "_cursor")
+    if from_block is None:
+        from_block = 0
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                from_block = int(f.read().strip() or 0)
+    if to_block is None:
+        to_block = int(rpc_call(url, "eth_blockNumber", []), 16)
+
+    total = 0
+    start = from_block
+    while start <= to_block:
+        end = min(start + chunk_blocks - 1, to_block)
+        recs: list[dict] = []
+        for block_no in range(start, end + 1):
+            results = rpc_call(
+                url, "debug_traceBlockByNumber",
+                [hex(block_no), {"tracer": "callTracer"}],
+            ) or []
+            counter = [0]
+            for tr in results:
+                # node variants wrap the trace in {"result": ...}
+                trace = tr.get("result", tr) if isinstance(tr, dict) else tr
+                if trace:
+                    recs.extend(flatten_trace(trace, block_no, counter))
+        if recs:
+            tmp = os.path.join(spool_dir, f".tmp-{start}")
+            with open(tmp, "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(
+                spool_dir, f"traces-{start:012d}-{end:012d}.jsonl"))
+            total += len(recs)
+        with open(cursor_path, "w") as f:  # resume point: next start
+            f.write(str(end + 1))
+        start = end + 1
+    return total
+
+
+def eth_traces(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Batch-read the spooled traces. Streaming:
+    spark.readStream.schema(TRACE_SCHEMA_DDL).json(spool_dir+'/*.jsonl')."""
+    return spark.read.schema(TRACE_SCHEMA_DDL).json(
+        os.path.join(spool_dir, "*.jsonl")
+    )
+
+
+def eth_traces_changelog(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Traces as the engine changelog: append-only inserts in chain
+    order (blockNumber, traceIndex — parents before nested calls)."""
+    df = eth_traces(spark, spool_dir)
+    return df.select(
+        F.lit("I").alias("__op"),
+        F.col("blockNumber").alias("__txid"),
+        F.col("traceIndex").alias("__seq"),
+        *df.columns,
+    )

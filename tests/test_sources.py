@@ -224,3 +224,101 @@ class TestEthereumLogs:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestEthereumTraces:
+    """debug_traceBlockByNumber (callTracer) puller against a fake RPC:
+    recursive flatten (parent before nested calls), chain ordering,
+    cursor resume, changelog mapping — reference
+    dozer-ingestion/ethereum/src/trace/helper.rs:152-176."""
+
+    @staticmethod
+    def _fake_rpc(traces_by_block):
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        calls = []
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                req = _json.loads(self.rfile.read(n))
+                calls.append(req)
+                if req["method"] == "eth_blockNumber":
+                    result = hex(max(traces_by_block)
+                                 if traces_by_block else 0)
+                elif req["method"] == "debug_traceBlockByNumber":
+                    block = int(req["params"][0], 16)
+                    assert req["params"][1] == {"tracer": "callTracer"}
+                    result = [{"result": t}
+                              for t in traces_by_block.get(block, [])]
+                else:
+                    result = None
+                body = _json.dumps({"jsonrpc": "2.0", "id": req["id"],
+                                    "result": result}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}", calls
+
+    def test_pull_flatten_resume_changelog(self, spark, tmp_path):
+        from dozer_spark.sources.ethereum import (
+            eth_traces,
+            eth_traces_changelog,
+            pull_traces_to_spool,
+        )
+
+        nested = {
+            "type": "CALL", "from": "0xaa", "to": "0xbb",
+            "value": "0x5", "gas": "0x5208", "gasUsed": "0x5208",
+            "input": "0x", "output": "0x01",
+            "calls": [
+                {"type": "STATICCALL", "from": "0xbb", "to": "0xcc",
+                 "gas": "0x100", "gasUsed": "0x80", "input": "0xfe",
+                 "calls": [
+                     {"type": "DELEGATECALL", "from": "0xcc", "to": "0xdd",
+                      "gas": "0x10", "gasUsed": "0x8"},
+                 ]},
+                {"type": "CALL", "from": "0xbb", "to": "0xee",
+                 "value": "0x1", "gas": "0x200", "gasUsed": "0x150"},
+            ],
+        }
+        srv, url, calls = self._fake_rpc({7: [nested], 42: [
+            {"type": "CREATE", "from": "0xff", "to": "0x00",
+             "gas": "0x1", "gasUsed": "0x1"}]})
+        spool = str(tmp_path / "trc")
+        try:
+            n = pull_traces_to_spool(url, spool, chunk_blocks=10)
+            assert n == 5  # 4 flattened from block 7 + 1 from block 42
+            df = eth_traces(spark, spool)
+            rows = sorted(
+                ((r.blockNumber, r.traceIndex, r.type_field, r.from_addr,
+                  r.to_addr, r.value, r.gas_used) for r in df.collect())
+            )
+            # parent-first recursive order within the block
+            assert rows == [
+                (7, 0, "CALL", "0xaa", "0xbb", 5, 0x5208),
+                (7, 1, "STATICCALL", "0xbb", "0xcc", 0, 0x80),
+                (7, 2, "DELEGATECALL", "0xcc", "0xdd", 0, 0x8),
+                (7, 3, "CALL", "0xbb", "0xee", 1, 0x150),
+                (42, 0, "CREATE", "0xff", "0x00", 0, 0x1),
+            ]
+            cl = eth_traces_changelog(spark, spool)
+            ops = {(r["__txid"], r["__seq"]): r["__op"] for r in cl.collect()}
+            assert set(ops.values()) == {"I"} and len(ops) == 5
+
+            # resume: nothing re-fetched once the cursor passed to_block
+            with open(f"{spool}/_cursor") as f:
+                assert int(f.read()) == 43
+            assert pull_traces_to_spool(url, spool, to_block=42) == 0
+        finally:
+            srv.shutdown()
+            srv.server_close()

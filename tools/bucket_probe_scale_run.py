@@ -69,28 +69,43 @@ def run_tier(spark, n: int, stages: int, trickle: int) -> list[dict]:
                 .select((F.col("id") + n * 10 * (stage + 1)).alias("id"),
                         F.concat(F.col("name"), F.lit("xq")).alias("name"))
             tr = tr.localCheckpoint(eager=True)
+            keys_new = tr.select(
+                "id", F.col("name").alias("__str"),
+                F.explode(deletion_variants(F.col("name"))).alias("__k"),
+            ).persist()
+            keys_new.count()  # materialize so the broadcast gate sees bytes
 
-            # (a) production path: pruned read + gated broadcast probe
+            # (a) the round-11 probe join: bucket-pruned state read +
+            # broadcast batch side (the exact plan process_batch builds)
+            from dozer_spark.operators.hints import maybe_broadcast
+
             t0 = time.perf_counter()
-            fz.process_batch(tr).count()
+            bids = fz._tx.touched_bucket_ids(keys_new.select("__k"))
+            pruned = fz._tx.read_live_pruned(bids)
+            (maybe_broadcast(keys_new, None).alias("a")
+             .join(pruned.alias("o"), F.col("a.__k") == F.col("o.__k"))
+             .filter(F.col("a.id") != F.col("o.id"))
+             .count())
             pruned_sec = round(time.perf_counter() - t0, 2)
 
             # (b) the pre-round-11 probe shape on the same state: full
             # read_live, merge-hinted SMJ (plan-only A/B, no state write)
-            keys_new = tr.select(
-                "id", F.col("name").alias("__str"),
-                F.explode(deletion_variants(F.col("name"))).alias("__k"))
-            old = fz._tx.read_live()
             t0 = time.perf_counter()
+            old = fz._tx.read_live()
             (keys_new.hint("merge").alias("a")
              .join(old.alias("o"), F.col("a.__k") == F.col("o.__k"))
              .filter(F.col("a.id") != F.col("o.id"))
              .count())
             full_sec = round(time.perf_counter() - t0, 2)
 
-            bids = fz._tx.touched_bucket_ids(
-                keys_new.select("__k"))
+            # (c) end-to-end trickle epoch through the production path
+            # (probe + within-batch join + state advance + commit)
+            t0 = time.perf_counter()
+            fz.process_batch(tr).count()
+            epoch_sec = round(time.perf_counter() - t0, 2)
+
             state_rows = old.count()
+            keys_new.unpersist()
             out.append({
                 "tier_rows": n, "stage": stage + 1, "stages": stages,
                 "bulk_epoch_sec": bulk_sec,
@@ -98,6 +113,7 @@ def run_tier(spark, n: int, stages: int, trickle: int) -> list[dict]:
                 "trickle": trickle,
                 "pruned_probe_sec": pruned_sec,
                 "full_probe_sec": full_sec,
+                "trickle_epoch_sec": epoch_sec,
                 "buckets_touched": len(bids),
                 "n_buckets": fz._tx.tx.n_buckets,
                 "pairs_total": pairs_total,
@@ -111,7 +127,7 @@ def run_tier(spark, n: int, stages: int, trickle: int) -> list[dict]:
 
 def main():
     argv = sys.argv[1:]
-    stages, trickle = 4, 200
+    stages, trickle = 4, 20
     if "--stages" in argv:
         i = argv.index("--stages")
         stages = int(argv[i + 1])
