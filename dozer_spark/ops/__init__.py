@@ -57,6 +57,10 @@ from dozer_spark.ops.similarity import cosine_sim, brute_force_topk, lsh_ann_top
 from dozer_spark.ops.bloom import BloomFilter
 from dozer_spark.ops.search import StreamingBm25Index, bm25_topn
 from dozer_spark.ops.semdedup import cluster_balanced_sample, semantic_dedup
+from dozer_spark.ops.semdedup_frozen import (
+    cluster_balanced_sample_frozen,
+    semantic_dedup_frozen,
+)
 from dozer_spark.ops.similarity import (
     ivf_ann_topk_frozen,
     ivf_pq_ann_topk,
@@ -119,6 +123,8 @@ __all__ = [
     "dsir_gumbel_topk",
     "cluster_balanced_sample",
     "semantic_dedup",
+    "semantic_dedup_frozen",
+    "cluster_balanced_sample_frozen",
     "ivf_ann_topk_frozen",
     "ivf_pq_ann_topk_frozen",
     "unit_vector",

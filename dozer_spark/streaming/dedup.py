@@ -338,9 +338,11 @@ class StreamingMinHashDedup:
                 )
             with ThreadPoolExecutor(2) as ex:
                 fb = ex.submit(self._bandtx.advance, bands_delta,
-                               epoch, "smh_bands")
+                               epoch, "smh_bands",
+                               not do_prune)
                 ft = ex.submit(self._tokstx.advance, toks_delta,
-                               epoch, "smh_toks")
+                               epoch, "smh_toks",
+                               not do_prune)
                 bmeta, tmeta = fb.result(), ft.result()
             self._store.stage_meta("bands_txv", bmeta)
             self._store.stage_meta("toks_txv", tmeta)
@@ -613,9 +615,11 @@ class StreamingSimHashDedup:
                     .withColumn("__del", F.lit(True))
                 )
             meta = self._chunktx.advance(delta, epoch=epoch,
-                                         app_id="ssh_chunks")
+                                         app_id="ssh_chunks",
+                                         fresh_keys=not do_prune)
             ids_meta = self._ids_tx.advance(ids_delta, epoch=epoch,
-                                            app_id="ssh_ids")
+                                            app_id="ssh_ids",
+                                            fresh_keys=not do_prune)
             self._store.stage_meta("chunks_txv", meta)
             self._store.stage_meta("ssh_ids_txv", ids_meta)
             self._store.stage_meta(

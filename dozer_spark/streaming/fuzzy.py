@@ -254,8 +254,10 @@ class StreamingFuzzyIndex:
                     self._seen.filter(F.col("__ts") < cutoff)
                     .withColumn("__del", F.lit(True))
                 )
-            meta = self._tx.advance(delta, epoch, "fz_keys")
-            ids_meta = self._ids_tx.advance(ids_delta, epoch, "fz_ids")
+            meta = self._tx.advance(delta, epoch, "fz_keys",
+                        fresh_keys=not do_prune)
+            ids_meta = self._ids_tx.advance(ids_delta, epoch, "fz_ids",
+                                fresh_keys=not do_prune)
             self._store.stage_meta("fuzzy_txv", meta)
             self._store.stage_meta("fuzzy_ids_txv", ids_meta)
             self._store.stage_meta("fz_geom", _GEOM)

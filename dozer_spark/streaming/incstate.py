@@ -143,6 +143,10 @@ class DiffStateTable:
         self._pending: list[int] = []
         self._schema_json: str | None = None
         self._compacted_prev: list[int] = []
+        # per-epoch fresh-keys flags (see advance): True = the delta is
+        # pure inserts whose keys exist nowhere else in the log, so
+        # reads may union it without the per-delta anti-join
+        self._fresh: dict[int, bool] = {}
 
     # -- paths ---------------------------------------------------------------
 
@@ -154,13 +158,24 @@ class DiffStateTable:
 
     # -- write path ----------------------------------------------------------
 
-    def advance(self, changed: DataFrame, epoch: int, app_id: str) -> dict:
+    def advance(self, changed: DataFrame, epoch: int, app_id: str,
+                fresh_keys: bool = False) -> dict:
         """One epoch's state advance. `changed` carries digest + payload
         + `__del`. Compacts first when the pending window is full, then
         appends the epoch's delta (a single small write). Returns the
         meta dict to publish with the epoch commit. Replays are
         idempotent: the delta overwrite rewrites the same dir, the
-        compaction MERGE is a batch_id no-op."""
+        compaction MERGE is a batch_id no-op.
+
+        fresh_keys: the CALLER asserts this delta is pure inserts
+        (no `__del` rows) whose keys appear nowhere else in the log —
+        true for every append-only streaming-index epoch, where new
+        rows are keyed by digests over just-arrived ids that passed the
+        seen filter. Reads then union the delta WITHOUT the per-delta
+        anti-join (a shuffle of the accumulated state per pending
+        delta), which is what keeps bucket-pruned probe reads
+        shuffle-free. Epochs that tombstone or overwrite (TTL prunes,
+        re-sent-document rewrites) must leave it False."""
         if self._schema_json is None:
             self._schema_json = changed.schema.json()
         if len(self._pending) >= self.compact_every:
@@ -168,12 +183,15 @@ class DiffStateTable:
         changed.write.mode("overwrite").parquet(self._delta_dir(epoch))
         if epoch not in self._pending:
             self._pending.append(epoch)
+        self._fresh[epoch] = bool(fresh_keys)
         # a replayed epoch's dir may have been classified as orphaned at
         # resume; it is live again now
         self._compacted_prev = [e for e in self._compacted_prev
                                 if e not in self._pending]
         return {"v": self.tx.version, "pending": list(self._pending),
-                "schema": self._schema_json}
+                "schema": self._schema_json,
+                "fresh": {str(e): self._fresh.get(e, False)
+                          for e in self._pending}}
 
     def _compact(self, epoch: int, app_id: str) -> None:
         """Fold the pending deltas into the bucketed base: latest image
@@ -195,6 +213,7 @@ class DiffStateTable:
             shutil.rmtree(self._delta_dir(e), ignore_errors=True)
         self._compacted_prev = list(self._pending)
         self._pending = []
+        self._fresh = {}
 
     # -- read path -----------------------------------------------------------
 
@@ -212,7 +231,8 @@ class DiffStateTable:
     def _apply_deltas(self, base: DataFrame | None,
                       epochs: list[int]) -> DataFrame | None:
         """base ⊕ deltas, in epoch order: each delta's digests replace
-        the base's rows; `__del` rows drop out."""
+        the base's rows; `__del` rows drop out. Fresh-keys deltas (see
+        advance) union directly — no anti-join, no shuffle."""
         if not epochs:
             return base
         for e in epochs:
@@ -222,6 +242,8 @@ class DiffStateTable:
             upserts = d.filter(~F.col("__del")).drop("__del")
             if base is None:
                 base = upserts
+            elif self._fresh.get(e, False):
+                base = base.unionByName(upserts)
             else:
                 base = base.join(
                     d.select(*self.key_cols), self.key_cols, "left_anti"
@@ -282,6 +304,8 @@ class DiffStateTable:
                 upserts = d.filter(~F.col("__del")).drop("__del")
                 if out is None:
                     out = upserts
+                elif self._fresh.get(e, False):
+                    out = out.unionByName(upserts)
                 else:
                     out = out.join(
                         d.select(*self.key_cols), self.key_cols, "left_anti"
@@ -300,6 +324,9 @@ class DiffStateTable:
             return None
         self._schema_json = meta["schema"]
         self._pending = list(meta["pending"])
+        # missing flags (pre-fresh-keys meta) default to the safe False
+        self._fresh = {int(e): bool(v)
+                       for e, v in (meta.get("fresh") or {}).items()}
         # delta dirs on disk that are NOT in the committed pending list
         # were compacted (or orphaned) before the restart — schedule them
         # for removal at the NEXT compaction, else they leak forever
