@@ -1296,21 +1296,24 @@ class StreamingAnnIndex:
 
     State = (neighbor_id, cv, bucket): one row per vector, delta-log
     DiffStateTable when durable (O(batch) epoch IO, shared crash
-    contract). The bucket assignment is a deterministic function of the
-    vector (md5-derived hyperplanes), so an index built across ANY
-    batch partitioning serves identical results to the one-shot batch
-    build — which is the exact oracle cdc_streaming_ann_index replays.
+    contract), hash-laid-out BY THE LSH BUCKET (bucket_cols=["bucket"])
+    so a serving probe reads only the state buckets the queries hash
+    to — O(probed buckets), not O(corpus). The bucket assignment is a
+    deterministic function of the vector (md5-derived hyperplanes), so
+    an index built across ANY batch partitioning serves identical
+    results to the one-shot batch build — which is the exact oracle
+    cdc_streaming_ann_index replays.
     """
 
     def __init__(self, spark, vec_col: str, id_col: str,
                  n_planes: int = 8, dim: int = 64,
-                 state_dir: str | None = None):
+                 state_dir: str | None = None, state_buckets: int = 64):
         self.spark = spark
         self.vec_col = vec_col
         self.id_col = id_col
         self.n_planes = n_planes
         self.dim = dim
-        self._corpus = None  # (neighbor_id, cv, bucket)
+        self._corpus = None  # ephemeral: (neighbor_id, cv, bucket)
         self._store = None
         if state_dir is not None:
             from dozer_spark.streaming.incstate import (
@@ -1330,10 +1333,11 @@ class StreamingAnnIndex:
             self._tx = DiffStateTable(
                 spark, diff_state_path(state_dir, "ann"),
                 key_cols=["neighbor_id"],
+                bucket_cols=["bucket"], n_buckets=state_buckets,
             )
             if self._store.epoch > 0:
-                self._corpus = self._tx.read_committed(
-                    self._store.load_meta("ann_txv"))
+                # restore the log position; probes read bucket-pruned
+                self._tx.read_committed(self._store.load_meta("ann_txv"))
 
     def add_batch(self, vectors: DataFrame) -> None:
         """Index a batch of new vectors (upsert by id: a re-sent vector
@@ -1360,15 +1364,33 @@ class StreamingAnnIndex:
             )
         )
         if self._store is not None:
+            rows = rows.persist()
+            # re-sent ids may MOVE buckets (the bucket is a function of
+            # the vector), so the bucket-laid-out state must tombstone
+            # the old image in its old bucket before inserting the new
+            # one. Append-only epochs (the common case) skip the probe
+            # via the limit(1) short-circuit and land as fresh-keys
+            # deltas (shuffle-free probe reads).
+            delta = rows.withColumn("__del", F.lit(False))
+            fresh = True
+            if self._store.epoch > 0:
+                live = self._tx.read_live()
+                resent = live.join(
+                    rows.select("neighbor_id"), "neighbor_id")
+                if resent.limit(1).count() > 0:
+                    fresh = False
+                    delta = delta.unionByName(
+                        resent.select("neighbor_id", "cv", "bucket")
+                        .withColumn("__del", F.lit(True)))
             meta = self._tx.advance(
-                rows.withColumn("__del", F.lit(False)),
-                epoch=self._store.epoch + 1, app_id="ann_idx",
+                delta, epoch=self._store.epoch + 1, app_id="ann_idx",
+                fresh_keys=fresh,
             )
             self._store.stage_meta("ann_txv", meta)
             self._store.stage_meta(
                 "ann_geom", {"n_planes": self.n_planes, "dim": self.dim})
-            self._corpus = self._tx.read_live()
             self._store.commit()
+            rows.unpersist()
         else:
             merged = (
                 rows if self._corpus is None
@@ -1378,13 +1400,25 @@ class StreamingAnnIndex:
             )
             self._corpus = merged.localCheckpoint(eager=True)
 
+    def _live_corpus(self, probe_buckets) -> DataFrame:
+        """The corpus rows a probe can match: durable indexes read ONLY
+        the state buckets the probe's LSH buckets hash to; ephemeral
+        indexes return the in-memory frame."""
+        if self._store is not None:
+            if self._store.epoch == 0:
+                raise ValueError("index is empty — add_batch first")
+            bids = self._tx.touched_bucket_ids(probe_buckets)
+            return self._tx.read_live_pruned(bids)
+        if self._corpus is None:
+            raise ValueError("index is empty — add_batch first")
+        return self._corpus
+
     def topk(self, queries: DataFrame, k: int = 5,
              query_id_col: str | None = None) -> DataFrame:
         """Top-k neighbors from the CURRENT index for each query vector
         (same plan as the batch lsh_ann_topk probe: bounded query set
-        broadcast into the bucket join, per-query window top-k)."""
-        if self._corpus is None:
-            raise ValueError("index is empty — add_batch first")
+        broadcast into the bucket join, per-query window top-k; durable
+        state is read bucket-pruned — O(probed buckets))."""
         planes = _hyperplanes(self.n_planes, self.dim)
         qid = query_id_col or self.id_col
         q = queries.select(
@@ -1392,8 +1426,9 @@ class StreamingAnnIndex:
             F.col(self.vec_col).alias("qv"),
             lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
         )
+        corpus = self._live_corpus(q.select("bucket"))
         scored = (
-            self._corpus.join(F.broadcast(q), "bucket")
+            corpus.join(F.broadcast(q), "bucket")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
         )
@@ -1423,8 +1458,6 @@ class StreamingAnnIndex:
         equivalence-tested against it, same as the batch fast variants.
         Hot buckets split at hot_bucket_cap via the shared
         _bucketed_blas_topk bound."""
-        if self._corpus is None:
-            raise ValueError("index is empty — add_batch first")
         planes = _hyperplanes(self.n_planes, self.dim)
         qid = query_id_col or self.id_col
         q = queries.select(
@@ -1432,10 +1465,11 @@ class StreamingAnnIndex:
             F.col(self.vec_col).alias("qv"),
             lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
         )
+        corpus = self._live_corpus(q.select("bucket"))
         return _bucketed_blas_topk(
-            self._corpus, q, ["bucket"], k,
+            corpus, q, ["bucket"], k,
             queries.schema[qid].dataType,
-            self._corpus.schema["neighbor_id"].dataType,
+            corpus.schema["neighbor_id"].dataType,
             hot_bucket_cap,
         )
 
@@ -1466,14 +1500,14 @@ class IvfAnnIndex:
 
     def __init__(self, spark, vec_col: str, id_col: str,
                  n_centroids: int | None = None, seed: int = 42,
-                 state_dir: str | None = None):
+                 state_dir: str | None = None, state_buckets: int = 64):
         self.spark = spark
         self.vec_col = vec_col
         self.id_col = id_col
         self.n_centroids = n_centroids
         self.seed = seed
         self._centroids = None  # list[list[float]] once fit
-        self._corpus = None     # (neighbor_id, cv, cell)
+        self._corpus = None     # ephemeral: (neighbor_id, cv, cell)
         self._store = None
         if state_dir is not None:
             from dozer_spark.streaming.dedup import _check_state_geometry
@@ -1492,12 +1526,13 @@ class IvfAnnIndex:
             self._tx = DiffStateTable(
                 spark, diff_state_path(state_dir, "ivf"),
                 key_cols=["neighbor_id"],
+                bucket_cols=["cell"], n_buckets=state_buckets,
             )
             if self._store.epoch > 0:
                 meta = self._store.load_meta("ivf_centroids")
                 self._centroids = meta["centroids"]
-                self._corpus = self._tx.read_committed(
-                    self._store.load_meta("ivf_txv"))
+                # restore the log position; probes read cell-pruned
+                self._tx.read_committed(self._store.load_meta("ivf_txv"))
 
     def _fit(self, batch: DataFrame) -> None:
         import math
@@ -1568,17 +1603,32 @@ class IvfAnnIndex:
         )
         rows = self._assign(uniq)
         if self._store is not None:
+            rows = rows.persist()
+            # bucket-moving re-sends: tombstone old images (see
+            # StreamingAnnIndex.add_batch); append-only epochs are
+            # fresh-keys deltas
+            delta = rows.withColumn("__del", F.lit(False))
+            fresh = True
+            if self._store.epoch > 0:
+                live = self._tx.read_live()
+                resent = live.join(
+                    rows.select("neighbor_id"), "neighbor_id")
+                if resent.limit(1).count() > 0:
+                    fresh = False
+                    delta = delta.unionByName(
+                        resent.select("neighbor_id", "cv", "cell")
+                        .withColumn("__del", F.lit(True)))
             meta = self._tx.advance(
-                rows.withColumn("__del", F.lit(False)),
-                epoch=self._store.epoch + 1, app_id="ivf_idx",
+                delta, epoch=self._store.epoch + 1, app_id="ivf_idx",
+                fresh_keys=fresh,
             )
             self._store.stage_meta("ivf_txv", meta)
             self._store.stage_meta("ivf_geom", {
                 "n_centroids": self.n_centroids, "seed": self.seed})
             self._store.stage_meta("ivf_centroids",
                                    {"centroids": self._centroids})
-            self._corpus = self._tx.read_live()
             self._store.commit()
+            rows.unpersist()
         else:
             merged = (
                 rows if self._corpus is None
@@ -1595,12 +1645,14 @@ class IvfAnnIndex:
         n_probe nearest cells (matmul-expanded, no driver work), scored
         through the shared _bucketed_blas_topk bound. BLAS-summed ->
         rows-only gate; equivalence vs the one-shot batch build is
-        pytest-pinned."""
+        pytest-pinned. Durable state is laid out by cell and read
+        CELL-pruned — O(probed cells), not O(corpus)."""
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
-        if self._corpus is None:
+        if self._corpus is None and (
+                self._store is None or self._store.epoch == 0):
             raise ValueError("index is empty — add_batch first")
         C = np.array(self._centroids)
         qid = query_id_col or self.id_col
@@ -1625,9 +1677,17 @@ class IvfAnnIndex:
                                    columns=["query_id", "qv", "cell"])
 
         probed = q.mapInPandas(probe, probe_schema)
+        if self._store is not None:
+            from dozer_spark.operators.hints import cache_materialized
+
+            probed = cache_materialized(probed)
+            corpus = self._tx.read_live_pruned(
+                self._tx.touched_bucket_ids(probed.select("cell")))
+        else:
+            corpus = self._corpus
         return _bucketed_blas_topk(
-            self._corpus, probed, ["cell"], k,
+            corpus, probed, ["cell"], k,
             queries.schema[qid].dataType,
-            self._corpus.schema["neighbor_id"].dataType,
+            corpus.schema["neighbor_id"].dataType,
             hot_cell_cap,
         )

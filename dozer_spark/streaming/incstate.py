@@ -199,7 +199,13 @@ class DiffStateTable:
         delete). Touched buckets only; batch_id = the triggering epoch
         so a crash-replayed compaction no-ops."""
         reduced = self._stacked_deltas(self._pending)
-        w = Window.partitionBy(*self.key_cols).orderBy(F.desc("__e"))
+        # latest epoch wins; WITHIN an epoch an insert beats a delete of
+        # the same key (a bucket-moving re-send encodes as tombstone of
+        # the old image + insert of the new one in ONE delta — the
+        # insert is the final image, the tombstone refers to the
+        # pre-epoch row)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc("__e"), F.asc("__del"))
         reduced = (
             reduced.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

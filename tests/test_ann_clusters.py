@@ -361,7 +361,7 @@ def test_ivf_index_incremental_frozen_quantizer_and_resume(spark, tmp_path):
     idx2 = IvfAnnIndex(spark, "embedding", "vec_id", n_centroids=4,
                        state_dir=sd)
     assert [list(c) for c in idx2._centroids] == cents
-    assert idx2._corpus.count() == 120
+    assert idx2._tx.read_live().count() == 120
     q = df.filter(df.vec_id % 30 == 0)
     a = sorted(map(tuple, idx.topk(q, k=3).collect()))
     b = sorted(map(tuple, idx2.topk(q, k=3).collect()))
@@ -375,7 +375,9 @@ def test_ivf_index_incremental_frozen_quantizer_and_resume(spark, tmp_path):
     # upsert: re-adding an id replaces its row (and may move cells)
     idx2.add_batch(spark.createDataFrame(
         [(0, [1.0] * 8)], "vec_id long, embedding array<float>"))
-    assert idx2._corpus.filter("neighbor_id = 0").count() == 1
+    live = idx2._tx.read_live()
+    assert live.filter("neighbor_id = 0").count() == 1
+    assert live.count() == 120  # replaced, not duplicated
 
 
 def test_lsh_multiprobe_improves_recall(catalog):
