@@ -245,21 +245,24 @@ class StreamingBm25Index:
         doc_new = batch.select(self.id_col)
 
         if self._store is not None:
-            # persist the deduped batch and the dl-carrying postings for
-            # the epoch: the stats jobs, the resent probe, and the delta
-            # write below would otherwise each recompute the batch's
-            # dedup window + explode + groupBy chain (measured 31s vs
-            # ~12s per 1M-doc epoch at the 5M tier)
+            # persist the deduped batch, the raw postings, and the slim
+            # per-doc lengths for the epoch: the stats jobs, the resent
+            # probe, and the delta write would otherwise each recompute
+            # the batch's dedup window + token explode + groupBy chain.
+            # The token aggregation runs ONCE per epoch (r10 parity);
+            # the ONLY intrinsic cost the dl-carrying layout adds is the
+            # postings<->lengths join, and the stats read the 1-row-per-
+            # doc dl_new cache, never the postings
             batch = batch.persist()
+            tf_new = tf_new.persist()
             dl_new = tf_new.groupBy(self.id_col).agg(
-                F.sum("__tf").cast("long").alias("__dl"))
-            tf_dl = tf_new.join(dl_new, self.id_col).persist()
-            # batch-sized stats jobs (exact longs — see class doc);
-            # sum(__tf) over the postings IS the summed doc length
+                F.sum("__tf").cast("long").alias("__dl")).persist()
+            tf_dl = tf_new.join(dl_new, self.id_col)
+            # batch-sized stats jobs (exact longs — see class doc)
             batch_n = batch.count()
-            st = tf_dl.agg(
-                F.count_distinct(F.col(self.id_col)).alias("ne"),
-                F.coalesce(F.sum("__tf"), F.lit(0)).alias("sd"),
+            st = dl_new.agg(
+                F.count(F.lit(1)).alias("ne"),
+                F.coalesce(F.sum("__dl"), F.lit(0)).alias("sd"),
             ).first()
             ne_batch, sd_batch = int(st["ne"]), int(st["sd"])
             # Re-sent-id detection probes the DOCS state (8B/doc —
@@ -318,7 +321,8 @@ class StreamingBm25Index:
             self._store.commit()
             self._scalars = scalars
             batch.unpersist()
-            tf_dl.unpersist()
+            tf_new.unpersist()
+            dl_new.unpersist()
         else:
             if self._tf is None:
                 self._tf = tf_new.localCheckpoint(eager=True)
