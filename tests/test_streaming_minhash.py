@@ -121,7 +121,9 @@ def test_streaming_ann_index_equals_batch_and_resumes(spark, tmp_path):
         [(0, [1.0] * 16)], "vec_id long, embedding array<float>"
     )
     idx2.add_batch(moved)
-    assert idx2._corpus.filter("neighbor_id = 0").count() == 1
+    live = idx2._tx.read_live()
+    assert live.filter("neighbor_id = 0").count() == 1
+    assert live.count() == 60  # replaced (old bucket tombstoned), not duplicated
 
 
 def test_streaming_clusters_merge_and_resume(spark, tmp_path):
