@@ -58,8 +58,12 @@ def _parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    # backward compat: a bare config path means `run`
-    if argv and argv[0] not in _SUBCOMMANDS and not argv[0].startswith("-"):
+    # backward compat: the pre-subcommand CLI took [flags] CONFIG with
+    # no leading verb — rewrite to `run` whenever no subcommand appears
+    # anywhere in argv (flag-first invocations like
+    # `--show 5 app.yaml` must keep working, not just path-first ones)
+    if argv and not any(a in _SUBCOMMANDS for a in argv) and argv[0] != "-h" \
+            and argv[0] != "--help":
         argv = ["run", *argv]
     args = _parser().parse_args(argv)
 
@@ -103,10 +107,9 @@ def main(argv: list[str] | None = None) -> int:
 
     config = args.config
     if args.metrics_port is not None:
-        import yaml
+        from dozer_spark.buildlock import load_config
 
-        with open(config) as f:
-            config = yaml.safe_load(f)
+        config, _ = load_config(config)
         config["metrics"] = {
             **(config.get("metrics") or {}), "port": args.metrics_port,
         }

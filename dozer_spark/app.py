@@ -111,14 +111,12 @@ def run_app(spark: SparkSession, config: dict | str,
     when the caller already serves the injected registry on that port
     itself (starting a second server there would hit EADDRINUSE
     mid-run)."""
-    if isinstance(config, str):
-        import yaml
+    # canonical loader shared with the build/clean CLI surface
+    # (buildlock.load_config) so the path-vs-inline heuristic can't
+    # drift between `run`, `build`, and the metrics override branch
+    from dozer_spark.buildlock import load_config
 
-        if "\n" not in config and config.endswith((".yml", ".yaml")):
-            with open(config) as f:
-                config = yaml.safe_load(f)
-        else:
-            config = yaml.safe_load(config)
+    config, _ = load_config(config)
 
     cat = Catalog(spark)
     for name, src in (config.get("sources") or {}).items():

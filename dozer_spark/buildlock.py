@@ -98,6 +98,14 @@ def build(spark, config: dict | str, locked: bool = False,
           force: bool = False) -> str:
     """Compute the contract and write (or, with locked=True, verify)
     the lock file. Returns the lock file path."""
+    if locked and force:
+        # --force wipes the home dir INCLUDING the lock file, which a
+        # verify-only --locked run exists to check — honoring both
+        # would destroy the contract and then fail LockedNoLockFile.
+        # Reject the contradiction before touching anything.
+        raise ValueError(
+            "--locked verifies the existing lock file; --force would "
+            "delete it (and all durable state) first — drop one flag")
     cfg, cfg_dir = load_config(config)
     if force:
         clean(cfg, cfg_dir)

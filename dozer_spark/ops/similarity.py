@@ -1374,13 +1374,18 @@ class StreamingAnnIndex:
             delta = rows.withColumn("__del", F.lit(False))
             fresh = True
             if self._store.epoch > 0:
-                live = self._tx.read_live()
-                resent = live.join(
-                    rows.select("neighbor_id"), "neighbor_id")
-                if resent.limit(1).count() > 0:
+                # slim id-projection probe first (column pruning keeps
+                # the vector payload out of the scan); only an epoch
+                # that actually re-sends a known id pays the full-width
+                # read for its tombstones
+                resent_ids = self._tx.read_live().select("neighbor_id") \
+                    .join(rows.select("neighbor_id"), "neighbor_id")
+                if resent_ids.limit(1).count() > 0:
                     fresh = False
                     delta = delta.unionByName(
-                        resent.select("neighbor_id", "cv", "bucket")
+                        self._tx.read_live()
+                        .join(rows.select("neighbor_id"), "neighbor_id")
+                        .select("neighbor_id", "cv", "bucket")
                         .withColumn("__del", F.lit(True)))
             meta = self._tx.advance(
                 delta, epoch=self._store.epoch + 1, app_id="ann_idx",
@@ -1610,13 +1615,15 @@ class IvfAnnIndex:
             delta = rows.withColumn("__del", F.lit(False))
             fresh = True
             if self._store.epoch > 0:
-                live = self._tx.read_live()
-                resent = live.join(
-                    rows.select("neighbor_id"), "neighbor_id")
-                if resent.limit(1).count() > 0:
+                # slim id-projection probe first (see StreamingAnnIndex)
+                resent_ids = self._tx.read_live().select("neighbor_id") \
+                    .join(rows.select("neighbor_id"), "neighbor_id")
+                if resent_ids.limit(1).count() > 0:
                     fresh = False
                     delta = delta.unionByName(
-                        resent.select("neighbor_id", "cv", "cell")
+                        self._tx.read_live()
+                        .join(rows.select("neighbor_id"), "neighbor_id")
+                        .select("neighbor_id", "cv", "cell")
                         .withColumn("__del", F.lit(True)))
             meta = self._tx.advance(
                 delta, epoch=self._store.epoch + 1, app_id="ivf_idx",

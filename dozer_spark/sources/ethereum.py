@@ -152,20 +152,29 @@ def _hex_i(v, default: int = 0) -> int:
     return int(v)
 
 
+def _low_u64(v: int) -> int:
+    """The reference's U256::low_u64 (helper.rs:161), carried in
+    Spark's signed 64-bit long as the same BIT PATTERN (two's
+    complement for values >= 2^63) — no silent bit-63 stripping; the
+    unsigned value is recoverable as `v & 0xFFFF_FFFF_FFFF_FFFF`."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def flatten_trace(trace: dict, block_number: int,
                   counter: list[int]) -> list[dict]:
     """One callTracer trace -> flat rows, parent before its nested
     calls — the reference's recursive map_trace_to_ops order
     (helper.rs:152-176). traceIndex is the within-block emission order
-    (the changelog __seq). Values clamp to low 64 bits like the
-    reference's U256::low_u64."""
+    (the changelog __seq). Quantities truncate to the reference's
+    low_u64 (bit-pattern-preserved in the signed long)."""
     row = {
         "type_field": trace.get("type") or "",
         "from_addr": trace.get("from"),
         "to_addr": trace.get("to"),
-        "value": _hex_i(trace.get("value")) & ((1 << 63) - 1),
-        "gas": _hex_i(trace.get("gas")) & ((1 << 63) - 1),
-        "gas_used": _hex_i(trace.get("gasUsed")) & ((1 << 63) - 1),
+        "value": _low_u64(_hex_i(trace.get("value"))),
+        "gas": _low_u64(_hex_i(trace.get("gas"))),
+        "gas_used": _low_u64(_hex_i(trace.get("gasUsed"))),
         "input": trace.get("input"),
         "output": trace.get("output"),
         "blockNumber": block_number,

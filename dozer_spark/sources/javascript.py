@@ -41,7 +41,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-RECORD_SCHEMA_DDL = "__op string, __seq long, value string"
+RECORD_SCHEMA_DDL = ("__op string, __seq long, value string, "
+                     "old_value string")
 
 _PRELUDE = r"""
 const __fs = require("fs");
@@ -115,6 +116,9 @@ def run_js_source(script_path: str, spool_dir: str,
                     "__op": _OPS[msg["typ"]],
                     "__seq": len(rows),
                     "value": json.dumps(val, sort_keys=True),
+                    "old_value": (json.dumps(msg["old_val"],
+                                             sort_keys=True)
+                                  if msg["typ"] == "Update" else None),
                 })
         # find the next spool file index (append-only, like every spool)
         existing = [fn for fn in os.listdir(spool_dir)
@@ -136,12 +140,37 @@ def run_js_source(script_path: str, spool_dir: str,
 
 
 def js_records(spark: SparkSession, spool_dir: str) -> DataFrame:
-    """The `json_records` table: one Json column `value` (current rows
-    only — I/U rows; a Delete is a changelog event, not a row). For
+    """The `json_records` table: one Json column `value`, the CURRENT
+    rows after applying every op in sequence. json_records has no PK
+    (the reference's one-Json-column contract), so ops apply by VALUE
+    multiset: Insert and Update.new add one occurrence, Delete.old and
+    Update.old remove one; rows with a positive net count remain, at
+    their multiplicity. (Values are canonical sort_keys JSON, so equal
+    objects compare equal.) For raw events use js_changelog; for
     streaming: spark.readStream.schema(RECORD_SCHEMA_DDL).json(...)."""
     df = spark.read.schema(RECORD_SCHEMA_DDL).json(
         os.path.join(spool_dir, "*.jsonl"))
-    return df.filter(F.col("__op") != "D").select("value")
+    adds = (
+        df.filter(F.col("__op").isin("I", "U"))
+        .select(F.col("value").alias("v"), F.lit(1).alias("d"))
+    )
+    drops = (
+        df.filter(F.col("__op") == "D")
+        .select(F.col("value").alias("v"), F.lit(-1).alias("d"))
+        .unionByName(
+            df.filter(F.col("__op") == "U")
+            .select(F.col("old_value").alias("v"), F.lit(-1).alias("d")))
+    )
+    net = (
+        adds.unionByName(drops)
+        .groupBy("v").agg(F.sum("d").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    return (
+        net.select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_"),
+                   F.col("v").alias("value"))
+        .select("value")
+    )
 
 
 def js_changelog(spark: SparkSession, spool_dir: str) -> DataFrame:
@@ -150,7 +179,8 @@ def js_changelog(spark: SparkSession, spool_dir: str) -> DataFrame:
     df = spark.read.schema(RECORD_SCHEMA_DDL).json(
         os.path.join(spool_dir, "*.jsonl"))
     return df.select(
-        "__op", F.lit(0).cast("long").alias("__txid"), "__seq", "value")
+        "__op", F.lit(0).cast("long").alias("__txid"), "__seq", "value",
+        "old_value")
 
 
 def snapshot_done(spool_dir: str) -> bool:

@@ -197,20 +197,38 @@ class DiffStateTable:
         """Fold the pending deltas into the bucketed base: latest image
         per digest wins (a later D after an earlier I reduces to the
         delete). Touched buckets only; batch_id = the triggering epoch
-        so a crash-replayed compaction no-ops."""
-        reduced = self._stacked_deltas(self._pending)
-        # latest epoch wins; WITHIN an epoch an insert beats a delete of
-        # the same key (a bucket-moving re-send encodes as tombstone of
-        # the old image + insert of the new one in ONE delta — the
-        # insert is the final image, the tombstone refers to the
-        # pre-epoch row)
+        so a crash-replayed compaction no-ops.
+
+        Probe-key bucketing (bucket_cols != key_cols) needs one more
+        rule: a bucket-moving re-send encodes as tombstone(old bucket) +
+        insert(new bucket) for the SAME key. The latest-image reduction
+        alone would drop that tombstone, the merge would never touch the
+        old bucket, and the stale pre-epoch image would survive
+        compaction as a duplicate key. So besides the latest image per
+        key (insert beats a same-epoch tombstone — the insert is the
+        final state), the reduction CARRIES every window tombstone per
+        (key, bucket) so the merge rewrites every bucket the key ever
+        occupied; a tombstone for a key the merge also re-inserts is a
+        no-op there (the matched-new branch wins), never a lost row."""
+        stacked = self._stacked_deltas(self._pending)
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.desc("__e"), F.asc("__del"))
-        reduced = (
-            reduced.withColumn("__rn", F.row_number().over(w))
+        latest = (
+            stacked.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__e")
         )
+        if self.bucket_cols != self.key_cols:
+            tombs = (
+                stacked.filter(F.col("__del")).drop("__e")
+                .dropDuplicates(self.key_cols + self.bucket_cols)
+            )
+            reduced = latest.unionByName(tombs).dropDuplicates(
+                self.key_cols + self.bucket_cols + ["__del"])
+        else:
+            # key-bucketed state: a tombstone can only live in the
+            # key's own bucket, which the latest image already touches
+            reduced = latest
         self.tx.merge(reduced, delete_col="__del", batch_id=epoch,
                       app_id=app_id)
         # previous window's dirs leave retention only NOW — one full

@@ -223,3 +223,41 @@ def test_pruned_read_touches_only_matched_bucket_files(spark, tmp_path):
     for f in files:
         m = re.search(r"__b=(\d+)", f)
         assert m and int(m.group(1)) in bids
+
+
+def test_diffstate_bucket_move_survives_compaction(spark, tmp_path):
+    """Review finding (round 11): a bucket-moving re-send — tombstone
+    (old bucket) + insert (new bucket) for the SAME key in one delta —
+    must not leave the stale image in the old bucket once the delta
+    COMPACTS into the base (pre-compaction reads were already correct
+    via the per-delta anti-join)."""
+    st = _mk_state(spark, str(tmp_path / "mv"), compact_every=1)
+
+    def adv(e, rows_, fresh=False):
+        st.advance(spark.createDataFrame(
+            rows_, ["dg", "k", "v", "__del"]), epoch=e, app_id="t",
+            fresh_keys=fresh)
+
+    # epoch 1: key X at k='oldkey' (compacts into base at epoch 2's
+    # advance because compact_every=1)
+    adv(1, [("X", "oldkey", 1, False), ("Y", "other", 2, False)],
+        fresh=True)
+    # epoch 2: X moves oldkey -> newkey (tombstone + insert, one delta)
+    adv(2, [("X", "oldkey", 1, True), ("X", "newkey", 3, False)])
+    # epoch 3 forces epoch 2's delta to compact into the base
+    adv(3, [("Z", "zk", 4, False)], fresh=True)
+    # force the last delta in too so the read is pure base
+    st._compact(99, "t")
+
+    # internal_key strips dg on read; the stale ('oldkey', 1) image
+    # must be gone and exactly one image of X must remain
+    live = _rows(st.read_live())
+    assert live == [("newkey", 3), ("other", 2), ("zk", 4)]
+    # the old bucket no longer holds X (tx-level read keeps the key)
+    old_b = st.tx._bucket_of(["oldkey"])
+    assert st.tx.read_buckets([old_b]).filter(
+        F.col("dg") == "X").count() == 0
+    # and a full delete after a move clears every bucket
+    adv(100, [("X", "newkey", 3, True)])
+    st._compact(101, "t")
+    assert st.tx.read().filter(F.col("dg") == "X").count() == 0

@@ -110,3 +110,22 @@ class TestRunLocked:
         cfg, out = _write_cfg(tmp_path)
         assert main([cfg]) == 0
         assert spark.read.parquet(out).count() > 0
+
+
+def test_build_locked_force_rejected(spark, tmp_path):
+    """Review finding (round 11): --locked --force would delete the
+    lock file (and all durable state) and then fail LockedNoLockFile —
+    the contradiction must be rejected before anything is cleaned."""
+    import pytest
+
+    from dozer_spark import buildlock
+
+    cfg, _out = _write_cfg(tmp_path)
+    buildlock.build(spark, cfg)  # creates the lock
+    home = buildlock.home_dir(*buildlock.load_config(cfg))
+    with pytest.raises(ValueError, match="drop one flag"):
+        buildlock.build(spark, cfg, locked=True, force=True)
+    # nothing was cleaned
+    import os
+
+    assert os.path.exists(os.path.join(home, buildlock.LOCK_FILE))

@@ -55,9 +55,11 @@ def test_ingest_ops_and_snapshot_marker(spark, tmp_path):
     assert json.loads(cl[3]["value"]) == {"k": 1, "tag": "row1-v2"}
     assert json.loads(cl[4]["value"]) == {"k": 0, "tag": "row0"}
 
-    # json_records: one Json column, current rows only (no delete rows)
-    recs = {r["value"] for r in js_records(spark, spool).collect()}
-    assert len(recs) == 4 and all("tag" in v for v in recs)
+    # json_records: one Json column, the CURRENT rows after applying
+    # every op — k0 was deleted and k1's pre-update image replaced
+    recs = sorted(json.loads(r["value"])["tag"]
+                  for r in js_records(spark, spool).collect())
+    assert recs == ["row1-v2", "row2"]
 
 
 def test_second_run_appends(spark, tmp_path):

@@ -322,3 +322,19 @@ class TestEthereumTraces:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+def test_trace_low_u64_preserves_bit_pattern():
+    """Review finding (round 11): 9.3-ETH-scale wei values (>= 2^63)
+    must keep the reference's low_u64 bit pattern, not lose bit 63."""
+    from dozer_spark.sources.ethereum import _low_u64, flatten_trace
+
+    assert _low_u64(5) == 5
+    assert _low_u64(2**63) == -(2**63)           # bit 63 preserved
+    assert _low_u64(2**63 + 5) == -(2**63) + 5
+    assert _low_u64(2**64 + 7) == 7              # low 64 bits only
+    rows = flatten_trace(
+        {"type": "CALL", "from": "0xa", "to": "0xb",
+         "value": hex(2**63 + 5), "gas": "0x1", "gasUsed": "0x1"},
+        1, [0])
+    assert rows[0]["value"] & ((1 << 64) - 1) == 2**63 + 5
