@@ -351,6 +351,17 @@ class DiffStateTable:
         # missing flags (pre-fresh-keys meta) default to the safe False
         self._fresh = {int(e): bool(v)
                        for e, v in (meta.get("fresh") or {}).items()}
+        if self.tx.version > meta["v"]:
+            # crash window: a compaction's tx.merge durably advanced the
+            # base PAST the committed version before the StateStore
+            # commit landed. read_live/read_live_pruned read the base at
+            # HEAD — which already CONTAINS the compacted pending
+            # epochs' rows — so a fresh-keys union would duplicate every
+            # row of those epochs (double dedup pairs, doubled BM25
+            # tf/df). Drop the flags: the per-delta anti-join
+            # re-application is idempotent over the ahead base (each
+            # key's rows are replaced by the same latest image).
+            self._fresh = {e: False for e in self._fresh}
         # delta dirs on disk that are NOT in the committed pending list
         # were compacted (or orphaned) before the restart — schedule them
         # for removal at the NEXT compaction, else they leak forever

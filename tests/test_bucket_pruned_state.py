@@ -261,3 +261,59 @@ def test_diffstate_bucket_move_survives_compaction(spark, tmp_path):
     adv(100, [("X", "newkey", 3, True)])
     st._compact(101, "t")
     assert st.tx.read().filter(F.col("dg") == "X").count() == 0
+
+
+def test_crash_between_compaction_merge_and_commit_fresh_keys(
+        spark, tmp_path):
+    """ADVICE r11 (high): crash AFTER a compaction's tx.merge but
+    BEFORE the StateStore epoch commit. The base at HEAD is one version
+    ahead — it already CONTAINS the compacted pending epochs' rows —
+    while the committed meta restores those epochs' fresh-keys flags.
+    A fresh union (no anti-join) on read_live/read_live_pruned would
+    then duplicate every row of those epochs: duplicate dedup/fuzzy
+    pairs, doubled BM25 tf/df. read_committed must drop the restored
+    fresh flags whenever tx.version > meta['v'] so the anti-join
+    re-application stays idempotent over the ahead base."""
+    path = str(tmp_path / "crashfk")
+
+    def mk():
+        return _mk_state(spark, path, compact_every=2)
+
+    st = mk()
+    metas = {}
+    for e in (1, 2):  # two pure-insert fresh-keys epochs fill the window
+        delta = spark.createDataFrame(
+            [(f"dg{e}_{i}", f"key{i}", e * 10 + i) for i in range(6)],
+            ["dg", "k", "v"]).withColumn("__del", F.lit(False))
+        metas[e] = st.advance(delta, epoch=e, app_id="t", fresh_keys=True)
+    assert metas[2]["fresh"] == {"1": True, "2": True}
+    assert st.tx.version == 0  # nothing compacted yet
+
+    # epoch 3's advance compacts epochs 1-2 into the base (merge lands,
+    # base -> v1), writes the e3 delta... and the caller dies before
+    # publishing meta3. The durably committed meta is still metas[2].
+    delta3 = spark.createDataFrame(
+        [("dg3_0", "key0", 999)], ["dg", "k", "v"]).withColumn(
+        "__del", F.lit(False))
+    st.advance(delta3, epoch=3, app_id="t", fresh_keys=True)
+    assert st.tx.version == 1  # the ahead base: compaction merged
+    del st
+
+    resumed = mk()
+    committed = resumed.read_committed(metas[2])
+    want = sorted((f"key{i}", e * 10 + i)
+                  for e in (1, 2) for i in range(6))
+    # the committed view rewinds the base and is exact
+    assert _rows(committed) == want
+    # the live views over the AHEAD base must not duplicate: with the
+    # old fresh-union behavior both reads returned each row twice
+    assert _rows(resumed.read_live()) == want
+    bids = resumed.bucket_ids_for_values([["key0"], ["key3"]])
+    pruned = _rows(resumed.read_live_pruned(bids))
+    assert pruned == sorted(t for t in want if t[0] in ("key0", "key3"))
+
+    # and the replayed epoch 3 re-advances cleanly on top
+    resumed.advance(spark.createDataFrame(
+        [("dg3_0", "key0", 999)], ["dg", "k", "v"]).withColumn(
+        "__del", F.lit(False)), epoch=3, app_id="t", fresh_keys=True)
+    assert ("key0", 999) in _rows(resumed.read_live())
