@@ -329,7 +329,11 @@ def decontaminate_share(spark, sf):
 def _pca_frozen_oracle(n_components: int = 8, dim: int = 64) -> str:
     """EXACT oracle for frozen-geometry PCA projection: the centered
     matvec is the same sequential fold on both sides, so each projected
-    coordinate agrees bit-for-bit before the shared rounding."""
+    coordinate agrees bit-for-bit before the shared rounding. Emits one
+    SCALAR row per (vec_id, component) — the driver's canonicalizer
+    sorts columns with pandas, which cannot factorize array cells, so
+    every window query must be atomic-typed (tests/test_registry.py
+    pins this for the whole window)."""
     from dozer_spark.ops.pca_frozen import (
         FROZEN_PCA_COMPONENTS_8x64,
         FROZEN_PCA_MEAN_64,
@@ -341,12 +345,12 @@ def _pca_frozen_oracle(n_components: int = 8, dim: int = 64) -> str:
         for row in FROZEN_PCA_COMPONENTS_8x64
     ) + "]"
     return f"""
-    WITH pm AS (SELECT {m} AS m, {p} AS p)
-    SELECT vec_id,
-      list_transform(generate_series(1, {n_components}), k ->
-        round(list_sum(list_transform(generate_series(1, {dim}), i ->
-          (CAST(embedding[i] AS DOUBLE) - m[i]) * p[k][i])), 6)) AS pc
-    FROM embeddings, pm
+    WITH pm AS (SELECT {m} AS m, {p} AS p),
+    ks AS (SELECT unnest(generate_series(1, {n_components})) AS k)
+    SELECT vec_id, CAST(k AS INTEGER) AS k,
+      round(list_sum(list_transform(generate_series(1, {dim}), i ->
+        (CAST(embedding[i] AS DOUBLE) - m[i]) * p[k][i])), 6) AS pc_k
+    FROM embeddings, pm, ks
     """
 
 
@@ -356,7 +360,9 @@ def pca_project_frozen_query(spark, sf):
     pinned mean + top-8 components make the centered matvec pure
     sequential-fold Column math with an exact SQL replay — the
     exactness anchor for the PCA family (live pca_fit is rows-only:
-    partition-order moment sums + BLAS projection)."""
+    partition-order moment sums + BLAS projection). The projection
+    array is posexploded to (vec_id, k, pc_k) scalar rows: the driver
+    window requires atomic output columns (r11 verdict item 1)."""
     from dozer_spark.ops.embedding import pca_project_frozen
     from dozer_spark.ops.pca_frozen import (
         FROZEN_PCA_COMPONENTS_8x64,
@@ -364,6 +370,9 @@ def pca_project_frozen_query(spark, sf):
     )
 
     e = _cat(spark, sf).df("embeddings")
-    return pca_project_frozen(
+    out = pca_project_frozen(
         e, "embedding", FROZEN_PCA_MEAN_64, FROZEN_PCA_COMPONENTS_8x64,
         id_col="vec_id")
+    return out.select(
+        "vec_id", F.posexplode("pc").alias("pos", "pc_k")
+    ).select("vec_id", (F.col("pos") + 1).alias("k"), "pc_k")
