@@ -433,6 +433,30 @@ def ivf_ann_topk(
     )
 
 
+def _frozen_cell_pairs(vcol: Column, centroids: list[list[float]]) -> Column:
+    """[(d2 to centroid j, j)] for a vector Column against FROZEN
+    centroid literals — d2 as the same left-fold the frozen-IVF oracle
+    replays with list_sum(list_transform(...)), so array_min / sorted
+    slices over the pairs give bit-identical cells on both engines."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    d2 = F.transform(
+        cent_arr,
+        lambda cent: F.aggregate(
+            F.zip_with(
+                vcol, cent,
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.arrays_zip(d2.alias("d"), idx.alias("i"))
+
+
 def ivf_ann_topk_frozen(
     corpus: DataFrame,
     queries: DataFrame,
@@ -460,28 +484,8 @@ def ivf_ann_topk_frozen(
     plan), corpus assigned in one scan, queries broadcast to the
     bucket join, each query touches ~n_probe/n_centroids of the corpus.
     """
-    ncent = len(centroids)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-    )
-    idx = F.sequence(F.lit(0), F.lit(ncent - 1))
-
     def cell_pairs(vcol: Column) -> Column:
-        # [(d2 to centroid j, j)] — d2 as the same left-fold the oracle
-        # replays with list_sum(list_transform(...))
-        d2 = F.transform(
-            cent_arr,
-            lambda cent: F.aggregate(
-                F.zip_with(
-                    vcol, cent,
-                    lambda a, b: (a.cast("double") - b)
-                    * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return F.arrays_zip(d2.alias("d"), idx.alias("i"))
+        return _frozen_cell_pairs(vcol, centroids)
 
     dim = len(centroids[0])
     qid = query_id_col or id_col
@@ -901,6 +905,7 @@ def ivf_ann_topk_fast(
     seed: int = 42,
     query_id_col: str | None = None,
     hot_cell_cap: int = 65536,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ivf_ann_topk with vectorized per-cell scoring — the scale path
     for CLUSTERED embedding spaces (where hyperplane LSH degenerates:
@@ -912,14 +917,22 @@ def ivf_ann_topk_fast(
     rows — tiny). Cells over hot_cell_cap corpus rows are split into
     ~cap-row blocks with queries replicated per block
     (_split_hot_groups), so a dense cell never pins one task's memory.
-    Approximate (k-means cells) AND BLAS-summed — rows-only gate;
-    cell-recall tested vs the fold-based ivf_ann_topk.
 
-    n_centroids=None derives sqrt(n) clamped [16, 4096] — the standard
-    IVF sizing (cells of ~sqrt(n), probe cost n_probe*sqrt(n) per
-    query). The quantizer is fit on a bounded deterministic sample
-    (_fit_quantizer) and the corpus keeps its vectors through
-    model.transform — no full-corpus fit, no post-assignment join.
+    centroids=None (live fit): approximate k-means cells AND
+    BLAS-summed — rows-only gate; cell-recall tested vs the fold-based
+    ivf_ann_topk. n_centroids=None derives sqrt(n) clamped [16, 4096]
+    — the standard IVF sizing (cells of ~sqrt(n), probe cost
+    n_probe*sqrt(n) per query). The quantizer is fit on a bounded
+    deterministic sample (_fit_quantizer) and the corpus keeps its
+    vectors through model.transform — no full-corpus fit, no
+    post-assignment join.
+
+    centroids given (FROZEN quantizer, the serving shape): cell
+    assignment and probe sets use the same sequential-fold Column math
+    as ivf_ann_topk_frozen — bit-identical cells to the SQL oracle —
+    and only the in-cell scoring is BLAS, which matches the fold cosine
+    after the shared 6-decimal rounding (equivalence pinned in
+    tests/test_ann_clusters.py; exact oracle on ann_ivf_topk_fast).
     """
     import math
 
@@ -929,6 +942,33 @@ def ivf_ann_topk_fast(
     from pyspark.sql import types as T
 
     qid = query_id_col or id_col
+    if centroids is not None:
+        dim = len(centroids[0])
+        q = queries.select(
+            F.col(qid).alias("query_id"),
+            _guard_dim(F.col(vec_col), dim, "ivf_ann_topk_fast").alias("qv"),
+        ).withColumn(
+            "cell",
+            F.explode(F.transform(
+                F.slice(F.array_sort(
+                    _frozen_cell_pairs(F.col("qv"), centroids)),
+                    1, min(n_probe, len(centroids))),
+                lambda s: s["i"],
+            )),
+        )
+        c_cells = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _guard_dim(F.col(vec_col), dim, "ivf_ann_topk_fast").alias("cv"),
+        ).withColumn(
+            "cell",
+            F.array_min(_frozen_cell_pairs(F.col("cv"), centroids))["i"],
+        )
+        return _bucketed_blas_topk(
+            c_cells, q, ["cell"], k,
+            queries.schema[qid].dataType, corpus.schema[id_col].dataType,
+            hot_cell_cap,
+        )
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     n = c.count()
     if n_centroids is None:

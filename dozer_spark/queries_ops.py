@@ -303,9 +303,7 @@ def dedup_semantic(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-@_q(
-    "ann_brute_force_topk",
-    """
+_BRUTE_FORCE_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
@@ -322,9 +320,10 @@ def dedup_semantic(spark, sf):
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= 5
-    """,
-    headline=True,
-)
+    """
+
+
+@_q("ann_brute_force_topk", _BRUTE_FORCE_ORACLE, headline=True)
 def ann_brute_force_topk(spark, sf):
     """Exact cosine top-k (k=5) for the vec_id%100==0 query set."""
     e = _cat(spark, sf).df("embeddings")
@@ -477,20 +476,6 @@ def ann_lsh_multiprobe_topk(spark, sf):
                         dim=64, n_probes=3)
 
 
-@_q("ann_ivf_topk_fast", None)  # k-means cells + BLAS -> rows-only
-def ann_ivf_topk_fast(spark, sf):
-    """IVF ANN with per-cell BLAS scoring — the scale path for CLUSTERED
-    embedding spaces (centroids adapt to cluster structure; hyperplane
-    LSH buckets track cluster mass instead). Cell-agreement with the
-    fold-based ivf_ann_topk asserted in tests/test_ann_clusters.py."""
-    from dozer_spark.ops.similarity import ivf_ann_topk_fast
-
-    e = _cat(spark, sf).df("embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
-    return ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
-                             n_centroids=16, n_probe=4)
-
-
 @_q("ann_ivf_topk", None)  # approximate (k-means cells) — recall tested in pytest
 def ann_ivf_topk(spark, sf):
     from dozer_spark.ops.similarity import ivf_ann_topk
@@ -570,6 +555,28 @@ def ann_ivf_topk_frozen(spark, sf):
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_ann_topk_frozen(e, q, "embedding", "vec_id",
                                FROZEN_CENTROIDS_16x64, k=5, n_probe=4)
+
+
+@_q("ann_ivf_topk_fast", _ivf_frozen_oracle(),
+    defer=True)  # IVF family anchored by ann_ivf_topk_frozen in-window
+def ann_ivf_topk_fast(spark, sf):
+    """IVF ANN with per-cell BLAS scoring — the scale path for CLUSTERED
+    embedding spaces (centroids adapt to cluster structure; hyperplane
+    LSH buckets track cluster mass instead). Runs against the FROZEN
+    quantizer (the serving shape): cells and probe sets come from the
+    same sequential-fold Column math as ann_ivf_topk_frozen, so the
+    entry carries that exact oracle — only the in-cell scoring is BLAS,
+    which matches the fold cosine after the shared 6-decimal rounding
+    (bit-identical at sf0.001/sf0.01). The live-k-means fast path is
+    pinned by cell-agreement tests in tests/test_ann_clusters.py and
+    served by ann_ivf_topk's recall gate."""
+    from dozer_spark.ops.ivf_frozen import FROZEN_CENTROIDS_16x64
+    from dozer_spark.ops.similarity import ivf_ann_topk_fast
+
+    e = _cat(spark, sf).df("embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk_fast(e, q, "embedding", "vec_id", k=5,
+                             n_probe=4, centroids=FROZEN_CENTROIDS_16x64)
 
 
 @_q("ann_ivf_pq_topk", None)  # k-means cells + PQ candidates -> rows-only
@@ -699,11 +706,13 @@ def text_lang_id(spark, sf):
     return d.groupBy(lang_id("text").alias("pred_lang")).agg(F.count(F.lit(1)).alias("n"))
 
 
-@_q("ann_brute_force_topk_fast", None, headline=True)  # last-ulp BLAS diffs -> rows-only
+@_q("ann_brute_force_topk_fast", _BRUTE_FORCE_ORACLE, headline=True,
+    defer=True)  # brute-force family anchored by ann_brute_force_topk
 def ann_brute_force_topk_fast(spark, sf):
-    """Vectorized (numpy matmul via mapInPandas) exact top-k; equivalence
-    to the fold-based oracle-gated baseline is asserted in
-    tests/test_ann_clusters.py."""
+    """Vectorized (numpy matmul via mapInPandas) exact top-k. Carries
+    the SAME exact oracle as the fold-based sibling: the BLAS cosine
+    matches the fold after the shared 6-decimal rounding (bit-identical
+    at sf0.001/sf0.01; also pinned by tests/test_ann_clusters.py)."""
     from dozer_spark.ops.similarity import brute_force_topk_fast
 
     e = _cat(spark, sf).df("embeddings")
@@ -711,13 +720,16 @@ def ann_brute_force_topk_fast(spark, sf):
     return brute_force_topk_fast(e, q, "embedding", "vec_id", k=5)
 
 
-@_q("ann_lsh_topk_fast", None)  # last-ulp BLAS diffs -> rows-only
+@_q("ann_lsh_topk_fast", _lsh_ann_oracle(),
+    defer=True)  # LSH family anchored by ann_lsh_topk in-window
 def ann_lsh_topk_fast(spark, sf):
     """lsh_ann_topk with in-bucket BLAS scoring (one matmul per bucket
     cogroup) — the 100x path: the fold-based cosine is interpreted
-    per array element and dominates at corpus scale. Equivalence to the
-    fold-based oracle-gated variant is asserted in
-    tests/test_ann_clusters.py."""
+    per array element and dominates at corpus scale. Buckets are the
+    same deterministic md5-plane Column math as the sibling, so it
+    carries the sibling's exact oracle: the BLAS cosine matches the
+    fold after the shared 6-decimal rounding (bit-identical at
+    sf0.001/sf0.01; also pinned by tests/test_ann_clusters.py)."""
     from dozer_spark.ops.similarity import lsh_ann_topk_fast
 
     e = _cat(spark, sf).df("embeddings")

@@ -104,9 +104,7 @@ def timeseries_gap_fill_hourly(spark, sf):
     )
 
 
-@_q(
-    "ann_hard_negatives",
-    f"""
+_HARD_NEG_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS ql
       FROM embeddings WHERE vec_id % 100 = 0
@@ -125,8 +123,10 @@ def timeseries_gap_fill_hourly(spark, sf):
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id
             ORDER BY cos_raw DESC, neighbor_id) <= 5
-    """,
-)
+    """
+
+
+@_q("ann_hard_negatives", _HARD_NEG_ORACLE)
 def ann_hard_negatives(spark, sf):
     """Contrastive hard-negative mining: per query vector, the top-5
     most-similar corpus vectors with a DIFFERENT label (label = cluster
@@ -139,13 +139,15 @@ def ann_hard_negatives(spark, sf):
     return hard_negative_topk(e, q, "embedding", "vec_id", "label", k=5)
 
 
-@_q("ann_hard_negatives_fast", None)  # BLAS cogroups -> rows-only gate
+@_q("ann_hard_negatives_fast", _HARD_NEG_ORACLE,
+    defer=True)  # hard-neg family anchored by ann_hard_negatives
 def ann_hard_negatives_fast(spark, sf):
     """Label-grouped BLAS fast path for hard-negative mining — exact
     same results as ann_hard_negatives (pinned by the equivalence test
     in tests/test_wave9_ops.py), through the shared bounded-cogroup
-    machinery; rows-only here because the applyInPandas plan defeats a
-    SQL oracle, the fold path above carries the exact one."""
+    machinery. Carries the sibling's exact oracle: the BLAS cosine
+    matches the fold after the shared 6-decimal rounding
+    (bit-identical at sf0.001/sf0.01)."""
     from dozer_spark.ops.similarity import hard_negative_topk_fast
 
     e = _cat(spark, sf).df("embeddings")

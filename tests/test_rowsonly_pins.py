@@ -29,10 +29,6 @@ SF = "/root/testdata/sf0.001"
 # pinned by output-shape asserts + the op-level tests named in each
 # query's docstring)
 SIBLINGS = {
-    "ann_brute_force_topk_fast": "ann_brute_force_topk",
-    "ann_lsh_topk_fast": "ann_lsh_topk",
-    "ann_ivf_topk_fast": "ann_ivf_topk",
-    "ann_hard_negatives_fast": "ann_hard_negatives",
     "cdc_streaming_ann_index_fast": "cdc_streaming_ann_index",
     "ann_ivf_topk": None,
     "ann_ivf_pq_topk": None,
@@ -40,6 +36,18 @@ SIBLINGS = {
     "dedup_semantic": None,
     "sample_cluster_balanced": None,
     "embedding_pca_project": None,
+}
+
+# r12: fast variants converted to EXACT oracles (they reuse their
+# sibling's oracle SQL — BLAS cosine matches the fold after the shared
+# 6-decimal rounding). No longer rows-only; agreement with the sibling
+# is upgraded to strict whole-row equality here. ann_ivf_topk_fast runs
+# the FROZEN quantizer now, so its sibling is the frozen Column path.
+EXACT_SIBLINGS = {
+    "ann_brute_force_topk_fast": "ann_brute_force_topk",
+    "ann_lsh_topk_fast": "ann_lsh_topk",
+    "ann_ivf_topk_fast": "ann_ivf_topk_frozen",
+    "ann_hard_negatives_fast": "ann_hard_negatives",
 }
 
 
@@ -79,12 +87,14 @@ def test_fast_variant_agrees_with_exact_sibling(spark, reg, name, sibling):
     fast = reg[name].build(spark, SF).collect()
     base = reg[sibling].build(spark, SF).collect()
     assert fast and base
-    fp, bp = _pairs(fast), _pairs(base)
-    if name == "ann_ivf_topk_fast":
-        # same frozen-seed quantizer => same cells; in-cell BLAS scoring
-        # can flip near-tied ranks at the last ulp, so require high
-        # overlap rather than set equality
-        overlap = len(fp & bp) / len(bp)
-        assert overlap >= 0.95, overlap
-    else:
-        assert fp == bp
+    assert _pairs(fast) == _pairs(base)
+
+
+@pytest.mark.parametrize("name,sibling", sorted(EXACT_SIBLINGS.items()))
+def test_exact_fast_variant_equals_sibling_rows(spark, reg, name, sibling):
+    """The converted fast variants carry their sibling's oracle SQL, so
+    the bar is whole-row equality (ids, rounded cosine, rank) — the
+    same multiset the driver value-hashes."""
+    fast = sorted(map(tuple, reg[name].build(spark, SF).collect()))
+    base = sorted(map(tuple, reg[sibling].build(spark, SF).collect()))
+    assert fast and fast == base
