@@ -312,6 +312,7 @@ def join_right_outer(spark, sf):
     GROUP BY n.n_name
     """,
     headline=True,
+    defer=True,
 )
 def join_multiway_q5_shape(spark, sf):
     """TPC-H Q5 shape: 6-way join; dims broadcast, fact side never shuffled
@@ -419,6 +420,7 @@ def tumble_hourly_counts(spark, sf):
     FROM hopped GROUP BY 1
     """,
     headline=True,
+    defer=True,
 )
 def hop_30m_1h_counts(spark, sf):
     """HOP duplicates each record into every overlapping window

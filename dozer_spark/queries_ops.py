@@ -1206,6 +1206,7 @@ _BM25_QUERIES = [("q1", "fast join query"), ("q2", "table scan filter"),
           FROM scored)
     WHERE rn <= 10
     """.format(values=", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)),
+    window=True,
 )
 def bm25_search_topn(spark, sf):
     """Okapi BM25 top-10 per query (Robertson idf, k1=1.2, b=0.75) —

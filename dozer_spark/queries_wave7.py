@@ -208,6 +208,7 @@ def temperature_mixture_sample(spark, sf):
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     headline=True,
+    window=True,
 )
 def asof_join_purchase_last_click(spark, sf):
     """AS-OF join (nearest prior match): every purchase event joined to

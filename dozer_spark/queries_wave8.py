@@ -39,6 +39,7 @@ from dozer_spark.queries import _q, _cat
     FROM w3 GROUP BY user_id
     """,
     headline=True,
+    window=True,
 )
 def funnel_signup_click_purchase(spark, sf):
     """Ordered funnel per user: first signup, first click AT-OR-AFTER
@@ -92,6 +93,7 @@ def funnel_signup_click_purchase(spark, sf):
     FROM active a JOIN firsts f USING (user_id)
     GROUP BY f.cohort_week, week_offset
     """,
+    window=True,
 )
 def cohort_weekly_retention(spark, sf):
     """Cohort retention: users grouped by the week of their first event,
@@ -507,6 +509,7 @@ def dedup_remove_spans(spark, sf):
            ROUND(exp(-(ROUND(avg_ln_c - ln(totals.n), 6))), 3) AS perplexity
     FROM per_doc, totals
     """,
+    window=True,
 )
 def text_unigram_logprob(spark, sf):
     """In-corpus unigram LM score (the self-contained analog of CCNet's
@@ -558,6 +561,7 @@ def text_unigram_logprob(spark, sf):
            ROUND(exp(-(ROUND(AVG(lnp), 6))), 3) AS perplexity
     FROM scored GROUP BY doc_id
     """,
+    window=True,
 )
 def text_bigram_logprob(spark, sf):
     """In-corpus INTERPOLATED bigram LM score (Jelinek-Mercer, lam=.75):

@@ -700,6 +700,7 @@ def histogram_order_totalprice(spark, sf):
           FROM fused)
     WHERE rn <= 10
     """,
+    window=True,
 )
 def hybrid_search_rrf(spark, sf):
     """Hybrid more-like-this retrieval: for each query document
@@ -757,6 +758,7 @@ def hybrid_search_rrf(spark, sf):
         AS chunk_pos
     FROM e
     """,
+    window=True,
 )
 def pack_chunk_manifest(spark, sf):
     """Concat-and-chunk assembly manifest (ops/packing.py): the
