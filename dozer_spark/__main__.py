@@ -56,14 +56,33 @@ def _parser() -> argparse.ArgumentParser:
     return ap
 
 
+_VALUE_FLAGS = {"--show", "--master", "--metrics-port"}
+
+
+def _subcommand_position_token(argv: list[str]) -> str | None:
+    """The first token that can occupy the subcommand position: skip
+    flags and the separate value of a value-taking flag. Only THIS
+    token decides the backward-compat rewrite — a flag value or config
+    path that happens to spell 'run'/'build' must not suppress it
+    (ADVICE r11)."""
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("-"):
+            i += 2 if a in _VALUE_FLAGS else 1
+            continue
+        return a
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # backward compat: the pre-subcommand CLI took [flags] CONFIG with
-    # no leading verb — rewrite to `run` whenever no subcommand appears
-    # anywhere in argv (flag-first invocations like
+    # no leading verb — rewrite to `run` when the token in subcommand
+    # position is not a subcommand (flag-first invocations like
     # `--show 5 app.yaml` must keep working, not just path-first ones)
-    if argv and not any(a in _SUBCOMMANDS for a in argv) and argv[0] != "-h" \
-            and argv[0] != "--help":
+    if argv and argv[0] not in ("-h", "--help") \
+            and _subcommand_position_token(argv) not in _SUBCOMMANDS:
         argv = ["run", *argv]
     args = _parser().parse_args(argv)
 

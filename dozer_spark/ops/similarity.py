@@ -1328,6 +1328,51 @@ def ivf_pq_ann_topk(
     )
 
 
+def _resent_tombstones(ids_tx, rows: DataFrame, bucket_col: str):
+    """O(matched id-buckets) resent-id probe for a streaming ANN index:
+    the slim (neighbor_id -> bucket/cell) state is bucketed by id, so
+    reading only the batch ids' hash buckets provably sees every
+    previously-indexed image of those ids. Returns old-bucket tombstone
+    rows (key + payload + __del) for re-sent ids, or None when the
+    batch is append-only — replacing the per-epoch full-state id scan
+    (ADVICE r11: durable ingest must stay O(batch), not O(accumulated
+    state), for append-only streams)."""
+    bids = ids_tx.touched_bucket_ids(rows.select("neighbor_id"))
+    prev = ids_tx.read_live_pruned(bids).select(
+        "neighbor_id", F.col(bucket_col).alias("__old"))
+    tomb = (
+        rows.join(prev, "neighbor_id")
+        .select("neighbor_id", "cv", F.col("__old").alias(bucket_col))
+        .withColumn("__del", F.lit(True))
+    )
+    return tomb if tomb.limit(1).count() > 0 else None
+
+
+def _open_ids_state(spark, store, state_dir: str, name: str,
+                    meta_key: str, cls: str):
+    """The slim per-id DiffStateTable of a durable ANN index, resuming
+    its committed log position. A pre-r12 state dir (wide state only,
+    no slim id table) cannot resume — fail loudly with the rebuild
+    instruction, mirroring StreamingFuzzyIndex."""
+    from dozer_spark.streaming.incstate import (
+        DiffStateTable,
+        diff_state_path,
+    )
+
+    ids_tx = DiffStateTable(
+        spark, diff_state_path(state_dir, name), key_cols=["neighbor_id"])
+    if store.epoch > 0:
+        ids_meta = store.load_meta(meta_key)
+        if ids_meta is None:
+            raise ValueError(
+                f"{cls}: durable state at {state_dir!r} predates the "
+                "slim id-table layout (no per-id state); delete the "
+                "state dir to rebuild"
+            )
+        ids_tx.read_committed(ids_meta)
+    return ids_tx
+
+
 class StreamingAnnIndex:
     """Incrementally maintained LSH ANN index: vector batches append to
     a bucketed corpus state (one bucket computation per NEW vector,
@@ -1375,6 +1420,9 @@ class StreamingAnnIndex:
                 key_cols=["neighbor_id"],
                 bucket_cols=["bucket"], n_buckets=state_buckets,
             )
+            self._ids_tx = _open_ids_state(
+                spark, self._store, state_dir, "ann_ids", "ann_ids_txv",
+                "StreamingAnnIndex")
             if self._store.epoch > 0:
                 # restore the log position; probes read bucket-pruned
                 self._tx.read_committed(self._store.load_meta("ann_txv"))
@@ -1414,24 +1462,27 @@ class StreamingAnnIndex:
             delta = rows.withColumn("__del", F.lit(False))
             fresh = True
             if self._store.epoch > 0:
-                # slim id-projection probe first (column pruning keeps
-                # the vector payload out of the scan); only an epoch
-                # that actually re-sends a known id pays the full-width
-                # read for its tombstones
-                resent_ids = self._tx.read_live().select("neighbor_id") \
-                    .join(rows.select("neighbor_id"), "neighbor_id")
-                if resent_ids.limit(1).count() > 0:
+                # resent-id probe on the slim (id -> bucket) state,
+                # pruned to the batch ids' hash buckets — O(batch) per
+                # append-only epoch, never a full-state scan; the old
+                # image's bucket comes from the slim state, so the
+                # tombstones never read the wide vector state at all
+                tomb = _resent_tombstones(self._ids_tx, rows, "bucket")
+                if tomb is not None:
                     fresh = False
-                    delta = delta.unionByName(
-                        self._tx.read_live()
-                        .join(rows.select("neighbor_id"), "neighbor_id")
-                        .select("neighbor_id", "cv", "bucket")
-                        .withColumn("__del", F.lit(True)))
+                    delta = delta.unionByName(tomb)
             meta = self._tx.advance(
                 delta, epoch=self._store.epoch + 1, app_id="ann_idx",
                 fresh_keys=fresh,
             )
+            ids_meta = self._ids_tx.advance(
+                rows.select("neighbor_id", "bucket")
+                .withColumn("__del", F.lit(False)),
+                epoch=self._store.epoch + 1, app_id="ann_idx_ids",
+                fresh_keys=fresh,
+            )
             self._store.stage_meta("ann_txv", meta)
+            self._store.stage_meta("ann_ids_txv", ids_meta)
             self._store.stage_meta(
                 "ann_geom", {"n_planes": self.n_planes, "dim": self.dim})
             self._store.commit()
@@ -1573,6 +1624,9 @@ class IvfAnnIndex:
                 key_cols=["neighbor_id"],
                 bucket_cols=["cell"], n_buckets=state_buckets,
             )
+            self._ids_tx = _open_ids_state(
+                spark, self._store, state_dir, "ivf_ids", "ivf_ids_txv",
+                "IvfAnnIndex")
             if self._store.epoch > 0:
                 meta = self._store.load_meta("ivf_centroids")
                 self._centroids = meta["centroids"]
@@ -1655,21 +1709,24 @@ class IvfAnnIndex:
             delta = rows.withColumn("__del", F.lit(False))
             fresh = True
             if self._store.epoch > 0:
-                # slim id-projection probe first (see StreamingAnnIndex)
-                resent_ids = self._tx.read_live().select("neighbor_id") \
-                    .join(rows.select("neighbor_id"), "neighbor_id")
-                if resent_ids.limit(1).count() > 0:
+                # O(batch) resent probe on the slim (id -> cell) state
+                # (see StreamingAnnIndex / _resent_tombstones)
+                tomb = _resent_tombstones(self._ids_tx, rows, "cell")
+                if tomb is not None:
                     fresh = False
-                    delta = delta.unionByName(
-                        self._tx.read_live()
-                        .join(rows.select("neighbor_id"), "neighbor_id")
-                        .select("neighbor_id", "cv", "cell")
-                        .withColumn("__del", F.lit(True)))
+                    delta = delta.unionByName(tomb)
             meta = self._tx.advance(
                 delta, epoch=self._store.epoch + 1, app_id="ivf_idx",
                 fresh_keys=fresh,
             )
+            ids_meta = self._ids_tx.advance(
+                rows.select("neighbor_id", "cell")
+                .withColumn("__del", F.lit(False)),
+                epoch=self._store.epoch + 1, app_id="ivf_idx_ids",
+                fresh_keys=fresh,
+            )
             self._store.stage_meta("ivf_txv", meta)
+            self._store.stage_meta("ivf_ids_txv", ids_meta)
             self._store.stage_meta("ivf_geom", {
                 "n_centroids": self.n_centroids, "seed": self.seed})
             self._store.stage_meta("ivf_centroids",

@@ -175,12 +175,19 @@ def js_records(spark: SparkSession, spool_dir: str) -> DataFrame:
 
 def js_changelog(spark: SparkSession, spool_dir: str) -> DataFrame:
     """Records as the engine changelog convention (__op/__txid/__seq):
-    one transaction (the bootstrap run) in emission order."""
+    each bootstrap RUN is its own transaction, in emission order within
+    it. run_js_source supports repeated runs (append-only js-%06d spool
+    files, one per run) and __seq restarts at 0 every run, so __txid is
+    the spool file's run index — parsed from the file name — keeping
+    (__txid, __seq) a total, unambiguous ordering/idempotence key
+    across runs (ADVICE r11)."""
     df = spark.read.schema(RECORD_SCHEMA_DDL).json(
         os.path.join(spool_dir, "*.jsonl"))
     return df.select(
-        "__op", F.lit(0).cast("long").alias("__txid"), "__seq", "value",
-        "old_value")
+        "__op",
+        F.regexp_extract(F.input_file_name(), r"js-(\d+)\.jsonl$", 1)
+        .cast("long").alias("__txid"),
+        "__seq", "value", "old_value")
 
 
 def snapshot_done(spool_dir: str) -> bool:

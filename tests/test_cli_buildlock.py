@@ -129,3 +129,35 @@ def test_build_locked_force_rejected(spark, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(home, buildlock.LOCK_FILE))
+
+
+class TestSubcommandRewrite:
+    """ADVICE r11: the legacy-CLI rewrite must key ONLY on the token in
+    subcommand position — a flag value or a config filename spelled
+    'run'/'build' elsewhere in argv must not suppress it."""
+
+    def test_position_token_skips_flags_and_their_values(self):
+        from dozer_spark.__main__ import _subcommand_position_token as tok
+
+        assert tok(["run", "cfg.yaml"]) == "run"
+        assert tok(["--show", "5", "app.yaml"]) == "app.yaml"
+        # a value-flag's value never occupies the subcommand position
+        assert tok(["--master", "run", "cfg.yaml"]) == "cfg.yaml"
+        assert tok(["--show=5", "build.yaml"]) == "build.yaml"
+        # a bare positional literally named like a subcommand IS one
+        assert tok(["build", "cfg.yaml"]) == "build"
+        assert tok(["--show", "5"]) is None
+
+    def test_flag_value_named_run_still_rewrites(self, tmp_path, capsys):
+        # `--master run missing.yaml` is a legacy flag-first invocation:
+        # it must rewrite to `run --master run missing.yaml` (and then
+        # fail on the missing config), NOT misparse 'run' as the verb
+        # with '--master' dangling
+        from dozer_spark.__main__ import main
+
+        with pytest.raises((SystemExit, Exception)) as ei:
+            main(["--master", "local[1]", str(tmp_path / "nope.yaml")])
+        # argparse would exit(2) on a misparse BEFORE reaching the
+        # config-open failure; reaching FileNotFoundError proves the
+        # rewrite routed to `run` with flags intact
+        assert not (isinstance(ei.value, SystemExit) and ei.value.code == 2)

@@ -71,7 +71,12 @@ def test_second_run_appends(spark, tmp_path):
         'ingest({typ: "Insert", new_val: {k: 99}});')
     assert run_js_source(one, spool) == 1
     assert run_js_source(one, spool) == 1
-    assert js_changelog(spark, spool).count() == 2
+    cl = js_changelog(spark, spool).collect()
+    assert len(cl) == 2
+    # each bootstrap run is its own transaction (ADVICE r11): __txid is
+    # the spool run index, so (__txid, __seq) never collides across runs
+    keys = sorted((r["__txid"], r["__seq"]) for r in cl)
+    assert keys == [(0, 0), (1, 0)]
 
 
 def test_script_error_propagates(tmp_path):

@@ -420,3 +420,60 @@ def test_streaming_ann_topk_fast_matches_fold_probe(spark):
     for r in fast:
         if (r.query_id, r.neighbor_id) in fm:
             assert abs(fm[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-5
+
+
+def test_ann_resent_probe_reads_only_matched_id_buckets(spark, tmp_path):
+    """ADVICE r11: durable ANN ingest must stay O(batch) per epoch —
+    the resent-id probe runs against the slim (id -> bucket) state
+    pruned to the batch ids' hash buckets, never a full scan of the
+    wide vector state. Physical pin: every base file the pruned probe
+    reads lives under a requested id-bucket dir, and the wide state's
+    files are untouched by the probe plan."""
+    import random
+    import re
+
+    from dozer_spark.ops.similarity import StreamingAnnIndex
+
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sd = str(tmp_path / "ann_idx_slim")
+    idx = StreamingAnnIndex(spark, "embedding", "vec_id",
+                            n_planes=4, dim=16, state_dir=sd)
+    idx.add_batch(df)
+    # compact so the slim state is base-only (dir-prunable)
+    idx._ids_tx._compact(99, "t")
+    batch = df.filter(df.vec_id.isin(3, 17)).select(
+        df.vec_id.alias("neighbor_id"))
+    bids = idx._ids_tx.touched_bucket_ids(batch)
+    assert 0 < len(bids) <= 2
+    pruned = idx._ids_tx.read_live_pruned(bids)
+    files = pruned.inputFiles()
+    assert files
+    for f in files:
+        m = re.search(r"__b=(\d+)", f)
+        assert m and int(m.group(1)) in bids
+        assert "ann_ids_tx" in f  # slim state only, never the wide state
+    # and the slim state answers the membership question correctly
+    seen = {r["neighbor_id"] for r in pruned.collect()}
+    assert {3, 17} <= seen
+
+
+def test_ann_pre_slim_id_layout_fails_loudly(spark, tmp_path):
+    """A durable state dir from before the slim id-table layout
+    (epochs committed, but no per-id meta under the slim key) must
+    refuse to resume with the rebuild instruction instead of silently
+    mis-probing."""
+    import pytest
+
+    from dozer_spark.ops.similarity import _open_ids_state
+    from dozer_spark.streaming.state import StateStore
+
+    sd = str(tmp_path / "ann_legacy")
+    store = StateStore(spark, sd)
+    store.stage_meta("ann_txv", {"v": 0, "pending": [1]})  # wide meta only
+    store.commit()
+    assert store.epoch > 0 and store.load_meta("ann_ids_txv") is None
+    with pytest.raises(ValueError, match="slim id-table layout"):
+        _open_ids_state(spark, store, sd, "ann_ids", "ann_ids_txv",
+                        "StreamingAnnIndex")
