@@ -602,6 +602,132 @@ class TransactionalTable:
         self._vacuum()
         return new_version
 
+    def append_fresh(self, batch: DataFrame, batch_id: int | None = None,
+                     app_id: str = "default") -> int:
+        """APPEND pure-insert rows whose PKs are absent from the table
+        (the caller asserts the fresh-keys contract — same trust as
+        DiffStateTable.advance(fresh_keys=True)): the batch is written
+        bucket-clustered in ONE pass (one O(batch) clustering shuffle,
+        one write job) and every existing file of a touched bucket is
+        carried into the new version dir by HARDLINK — no read of
+        existing rows, no PK join, no bucket rewrite. This is the
+        O(window) compaction path for append-only streaming indexes;
+        merge() stays the path for upserts/deletes, whose cost is
+        O(rows sharing touched buckets) — which for a uniform batch is
+        the WHOLE table, an O(state) rewrite per compaction window that
+        grows forever at corpus scale.
+
+        The change feed records every row as an insert, so time travel
+        (read_as_of) and the crash rewind (incstate.rewind_to_version)
+        work unchanged. Violating the precondition (a PK already
+        present) produces a duplicate key — callers must route any
+        window containing tombstones or re-sent keys through merge().
+        """
+        if batch_id is not None:
+            seen = (self._last_batch_ids or {}).get(app_id)
+            if seen is not None and batch_id <= seen:
+                return self.version
+        if self._schema_json is None:
+            self._schema_json = batch.schema.json()
+        new_version = self.version + 1
+
+        keyed = batch.withColumn("__b", self._bucket_col())
+        row_cols = [c for c in keyed.columns]
+        row_struct = F.struct(*[F.col(c) for c in row_cols])
+        # every row lands twice: the bucket data file and its CDF insert
+        combined = keyed.select(
+            F.explode(F.array(
+                F.struct(F.lit("data").alias("__dest"),
+                         F.lit(None).cast("string").alias("__ct"),
+                         row_struct.alias("__img")),
+                F.struct(F.lit("changes").alias("__dest"),
+                         F.lit("insert").alias("__ct"),
+                         row_struct.alias("__img")),
+            )).alias("r")
+        ).select(
+            F.col("r.__img.*"),
+            F.col("r.__dest").alias("__dest"),
+            F.col("r.__ct").alias("_change_type"),
+            F.when(F.col("r.__ct").isNotNull(), F.lit(new_version))
+            .cast("long").alias("_commit_version"),
+        )
+
+        on_disk = self._read_manifest()
+        if on_disk is not None and on_disk["version"] != self.version:
+            raise ConcurrentWriteError(
+                f"manifest moved to v{on_disk['version']} before append "
+                f"(expected v{self.version}): another writer committed"
+            )
+
+        vdir = os.path.join("buckets", f"v{new_version:06d}")
+        # same write clustering as merge: one task per bucket hash so a
+        # bucket gets ONE new file, not tasks-many tiny ones
+        combined = combined.repartition(self.n_buckets, "__b")
+        combined.write.mode("overwrite").partitionBy("__dest", "__b").parquet(
+            os.path.join(self.path, vdir)
+        )
+
+        on_disk = self._read_manifest()
+        if on_disk is not None and on_disk["version"] != self.version:
+            raise ConcurrentWriteError(
+                f"manifest moved to v{on_disk['version']} during append "
+                f"(expected v{self.version}): another writer committed"
+            )
+
+        cdir = os.path.join(self.path, "changes")
+        os.makedirs(cdir, exist_ok=True)
+        src = os.path.join(self.path, vdir, "__dest=changes")
+        dst = os.path.join(cdir, f"v{new_version:06d}")
+        if os.path.isdir(dst):  # uncommitted leftover from a dead writer
+            shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+
+        # touched buckets = the partition dirs the write produced (no
+        # extra Spark job); carry each touched bucket's EXISTING files
+        # forward by hardlink — metadata-only, the data is never copied
+        # or re-read. _vacuum later dropping the old version dir only
+        # removes one link; the inodes live on under the new dir.
+        ddir = os.path.join(vdir, "__dest=data")
+        dabs = os.path.join(self.path, ddir)
+        touched = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(dabs)
+            if d.startswith("__b=")
+        ) if os.path.isdir(dabs) else []
+        self._prev_refs = set(self._buckets.values())
+        for b in touched:
+            rel = os.path.join(ddir, f"__b={b}")
+            new_abs = os.path.join(self.path, rel)
+            old_rel = self._buckets.get(str(b))
+            if old_rel is not None:
+                old_abs = os.path.join(self.path, old_rel)
+                for fn in os.listdir(old_abs):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    link_dst = os.path.join(new_abs, fn)
+                    if os.path.exists(link_dst):  # replayed append
+                        continue
+                    try:
+                        os.link(os.path.join(old_abs, fn), link_dst)
+                    except OSError:  # cross-device/unsupported: copy
+                        shutil.copy2(os.path.join(old_abs, fn), link_dst)
+            self._buckets[str(b)] = rel
+            st = self._footer_stats(rel)
+            if st is None:
+                self._stats.pop(str(b), None)
+            else:
+                self._stats[str(b)] = st
+
+        self.version = new_version
+        if batch_id is not None:
+            self._last_batch_ids = dict(self._last_batch_ids or {})
+            self._last_batch_ids[app_id] = batch_id
+        self._commit()
+        self._vacuum()
+        return new_version
+
     def _vacuum(self, keep_versions: int = 2) -> None:
         """Drop bucket version dirs not referenced by the manifest and
         older than keep_versions (crash-rollback window), and — when

@@ -147,6 +147,10 @@ class DiffStateTable:
         # pure inserts whose keys exist nowhere else in the log, so
         # reads may union it without the per-delta anti-join
         self._fresh: dict[int, bool] = {}
+        # all-fresh windows compact via TransactionalTable.append_fresh
+        # (O(window), no bucket rewrite); False forces the merge path
+        # everywhere (the A/B lever for scale evidence runs)
+        self.append_fresh_compaction = True
 
     # -- paths ---------------------------------------------------------------
 
@@ -209,7 +213,33 @@ class DiffStateTable:
         final state), the reduction CARRIES every window tombstone per
         (key, bucket) so the merge rewrites every bucket the key ever
         occupied; a tombstone for a key the merge also re-inserts is a
-        no-op there (the matched-new branch wins), never a lost row."""
+        no-op there (the matched-new branch wins), never a lost row.
+
+        ALL-FRESH windows take the O(window) fast path instead: when
+        every pending delta carries the fresh-keys assertion (pure
+        inserts, keys nowhere else in the log — and therefore distinct
+        ACROSS the window's deltas too), there is nothing to reduce and
+        no bucket to rewrite. The stacked rows append bucket-clustered
+        in one pass (TransactionalTable.append_fresh: one clustering
+        shuffle + one write; existing bucket files carry forward by
+        hardlink). This is what keeps compaction O(new rows) for
+        append-only streaming indexes — the merge path rewrites every
+        bucket a uniform window touches, i.e. the WHOLE accumulated
+        state, every compact_every epochs."""
+        if (self.append_fresh_compaction and self._pending
+                and all(self._fresh.get(e, False) for e in self._pending)):
+            rows = (
+                self._stacked_deltas(self._pending)
+                .drop("__e")
+                .filter(~F.col("__del")).drop("__del")
+            )
+            self.tx.append_fresh(rows, batch_id=epoch, app_id=app_id)
+            for e in self._compacted_prev:
+                shutil.rmtree(self._delta_dir(e), ignore_errors=True)
+            self._compacted_prev = list(self._pending)
+            self._pending = []
+            self._fresh = {}
+            return
         stacked = self._stacked_deltas(self._pending)
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.desc("__e"), F.asc("__del"))
