@@ -544,11 +544,14 @@ def cdc_streaming_ann_index(spark, sf):
     return idx.topk(q, k=5)
 
 
-@_q("cdc_streaming_ann_index_fast", None)  # last-ulp BLAS diffs -> rows-only
+@_q("cdc_streaming_ann_index_fast", _ann_oracle(),
+    defer=True)  # streaming-ANN family anchored by cdc_streaming_ann_index
 def cdc_streaming_ann_index_fast(spark, sf):
     """The BLAS serving probe over the same incrementally built index
-    as cdc_streaming_ann_index — rows-only gate (BLAS summation order
-    can flip last-ulp ties); equivalence vs the fold probe is pinned by
+    as cdc_streaming_ann_index — carries the sibling's exact oracle
+    (r12): the BLAS cosine matches the fold after the shared 6-decimal
+    rounding, whole-row-identical at sf0.001/sf0.01; equivalence vs
+    the fold probe is also pinned by
     test_streaming_ann_topk_fast_matches_fold_probe."""
     from dozer_spark.ops.similarity import StreamingAnnIndex
 
