@@ -179,3 +179,20 @@ def test_append_compaction_crash_replay_noop(spark, tmp_path):
     _adv_fresh(spark, resumed, 3)
     assert resumed.tx.version == 1
     assert ("key0", 30) in _rows(resumed.read_live())
+
+
+def test_append_fresh_pk_bucketed_lookup_still_works(spark, tmp_path):
+    """On a PK-bucketed table, appended buckets must keep point lookups
+    correct: footer stats recompute over linked + new files, and the
+    lookup prunes to the right bucket."""
+    t = TransactionalTable(spark, str(tmp_path / "pk"), pk=["id"],
+                           n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], ["id", "v"]))
+    t.append_fresh(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100, 110)], ["id", "v"]))
+    # old and new keys both resolve through the appended layout
+    assert [tuple(r) for r in t.lookup([3]).collect()] == [(3, "v3")]
+    assert [tuple(r) for r in t.lookup([105]).collect()] == [(105, "v105")]
+    assert t.lookup([999]).count() == 0
+    assert t.read().count() == 20
