@@ -234,6 +234,111 @@ def brute_force_topk_fast(
     )
 
 
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    threshold: float = 1.0,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the scoring
+    used by CCMatrix/LASER parallel-corpus mining): for every source
+    vector x, score each of its k nearest target candidates y by the
+    RATIO margin  cos(x,y) / ((favg(x) + bavg(y)) / 2)  where favg(x)
+    is the mean cosine of x's k nearest targets and bavg(y) the mean
+    cosine of y's k nearest sources, and keep x's best-margin candidate
+    when its margin clears `threshold`. The margin normalizes away hub
+    vectors (high average similarity to everything), which plain cosine
+    thresholding cannot — the standard mining step for building
+    parallel training corpora from two monolingual embedding spaces.
+
+    Output: (src_id, tgt_id, cosine, margin, mutual), one row per
+    mined source; `mutual` marks pairs that are ALSO the best margin
+    for the target among the forward candidates (the "max/intersect"
+    mining strategy — filter on it for the high-precision corpus).
+
+    Every float is a sequential fold (cosine via zip_with/aggregate,
+    the k-candidate means via an array_sort + aggregate fold in rank
+    order), so the whole decision path replays bit-for-bit in a SQL
+    oracle — margins and the threshold cut compare RAW doubles that
+    both engines compute identically; rounding happens only at output.
+
+    Like embedding_neardup_pairs, the all-pairs candidate join is the
+    exact-recall baseline and `max_rows` enforces that contract
+    (fail-fast past the bound). At corpus scale the candidate lists
+    come from the ANN family instead (brute_force_topk_fast / IVF /
+    LSH produce exactly the (sid, tid, cos) lists this op consumes) —
+    the margin math itself only ever touches k-sized lists per vector,
+    so the mining step stays linear in corpus size either way.
+    """
+    for side, df in (("src", src), ("tgt", tgt)):
+        probed = df.limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"{side} side exceeds max_rows={max_rows}: "
+                "bitext_margin_mine's all-pairs candidate join is the "
+                "exact-recall baseline; generate candidate top-k lists "
+                "with the ANN family at corpus scale, or raise max_rows "
+                "deliberately"
+            )
+    s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
+    pairs = (
+        s.crossJoin(F.broadcast(t))
+        .withColumn("c", cosine_sim(F.col("sv"), F.col("tv")))
+        .select("sid", "tid", "c")
+    )
+    wf = Window.partitionBy("sid").orderBy(F.desc("c"), F.asc("tid"))
+    wb = Window.partitionBy("tid").orderBy(F.desc("c"), F.asc("sid"))
+    rnk = pairs.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    # k-candidate means as rank-ordered sequential folds: array_sort on
+    # struct(rank, cos) sorts by rank, the aggregate fold sums in that
+    # order — the same left-to-right sum DuckDB's list(c ORDER BY rank)
+    # + list_sum replays (proven bit-equal by the quota/centroid oracles)
+    def _rank_mean(rank_col: str, key: str, out: str):
+        lst = F.array_sort(
+            F.collect_list(F.struct(F.col(rank_col).alias("r"),
+                                    F.col("c").alias("c")))
+        )
+        total = F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x["c"])
+        return (
+            rnk.filter(F.col(rank_col) <= k)
+            .groupBy(key)
+            .agg((total / F.size(lst).cast("double")).alias(out))
+        )
+
+    fa = _rank_mean("rf", "sid", "fa")
+    ba = _rank_mean("rb", "tid", "ba")
+    m = (
+        rnk.filter(F.col("rf") <= k)
+        .join(fa, "sid")
+        .join(ba, "tid")
+        .withColumn(
+            "mg",
+            F.col("c") / ((F.col("fa") + F.col("ba")) / F.lit(2.0)),
+        )
+    )
+    ws = Window.partitionBy("sid").orderBy(F.desc("mg"), F.asc("tid"))
+    wt = Window.partitionBy("tid").orderBy(F.desc("mg"), F.asc("sid"))
+    mm = m.withColumn("rs", F.row_number().over(ws)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        mm.filter((F.col("rs") == 1) & (F.col("mg") >= threshold))
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.round("c", 6).alias("cosine"),
+            F.round("mg", 6).alias("margin"),
+            ((F.col("rs") == 1) & (F.col("rt") == 1)).alias("mutual"),
+        )
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
     reproducible across sessions and engines."""

@@ -710,6 +710,7 @@ def registry() -> dict[str, Query]:
     import dozer_spark.queries_wave9  # noqa: F401
     import dozer_spark.queries_wave10  # noqa: F401
     import dozer_spark.queries_wave11  # noqa: F401
+    import dozer_spark.queries_wave12  # noqa: F401
 
     # Exact-oracle queries first (window-flagged ones hoisted to the very
     # front, then insertion order), rows-only variants after. The driver's

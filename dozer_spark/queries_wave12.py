@@ -1,0 +1,81 @@
+"""Wave 12: margin-based bitext mining — the parallel-corpus mining
+step (Artetxe & Schwenk 2019, the CCMatrix/LASER scorer) as an exact
+DuckDB oracle. The embeddings table splits on `label` into two
+"languages" (label < 5 = source space, label >= 5 = target space); the
+whole decision path — fold cosines, rank-ordered k-candidate means,
+ratio margins, the best-per-source cut and the mutual-best flag — is
+sequential-fold float math both engines compute bit-identically, so
+the oracle compares raw doubles and rounds only at output (the same
+discipline as the frozen-quantizer ANN oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401  (query modules' norm)
+
+from dozer_spark.queries import _cat, _q
+
+_BMM_K, _BMM_THRESHOLD, _BMM_DIM = 4, 1.0, 64
+
+
+def _bitext_margin_oracle(k: int, threshold: float, dim: int) -> str:
+    cos = f"""
+        list_sum(list_transform(generate_series(1, {dim}),
+          i -> CAST(s.v[i] AS DOUBLE) * CAST(t.v[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(s.v[i] AS DOUBLE) * CAST(s.v[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(t.v[i] AS DOUBLE) * CAST(t.v[i] AS DOUBLE)))))"""
+    return f"""
+    WITH s AS (
+      SELECT vec_id AS sid, embedding AS v FROM embeddings WHERE label < 5
+    ), t AS (
+      SELECT vec_id AS tid, embedding AS v FROM embeddings WHERE label >= 5
+    ), pairs AS (
+      SELECT sid, tid, {cos} AS c FROM s, t
+    ), rnk AS (
+      SELECT sid, tid, c,
+        row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rf,
+        row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rb
+      FROM pairs
+    ), fa AS (
+      SELECT sid, list_sum(list(c ORDER BY rf)) / COUNT(*) AS fa
+      FROM rnk WHERE rf <= {k} GROUP BY sid
+    ), ba AS (
+      SELECT tid, list_sum(list(c ORDER BY rb)) / COUNT(*) AS ba
+      FROM rnk WHERE rb <= {k} GROUP BY tid
+    ), m AS (
+      SELECT r.sid, r.tid, r.c, r.c / ((fa.fa + ba.ba) / 2.0) AS mg
+      FROM rnk r JOIN fa ON fa.sid = r.sid JOIN ba ON ba.tid = r.tid
+      WHERE r.rf <= {k}
+    ), mm AS (
+      SELECT sid, tid, c, mg,
+        row_number() OVER (PARTITION BY sid ORDER BY mg DESC, tid) AS rs,
+        row_number() OVER (PARTITION BY tid ORDER BY mg DESC, sid) AS rt
+      FROM m
+    )
+    SELECT sid AS src_id, tid AS tgt_id, ROUND(c, 6) AS cosine,
+           ROUND(mg, 6) AS margin, (rs = 1 AND rt = 1) AS mutual
+    FROM mm WHERE rs = 1 AND mg >= {threshold!r}
+    """
+
+
+@_q("bitext_margin_mine",
+    _bitext_margin_oracle(_BMM_K, _BMM_THRESHOLD, _BMM_DIM))
+def bitext_margin_mine(spark, sf):
+    """CCMatrix/LASER-style margin mining between the two halves of the
+    embedding space: best ratio-margin target per source above the
+    threshold, with the mutual-best ("max" strategy) flag. Candidate
+    generation here is the gated all-pairs baseline; at corpus scale
+    the ANN family supplies the k-candidate lists the margin math
+    consumes (ops/similarity.py:bitext_margin_mine docstring)."""
+    from dozer_spark.ops.similarity import bitext_margin_mine as mine
+
+    e = _cat(spark, sf).df("embeddings")
+    return mine(
+        e.filter(F.col("label") < 5),
+        e.filter(F.col("label") >= 5),
+        "embedding",
+        "vec_id",
+        k=_BMM_K,
+        threshold=_BMM_THRESHOLD,
+    )
