@@ -59,6 +59,53 @@ def _bitext_margin_oracle(k: int, threshold: float, dim: int) -> str:
     """
 
 
+def _prune_prototypes_oracle(prune_frac: float) -> str:
+    from dozer_spark.queries_wave11 import _cm_literal, _frozen_assign_ctes
+
+    cm, ncent, dim = _cm_literal()
+    return f"""
+    WITH {_frozen_assign_ctes(cm, ncent, dim)},
+    it AS (
+      SELECT id, cell,
+        list_sum(list_transform(generate_series(1, {dim}),
+          i -> vn[i] * c[cell + 1][i])) AS sim
+      FROM asn, cm
+    ),
+    r AS (
+      SELECT id, cell, sim,
+        row_number() OVER (PARTITION BY cell
+          ORDER BY sim DESC, id ASC) AS rnk,
+        COUNT(*) OVER (PARTITION BY cell) AS n
+      FROM it
+    )
+    SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell,
+           ROUND(sim, 6) AS centroid_sim,
+           rnk > FLOOR({prune_frac!r} * n + 0.5) AS kept
+    FROM r
+    """
+
+
+_PPF_FRAC = 0.3
+
+
+@_q("prune_prototypes_frozen", _prune_prototypes_oracle(_PPF_FRAC))
+def prune_prototypes_frozen(spark, sf):
+    """SSL-prototype pruning (Sorscher et al. 2022) against the frozen
+    spherical quantizer: per cell, the prune_frac most prototypical
+    (highest centroid-similarity) items are dropped and the hard tail
+    kept — rank-local, no pair join (the scale contrast to SemDeDup's
+    pairwise scan). The rank runs on RAW fold similarities both engines
+    compute identically; rounding only at output."""
+    from dozer_spark.ops.semdedup_frozen import (
+        FROZEN_UNIT_CENTROIDS_16x64,
+        prune_prototypes_frozen as prune,
+    )
+
+    e = _cat(spark, sf).df("embeddings")
+    return prune(e, "embedding", "vec_id", FROZEN_UNIT_CENTROIDS_16x64,
+                 prune_frac=_PPF_FRAC)
+
+
 @_q("bitext_margin_mine",
     _bitext_margin_oracle(_BMM_K, _BMM_THRESHOLD, _BMM_DIM))
 def bitext_margin_mine(spark, sf):

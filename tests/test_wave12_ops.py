@@ -130,3 +130,46 @@ class TestBitextMarginMine:
             "id as vid", "array(cast(id as float), 1.0f) as emb")
         with pytest.raises(ValueError, match="max_rows"):
             bitext_margin_mine(df, df, "emb", "vid", max_rows=5)
+
+
+class TestPrunePrototypesFrozen:
+    def _run(self, spark, prune_frac):
+        from dozer_spark.ops.semdedup_frozen import (
+            FROZEN_UNIT_CENTROIDS_16x64,
+            prune_prototypes_frozen,
+        )
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.standard_normal(64)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "vid long, emb array<float>")
+        return prune_prototypes_frozen(
+            df, "emb", "vid", FROZEN_UNIT_CENTROIDS_16x64,
+            prune_frac=prune_frac).collect()
+
+    def test_per_cell_prune_count(self, spark):
+        out = self._run(spark, 0.3)
+        assert len(out) == 200
+        by_cell = {}
+        for r in out:
+            by_cell.setdefault(r.cell, []).append(r)
+        for cell, rs in by_cell.items():
+            n = len(rs)
+            dropped = sum(1 for r in rs if not r.kept)
+            assert dropped == math.floor(0.3 * n + 0.5)
+
+    def test_keeps_hard_tail(self, spark):
+        """Every pruned item is at least as prototypical (>= centroid
+        sim) as every kept item in its cell."""
+        out = self._run(spark, 0.5)
+        by_cell = {}
+        for r in out:
+            by_cell.setdefault(r.cell, []).append(r)
+        for rs in by_cell.values():
+            kept = [r.centroid_sim for r in rs if r.kept]
+            pruned = [r.centroid_sim for r in rs if not r.kept]
+            if kept and pruned:
+                assert min(pruned) >= max(kept)
+
+    def test_prune_frac_zero_keeps_all(self, spark):
+        out = self._run(spark, 0.0)
+        assert all(r.kept for r in out)
