@@ -194,10 +194,12 @@ def brute_force_topk_fast(
     k: int = 5,
     query_id_col: str | None = None,
     block_rows: int = 65536,
+    query_block_rows: int | None = None,
 ) -> DataFrame:
     """Vectorized exact top-k, fully distributed: the corpus is split
     into ~block_rows-row blocks (deterministic id-hash), the query set
-    is replicated to every block, each (block, queries) cogroup is
+    into ~query_block_rows-row blocks (default: block_rows) replicated
+    across each other, each (block, qblock) cogroup is
     scored as one BLAS matmul with per-query top-k pre-reduction, and a
     global window merges the block top-ks — the union of per-block
     top-ks contains the global top-k exactly (every corpus row is in
@@ -230,7 +232,7 @@ def brute_force_topk_fast(
     return _bucketed_blas_topk(
         c, q, ["__g"], k,
         queries.schema[qid].dataType, corpus.schema[id_col].dataType,
-        block_rows,
+        block_rows, qcap=query_block_rows,
     )
 
 
@@ -894,47 +896,71 @@ def lsh_ann_topk(
 
 
 def _split_hot_groups(c: DataFrame, q: DataFrame, group_cols: list,
-                      corpus_id: str, cap: int):
-    """Bound the BLAS fast-path cogroups: split each group's CORPUS
-    rows into ~cap-row blocks (deterministic id-hash) and replicate the
-    group's queries to every block, so no single applyInPandas task
-    ever materializes more than ~2x cap corpus rows — without this, one
-    hot LSH bucket / dense IVF cell at corpus scale arrives as ONE
-    pandas DataFrame on ONE task (executor-memory ceiling + straggler;
-    clustered embedding spaces concentrate bucket mass, which is why
-    the near-dup path grew the same bound in dedup.py:735). Each corpus
-    row lands in exactly one block and every block keeps a per-query
-    top-k, so a global re-rank over the union of block top-ks equals
-    the unsplit top-k exactly. The count aggregation is map-side
-    combined and its join shares the grouping key with the cogroup
-    shuffle that follows."""
+                      corpus_id: str, cap: int,
+                      query_id: str = "query_id", qcap: int | None = None):
+    """Bound the BLAS fast-path cogroups on BOTH sides: split each
+    group's CORPUS rows into ~cap-row blocks (deterministic id-hash)
+    and its QUERY rows into ~qcap-row blocks, replicating each side
+    across the other's blocks, so no single applyInPandas task ever
+    materializes more than ~cap corpus + ~qcap query rows. Without the
+    corpus split, one hot LSH bucket / dense IVF cell at corpus scale
+    arrives as ONE pandas DataFrame on ONE task (executor-memory
+    ceiling + straggler; clustered embedding spaces concentrate bucket
+    mass, which is why the near-dup path grew the same bound in
+    dedup.py:735); without the query split, a million-query serving
+    batch lands whole in EVERY corpus-block task. Each (corpus row,
+    query) pair meets in exactly one (block, qblock) cogroup and every
+    cogroup keeps a per-query top-k, so a global re-rank over the
+    union of block top-ks equals the unsplit top-k exactly — and
+    per-pair scores don't depend on the blocking, so results are
+    bit-identical for any (cap, qcap). The query split costs one extra
+    corpus copy per qcap queries; with n_queries <= qcap (the common
+    serving shape) nqblk=1 and the shuffle volume is identical to the
+    one-sided split. The count aggregations are map-side combined and
+    their joins share the grouping key with the cogroup shuffle that
+    follows. Groups empty on the opposite side are dropped by the
+    inner count joins — their cogroups produced no output anyway."""
+    qcap = qcap or cap
     cnt = c.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    qcnt = q.groupBy(*group_cols).agg(F.count("*").alias("__nq"))
     nblk = F.greatest(
         F.lit(1), F.ceil(F.col("__n") / F.lit(cap))
     ).cast("int")
+    nqblk = F.greatest(
+        F.lit(1), F.ceil(F.col("__nq") / F.lit(qcap))
+    ).cast("int")
     c2 = (
         c.join(cnt, list(group_cols))
+        .join(qcnt, list(group_cols))
         .withColumn("__blk", F.pmod(F.xxhash64(F.col(corpus_id)), nblk)
                     .cast("int"))
-        .drop("__n")
+        .withColumn("__qblk",
+                    F.explode(F.sequence(F.lit(0), nqblk - F.lit(1))))
+        .drop("__n", "__nq")
     )
     q2 = (
         q.join(cnt, list(group_cols))
+        .join(qcnt, list(group_cols))
         .withColumn("__blk",
                     F.explode(F.sequence(F.lit(0), nblk - F.lit(1))))
-        .drop("__n")
+        .withColumn("__qblk", F.pmod(F.xxhash64(F.col(query_id)), nqblk)
+                    .cast("int"))
+        .drop("__n", "__nq")
     )
     return c2, q2
 
 
 def _bucketed_blas_topk(c: DataFrame, q: DataFrame, group_cols: list,
-                        k: int, qid_type, nid_type, cap: int) -> DataFrame:
+                        k: int, qid_type, nid_type, cap: int,
+                        qcap: int | None = None) -> DataFrame:
     """Shared tail of every BLAS fast path (brute/LSH/IVF/streaming
-    probe): bound each group's corpus rows via _split_hot_groups, score
-    each (group, block) cogroup as one matmul with per-query top-k
+    probe): bound each group's corpus AND query rows via
+    _split_hot_groups (qcap defaults to cap), score each
+    (group, block, qblock) cogroup as one matmul with per-query top-k
     pre-reduction (_topk_block_scores), then merge the per-block
     top-ks with a global window — exactly the unsplit top-k (every
-    corpus row is in one block; each block keeps k per query). c must
+    (corpus row, query) pair meets in one cogroup; each cogroup keeps
+    k per query; per-pair scores are blocking-independent). c must
     carry (neighbor_id, cv, *group_cols); q (query_id, qv, *group_cols)."""
     import pandas as pd
     from pyspark.sql import types as T
@@ -952,10 +978,11 @@ def _bucketed_blas_topk(c: DataFrame, q: DataFrame, group_cols: list,
         return _topk_block_scores(cdf, qdf, k,
                                   [f.name for f in out_schema])
 
-    c_blk, q_blk = _split_hot_groups(c, q, group_cols, "neighbor_id", cap)
+    c_blk, q_blk = _split_hot_groups(c, q, group_cols, "neighbor_id", cap,
+                                     qcap=qcap)
     scored = (
-        c_blk.groupBy(*group_cols, "__blk")
-        .cogroup(q_blk.groupBy(*group_cols, "__blk"))
+        c_blk.groupBy(*group_cols, "__blk", "__qblk")
+        .cogroup(q_blk.groupBy(*group_cols, "__blk", "__qblk"))
         .applyInPandas(score, out_schema)
     )
     # merge per-block top-ks (<= n_queries * blocks * k rows — tiny)
@@ -1401,8 +1428,8 @@ def ivf_pq_ann_topk(
     c_blk, q_blk = _split_hot_groups(c_codes, probed, ["cell"],
                                      "neighbor_id", hot_cell_cap)
     scored = (
-        c_blk.groupBy("cell", "__blk")
-        .cogroup(q_blk.groupBy("cell", "__blk"))
+        c_blk.groupBy("cell", "__blk", "__qblk")
+        .cogroup(q_blk.groupBy("cell", "__blk", "__qblk"))
         .applyInPandas(adc_score, adc_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"),

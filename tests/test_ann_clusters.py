@@ -185,8 +185,10 @@ def test_split_hot_groups_bounds_block_size(spark):
              c2.groupBy("bucket", "__blk").agg(
                  F.count("*").alias("n")).collect()}
     assert max(sizes.values()) <= 2 * cap
-    # every corpus row lands in exactly one block
-    assert sum(sizes.values()) == 1060
+    # every corpus row in a probed bucket lands in exactly one block;
+    # queryless buckets (0, 2: 20 rows each) are dropped — their
+    # cogroups produced no output anyway
+    assert sum(sizes.values()) == 1020
     # the hot bucket's query is replicated to each of its blocks,
     # the cold bucket's query to its single block
     nblk_hot = len({b for (g, b) in sizes if g == 7})
@@ -194,6 +196,56 @@ def test_split_hot_groups_bounds_block_size(spark):
     qrep = {r.query_id: r.n for r in q2.groupBy("query_id").agg(
         F.count("*").alias("n")).collect()}
     assert qrep[101] == nblk_hot and qrep[102] == 1
+
+
+def test_split_hot_groups_bounds_query_side(spark):
+    """The query side is bounded too: a fat serving batch splits into
+    ~qcap-row query blocks, the corpus replicated across them — no
+    cogroup task materializes more than ~cap corpus + ~qcap query
+    rows, and each (corpus row, query) pair meets exactly once."""
+    from dozer_spark.ops.similarity import _split_hot_groups
+
+    c = spark.createDataFrame(
+        [(i, [float(i)] * 4, 0) for i in range(50)],
+        "neighbor_id long, cv array<double>, bucket long")
+    q = spark.createDataFrame(
+        [(1000 + i, [float(i)] * 4, 0) for i in range(300)],
+        "query_id long, qv array<double>, bucket long")
+    c2, q2 = _split_hot_groups(c, q, ["bucket"], "neighbor_id",
+                               cap=100, qcap=40)
+    qsizes = {(r["__blk"], r["__qblk"]): r["n"] for r in
+              q2.groupBy("__blk", "__qblk").agg(
+                  F.count("*").alias("n")).collect()}
+    assert max(qsizes.values()) <= 2 * 40
+    assert sum(qsizes.values()) == 300  # nblk=1: each query in one task
+    nqblk = len({qb for (_, qb) in qsizes})
+    assert nqblk == 8  # ceil(300/40)
+    # the corpus is replicated once per query block
+    crep = {r.neighbor_id: r.n for r in c2.groupBy("neighbor_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(crep.values()) == {nqblk}
+    # pair coverage: every (corpus, query) key combo appears exactly once
+    pairs = (c2.select("__blk", "__qblk", "neighbor_id")
+             .join(q2.select("__blk", "__qblk", "query_id"),
+                   ["__blk", "__qblk"]))
+    assert pairs.count() == 50 * 300
+    assert pairs.distinct().count() == 50 * 300
+
+
+def test_brute_force_fast_query_split_equals_unsplit(catalog):
+    """Forcing query-side blocking (query_block_rows far below the
+    batch size) must return the one-block result bit-for-bit: per-pair
+    scores are blocking-independent and the merge is exact."""
+    from dozer_spark.ops.similarity import brute_force_topk_fast
+
+    e = catalog.df("embeddings")
+    q = e.filter(F.col("vec_id") < 40)
+    base = sorted(map(tuple, brute_force_topk_fast(
+        e, q, "embedding", "vec_id", k=5).collect()))
+    split = sorted(map(tuple, brute_force_topk_fast(
+        e, q, "embedding", "vec_id", k=5, block_rows=64,
+        query_block_rows=7).collect()))
+    assert base == split
 
 
 def test_lsh_ann_fast_split_equals_unsplit(catalog):
