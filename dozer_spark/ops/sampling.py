@@ -492,3 +492,126 @@ def domain_mixture_weights(
         F.round(target_share, round_to).alias("target_share"),
         F.round(weight, round_to).alias("weight"),
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "pps",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (the PPS
+    scheme of survey statistics / particle filters, applied to corpus
+    building): draw k of the stream's weight units at a fixed stride
+    with one md5-derived random offset, so each document is selected
+    with probability ~ k*w/W (heavy docs can be drawn multiple times —
+    n_hits reports the multiplicity, e.g. for epoch repetition counts).
+    The token-weighted "sample k documents proportional to length"
+    step of mixture building, with none of the libm hazard of
+    exponential-race (A-ES) sampling: the whole decision path is
+    INTEGER arithmetic (prefix sums, one modulo offset, floor/ceil
+    divisions), so it replays bit-for-bit in any engine.
+
+    Docs are laid on a line in the deterministic shuffled order
+    (md5 bucket, md5 key, id) — the same two-level prefix sum as
+    token_shard_assignment. n_buckets is a pinned parameter of the
+    order (like the salt): the bucket is part of the order key, so the
+    sample is bit-identical under any partitioning/parallelism, while
+    changing n_buckets (like changing the salt) reshuffles the line. With W = total weight and
+    r = md5(salt:r) mod W, the k picks are p_j = (r + j*W) div k,
+    j in [0, k); doc with span [s, s+w) is hit
+    max(0, jhi - jlo) times where jlo/jhi are the ceil-division
+    bounds of {j : p_j in [s, s+w)}.
+
+    Returns (id_col, weight, n_hits) for selected docs (n_hits >= 1).
+    Rows with weight <= 0 are excluded (zero-width spans can't be
+    hit). Requires 1 <= k and k*W below int64 — caller's contract
+    (k ~ 1e6 draws against W ~ 1e12 total tokens stays 3 orders of
+    magnitude inside; the LONG arithmetic overflows loudly, not
+    silently, under ANSI mode otherwise).
+
+    100 TB design: one slim scan (id, weight, hash), the per-bucket
+    window + n_buckets-row offset table of the shared prefix-sum
+    shape, a broadcast 1-row total, and a per-row closed-form hit
+    count — no global single-partition window, no driver state."""
+    from dozer_spark.operators.hints import cache_materialized
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+              % n_buckets).cast("int")
+    t = cache_materialized(
+        df.filter(F.col(weight_col) > 0).select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("__w"),
+            h.alias("__h"),
+            bucket.alias("__b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__cum", F.sum("__w").over(w_local))
+    w_off = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        t.groupBy("__b")
+        .agg(F.sum("__w").alias("__tot"))
+        .withColumn("__off", F.sum("__tot").over(w_off) - F.col("__tot"))
+        .select("__b", "__off")
+    )
+    total = t.agg(F.sum("__w").alias("__wtotal"))
+    r = F.pmod(
+        F.conv(F.substring(F.md5(F.lit(salt + ":r")), 1, 13), 16, 10)
+        .cast("long"),
+        F.col("__wtotal"),
+    )
+    placed = (
+        local.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__s", F.col("__off") + F.col("__cum") - F.col("__w"))
+        .withColumn("__r", r)
+    )
+    # ceil((k*x - r) / W) via truncating DIV: the numerator is only
+    # divided when positive (CASE-guarded), where trunc == floor, so
+    # the ceil identity (a + W - 1) DIV W holds exactly
+    placed = (
+        placed.withColumn("__lon", F.lit(int(k)) * F.col("__s") - F.col("__r"))
+        .withColumn("__hin",
+                    F.lit(int(k)) * (F.col("__s") + F.col("__w"))
+                    - F.col("__r"))
+        .withColumn(
+            "__jlo",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.when(F.col("__lon") > 0,
+                       F.expr("(__lon + __wtotal - 1) DIV __wtotal"))
+                .otherwise(F.lit(0)),
+            ),
+        )
+        .withColumn(
+            "__jhi",
+            F.least(
+                F.lit(int(k)).cast("long"),
+                F.when(F.col("__hin") > 0,
+                       F.expr("(__hin + __wtotal - 1) DIV __wtotal"))
+                .otherwise(F.lit(0)),
+            ),
+        )
+        .withColumn("__nh", F.greatest(F.lit(0).cast("long"),
+                                       F.col("__jhi") - F.col("__jlo")))
+    )
+    return placed.filter(F.col("__nh") >= 1).select(
+        F.col(id_col),
+        F.col("__w").alias("weight"),
+        F.col("__nh").alias("n_hits"),
+    )

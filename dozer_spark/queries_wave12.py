@@ -59,6 +59,57 @@ def _bitext_margin_oracle(k: int, threshold: float, dim: int) -> str:
     """
 
 
+_PPS_K, _PPS_SALT, _PPS_NB = 120, "pps", 16
+
+
+def _pps_oracle(k: int, salt: str, nb: int) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             md5('{salt}:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE n_chars > 0
+    ), b AS (
+      SELECT *, CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % {nb} AS INT)
+        AS bk
+      FROM t
+    ), c AS (
+      SELECT doc_id, w,
+        SUM(w) OVER (ORDER BY bk, h, doc_id ROWS UNBOUNDED PRECEDING) - w AS s
+      FROM b
+    ), tot AS (SELECT SUM(w) AS W FROM t),
+    rr AS (
+      SELECT CAST('0x' || substr(md5('{salt}:r'), 1, 13) AS BIGINT) % W AS r, W
+      FROM tot
+    ),
+    hits AS (
+      SELECT c.doc_id, c.w,
+        GREATEST(0, LEAST({k},
+          CASE WHEN {k} * (c.s + c.w) - rr.r > 0
+               THEN ({k} * (c.s + c.w) - rr.r + rr.W - 1) // rr.W ELSE 0 END)
+          - GREATEST(0,
+          CASE WHEN {k} * c.s - rr.r > 0
+               THEN ({k} * c.s - rr.r + rr.W - 1) // rr.W ELSE 0 END)) AS nh
+      FROM c, rr
+    )
+    SELECT doc_id, w AS weight, nh AS n_hits FROM hits WHERE nh >= 1
+    """
+
+
+@_q("sample_pps_systematic", _pps_oracle(_PPS_K, _PPS_SALT, _PPS_NB))
+def sample_pps_systematic(spark, sf):
+    """Probability-proportional-to-size systematic sampling: k=120
+    length-weighted draws over the md5-shuffled document line — all
+    integer arithmetic (prefix sums + floor/ceil divisions), the
+    libm-free weighted sampler (ops/sampling.py:pps_systematic_sample;
+    heavy docs report draw multiplicity in n_hits)."""
+    from dozer_spark.ops.sampling import pps_systematic_sample
+
+    d = _cat(spark, sf).df("documents")
+    return pps_systematic_sample(
+        d, "n_chars", "doc_id", k=_PPS_K, salt=_PPS_SALT,
+        n_buckets=_PPS_NB)
+
+
 def _prune_prototypes_oracle(prune_frac: float) -> str:
     from dozer_spark.queries_wave11 import _cm_literal, _frozen_assign_ctes
 

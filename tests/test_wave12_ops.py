@@ -173,3 +173,60 @@ class TestPrunePrototypesFrozen:
     def test_prune_frac_zero_keeps_all(self, spark):
         out = self._run(spark, 0.0)
         assert all(r.kept for r in out)
+
+
+class TestPpsSystematicSample:
+    def _docs(self, spark, weights):
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)],
+            "doc_id long, w long")
+
+    def test_total_draws_equal_k(self, spark):
+        from dozer_spark.ops.sampling import pps_systematic_sample
+
+        rng = np.random.default_rng(5)
+        docs = self._docs(spark, [int(x) for x in rng.integers(1, 200, 300)])
+        for k in (7, 40, 111):
+            out = pps_systematic_sample(docs, "w", "doc_id", k=k).collect()
+            assert sum(r.n_hits for r in out) == k
+            assert all(r.n_hits >= 1 for r in out)
+
+    def test_heavy_doc_always_selected_with_multiplicity(self, spark):
+        """Systematic PPS certainty: a doc with weight >= W/k cannot be
+        skipped, and one with weight >= 2W/k is drawn >= 2 times."""
+        from dozer_spark.ops.sampling import pps_systematic_sample
+
+        weights = [10] * 50 + [2000]  # W = 2500, k=10 -> stride 250
+        docs = self._docs(spark, weights)
+        out = {r.doc_id: r.n_hits for r in pps_systematic_sample(
+            docs, "w", "doc_id", k=10).collect()}
+        assert out[50] >= 2000 * 10 // 2500  # 8 draws guaranteed
+        assert sum(out.values()) == 10
+
+    def test_bit_identical_across_partitioning(self, spark):
+        """n_buckets pins the order (it's part of the order key, like
+        the salt); the PHYSICAL partitioning must never matter."""
+        from dozer_spark.ops.sampling import pps_systematic_sample
+
+        rng = np.random.default_rng(9)
+        docs = self._docs(spark, [int(x) for x in rng.integers(1, 99, 400)])
+        a = sorted(map(tuple, pps_systematic_sample(
+            docs.coalesce(1), "w", "doc_id", k=33).collect()))
+        b = sorted(map(tuple, pps_systematic_sample(
+            docs.repartition(17), "w", "doc_id", k=33).collect()))
+        assert a == b and len(a) > 0
+
+    def test_zero_weight_rows_excluded(self, spark):
+        from dozer_spark.ops.sampling import pps_systematic_sample
+
+        docs = self._docs(spark, [0, 5, 5, 0, 5])
+        out = pps_systematic_sample(docs, "w", "doc_id", k=3).collect()
+        assert {r.doc_id for r in out} <= {1, 2, 4}
+        assert sum(r.n_hits for r in out) == 3
+
+    def test_k_validation(self, spark):
+        from dozer_spark.ops.sampling import pps_systematic_sample
+
+        docs = self._docs(spark, [5, 5])
+        with pytest.raises(ValueError, match="k must be"):
+            pps_systematic_sample(docs, "w", "doc_id", k=0)
