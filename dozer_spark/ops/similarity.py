@@ -1019,10 +1019,19 @@ def _topk_block_scores(cdf, qdf, k: int, out_cols: list) -> "pd.DataFrame":
         for qi, qid_val in enumerate(part["query_id"]):
             col = S[:, qi]
             mask = nids != qid_val
-            order = np.lexsort((nids[mask], -col[mask]))[:k]
-            idx = np.nonzero(mask)[0][order]
-            for ni in idx:
-                rows.append((qid_val, nids[ni], float(S[ni, qi])))
+            vals, ids = col[mask], nids[mask]
+            src = np.nonzero(mask)[0]
+            if len(vals) > k:
+                # O(n) pre-cut: everything >= the kth-largest score is
+                # a tie-safe SUPERSET of the (score desc, id asc) top-k
+                # — lexsort only that boundary set, bit-identical to
+                # lexsorting the whole block
+                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                cand = np.nonzero(vals >= kth)[0]
+                vals, ids, src = vals[cand], ids[cand], src[cand]
+            order = np.lexsort((ids, -vals))[:k]
+            for oi in order:
+                rows.append((qid_val, ids[oi], float(vals[oi])))
     return pd.DataFrame(rows, columns=out_cols)
 
 
@@ -1419,10 +1428,16 @@ def ivf_pq_ann_topk(
             d = lut[sub[None, :], C].sum(axis=1)
             qid_val = qdf["query_id"].iloc[qi]
             mask = nids != qid_val
-            order = np.lexsort((nids[mask], d[mask]))[:n_cand]
-            idx = np.nonzero(mask)[0][order]
-            for ni in idx:
-                rows.append((qid_val, nids[ni], float(d[ni])))
+            dd, ids = d[mask], nids[mask]
+            if len(dd) > n_cand:
+                # O(n) pre-cut (see _topk_block_scores): <= the
+                # n_cand-th smallest distance is a tie-safe superset
+                kth = np.partition(dd, n_cand - 1)[n_cand - 1]
+                cand = np.nonzero(dd <= kth)[0]
+                dd, ids = dd[cand], ids[cand]
+            order = np.lexsort((ids, dd))[:n_cand]
+            for oi in order:
+                rows.append((qid_val, ids[oi], float(dd[oi])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
 
     c_blk, q_blk = _split_hot_groups(c_codes, probed, ["cell"],
