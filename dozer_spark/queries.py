@@ -63,7 +63,13 @@ def _q(name: str, oracle: str | None, headline: bool = False,
 
 
 def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
-    return Catalog.from_testdata(spark, sf_dir)
+    # lazy: a query build pays only for the tables it references (the
+    # eager load of all ten was ~1.1 s of driver time PER BUILD at
+    # sf0.1 — over half the warm bench total). Builders that consume
+    # bare table names via spark.sql() must touch their tables with
+    # cat.df(name) (or cat.load_all()) so the temp views are (re)bound
+    # to THIS sf_dir.
+    return Catalog.from_testdata(spark, sf_dir, lazy=True)
 
 
 # ---------------------------------------------------------------------------

@@ -247,7 +247,9 @@ def except_keys(spark, sf):
 
 
 def _dialect(spark, sf, sql):
-    df, _ = statement_to_dataframe(spark, sql, _cat(spark, sf))
+    # load_all: the dialect SQL references tables by bare name through
+    # session temp views, so every corpus view must be (re)bound here
+    df, _ = statement_to_dataframe(spark, sql, _cat(spark, sf).load_all())
     return df
 
 
@@ -371,7 +373,7 @@ def python_udf_roundtrip(spark, sf):
     from dozer_spark.functions.udf import register_python_udf
 
     register_python_udf(spark, "score_key_q", lambda x: x * 2 + 1, T.LongType())
-    _cat(spark, sf)
+    _cat(spark, sf).view("orders")  # bind the `orders` view to this sf_dir
     return spark.sql(
         "SELECT score_key_q(o_orderkey) AS scored, COUNT(*) AS n FROM orders GROUP BY 1"
     )
@@ -399,7 +401,7 @@ def js_udf_roundtrip(spark, sf):
                     trusted_source=True)
     register_js_udf(spark, "js_upper_q", "(s) => s.toUpperCase()",
                     "string", trusted_source=True)
-    _cat(spark, sf)
+    _cat(spark, sf).view("orders")  # bind the `orders` view to this sf_dir
     return spark.sql(
         "SELECT js_score_q(o_orderkey) AS scored, "
         "js_upper_q(o_orderpriority) AS pri_u, COUNT(*) AS n "

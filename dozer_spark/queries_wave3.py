@@ -336,7 +336,7 @@ def rollup_aggregation(spark, sf):
     """ROLLUP + GROUPING() — 'no grouping sets / cube / rollup' in the
     reference (SURVEY §2.4). Via spark.sql: F.grouping() demands the
     exact grouping expression object, which aliased cast columns break."""
-    _cat(spark, sf)  # registers the views
+    _cat(spark, sf).view("customer")  # bind the `customer` view to this sf_dir
     return spark.sql(
         """
         SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nk,

@@ -20,9 +20,10 @@ _TABLES = ("part", "supplier", "nation", "region", "orders", "lineitem",
 
 
 def _sql(spark, sf, text):
+    # view() loads the table and (re)binds its temp view to this sf_dir
     cat = _cat(spark, sf)
     for t in _TABLES:
-        cat.df(t).createOrReplaceTempView(t)
+        cat.view(t)
     return spark.sql(text)
 
 

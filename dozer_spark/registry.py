@@ -40,6 +40,35 @@ TESTDATA_PKS: dict[str, list[str]] = {
 # math would lose precision on ~1.7e18 ns epochs).
 
 
+# Parquet METADATA cache: (path, mtime_ns, size) -> (spark schema, ns cols).
+# Schema inference (`spark.read.parquet`) is a ~90 ms driver round-trip per
+# table per call; with every query build re-opening its input tables, the
+# inference dominated the driver-side build cost (measured 1.13 s of a
+# 1.15 s catalog load at sf0.1 — guide §7.3: planning/metadata is
+# single-threaded driver work). The cache holds only file METADATA keyed
+# by (path, mtime, size) — a rewritten file misses and re-infers — so
+# every query still computes from the parquet bytes; this is the same
+# class of caching as Spark's own session file-listing cache (guide §6).
+_SCHEMA_CACHE: dict[tuple, tuple] = {}
+
+
+def _path_sig(path: str) -> tuple | None:
+    """Stat-based cache key; None (uncacheable) when stat fails."""
+    try:
+        if os.path.isdir(path):
+            parts = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                )
+            )
+            return (path, parts)
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def _nanos_ts_cols(path: str) -> list[str]:
     """Detect TIMESTAMP(NANOS) columns from the parquet footer."""
     try:
@@ -72,6 +101,10 @@ class Catalog:
 
     spark: SparkSession
     tables: dict[str, TableEntry] = field(default_factory=dict)
+    # lazily-loadable name -> parquet path (from_testdata(lazy=True)):
+    # the table is read + view-registered on first df() access, so a
+    # query build pays only for the tables it references
+    pending: dict[str, str] = field(default_factory=dict)
 
     def register(self, name: str, df: DataFrame, pk: list[str] | None = None,
                  path: str | None = None, as_view: bool = True) -> TableEntry:
@@ -87,26 +120,67 @@ class Catalog:
 
     def df(self, name: str) -> DataFrame:
         if name not in self.tables:
-            raise KeyError(
-                f"table {name!r} not registered (loaded: {sorted(self.tables)}); "
-                "check the sf_dir path and that <table>.parquet exists"
-            )
+            if name in self.pending:
+                path = self.pending.pop(name)
+                # no temp view for lazily-loaded tables: DataFrame-API
+                # consumers never read it and createOrReplaceTempView is
+                # a ~80 ms driver round-trip; spark.sql() consumers bind
+                # views explicitly via view()/load_all()
+                self.register(
+                    name,
+                    load_parquet(self.spark, path, name),
+                    pk=TESTDATA_PKS.get(name),
+                    path=path,
+                    as_view=False,
+                )
+            else:
+                raise KeyError(
+                    f"table {name!r} not registered "
+                    f"(loaded: {sorted(self.tables)}); check the sf_dir "
+                    "path and that <table>.parquet exists"
+                )
         return self.tables[name].df
 
+    def view(self, name: str) -> DataFrame:
+        """df(name), additionally (re)binding the session temp view
+        `name` to this catalog's table — required before spark.sql()
+        references the bare table name (a stale view from a previous
+        catalog at a different sf_dir would otherwise win)."""
+        d = self.df(name)
+        d.createOrReplaceTempView(name)
+        return d
+
     def has(self, name: str) -> bool:
-        return name in self.tables
+        return name in self.tables or name in self.pending
 
     def names(self) -> list[str]:
-        return list(self.tables)
+        return list(self.tables) + list(self.pending)
 
     def pk(self, name: str) -> list[str]:
+        if name not in self.tables and name in self.pending:
+            self.df(name)
         return self.tables[name].schema.primary_index
+
+    def load_all(self) -> "Catalog":
+        """Force-load every table and bind its temp view. spark.sql()
+        consumers that reference tables by bare name must call this (or
+        view() per table) so the session views point at THIS catalog's
+        sf_dir, not whatever a previous build left."""
+        for name in self.names():
+            self.view(name)
+        return self
 
     @classmethod
     def from_testdata(cls, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
-                      tables: list[str] | None = None) -> "Catalog":
+                      tables: list[str] | None = None,
+                      lazy: bool = False) -> "Catalog":
         """Load the driver's parquet corpus (TESTDATA.md) and register
-        each table as a temp view with its PK."""
+        each table as a temp view with its PK.
+
+        lazy=True defers the read (and view registration) of each table
+        to its first df() access: a query build then pays only for the
+        tables it actually references instead of all ten (~0.1 s vs
+        ~1.1 s of driver time per build at sf0.1)."""
         # The caller's session may not be ours (the driver builds its own):
         # pin UTC so epoch math (window bucketing, TTL cutoffs) is
         # deterministic regardless of host timezone. Runtime-settable conf.
@@ -119,17 +193,44 @@ class Catalog:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 continue
-            df = load_parquet(spark, path, name)
-            cat.register(name, df, pk=TESTDATA_PKS.get(name), path=path)
+            if lazy:
+                cat.pending[name] = path
+            else:
+                df = load_parquet(spark, path, name)
+                cat.register(name, df, pk=TESTDATA_PKS.get(name), path=path)
         return cat
 
 
 def load_parquet(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
-    """Read a parquet table, normalizing ns timestamps to timestamp_ntz."""
-    ns_cols = _nanos_ts_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    """Read a parquet table, normalizing ns timestamps to timestamp_ntz.
+
+    Schema + ns-column metadata is memoized per (path, mtime, size):
+    a cache hit skips the footer probe and Spark's schema inference
+    (`spark.read.schema(...)` instead of `spark.read.parquet`'s
+    inference pass — ~3x less driver time per open)."""
+    sig = _path_sig(path)
+    hit = _SCHEMA_CACHE.get(sig) if sig is not None else None
+    if hit is None:
+        ns_cols = tuple(_nanos_ts_cols(path))
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+        if sig is not None:
+            _SCHEMA_CACHE[sig] = (schema, ns_cols)
+    else:
+        schema, ns_cols = hit
+        if ns_cols:
+            # the legacy conf must hold at SCAN time for TIMESTAMP(NANOS)
+            # columns even with an explicit schema (the reader validates
+            # catalyst type vs parquet type per file)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ALWAYS build the returned frame through the explicit-schema path —
+    # also right after inferring. A frame read with an inferred schema is
+    # a DIFFERENT logical relation than one read with an explicit schema,
+    # so mixing the two across builds would defeat CacheManager's
+    # plan-equality matching for persisted intermediates (e.g. the
+    # minhash signature table) between benchmark passes.
+    df = spark.read.schema(schema).parquet(path)
     from pyspark.sql import functions as F  # local import to keep module light
 
     for c in ns_cols:
