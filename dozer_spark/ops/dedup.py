@@ -161,22 +161,31 @@ def _blocked_self_join_pairs(
     the MinHash band join and the SimHash chunk join.
 
     A blocking key covering a large slice of the corpus funnels n^2 pair
-    work into ONE join partition — AQE cannot split a single key. One
-    slim shuffle counts the buckets over `hot_cap`; rows of a hot bucket
+    work into ONE join partition — AQE cannot split a single key. A slim
+    aggregate finds the buckets over `hot_cap`; rows of a hot bucket
     get a deterministic fragment f in [0, s) (s = ceil(n / cap)); the
     left side replays each row into cells (f, j>=f), the right side into
     cells (i<=f, f), and the join key gains (ci, cj) — every unordered
     pair meets in EXACTLY one cell, so results are identical while each
     cell holds ~(n/s)^2 of the work. Cold buckets (s=1) stay single-cell
-    with zero replication; a corpus with no hot bucket keeps the plain
-    self-join plan (fragment machinery only widens the join key).
+    with zero replication, so the fragment path IS the plain self-join
+    on a corpus with no hot bucket (join key two ints wider, zero
+    replication) — which is why there is no driver-side "is anything
+    hot?" probe: the old cache_materialized(hot).count() cost one extra
+    blocking job + a cache entry PER BUILD (and per STREAMING EPOCH via
+    the dedup/fuzzy probe paths) just to pick between two plans with
+    identical output. Folding the branch into the plan keeps one job
+    end-to-end; the hot list is computed inside it and joined back
+    (provably <= corpus/cap rows — AQE broadcast-converts it from
+    runtime sizes; the explicit hint only fires when Catalyst can bound
+    the estimate, which an aggregate output cannot).
 
     extra_pred: extra join predicate over aliases "a"/"b" (e.g. the
     MinHash size-ratio prefilter). carry: (out_a, out_b, src) triples —
     src is carried from the smaller-id side into out_a and the larger-id
     side into out_b.
     """
-    hot = cache_materialized(
+    hot = (
         blocked.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > hot_cap)
@@ -190,28 +199,6 @@ def _blocked_self_join_pairs(
         e = F.col(f"a.{k}") == F.col(f"b.{k}")
         key_eq = e if key_eq is None else key_eq & e
 
-    if hot.count() == 0:
-        a, b_ = blocked.alias("a"), blocked.alias("b")
-        cond = key_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        if extra_pred is not None:
-            cond = cond & extra_pred
-        return (
-            a.join(b_, cond)
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                *[F.col(f"a.{src}").alias(oa) for (oa, _, src) in carry],
-                *[F.col(f"b.{src}").alias(ob) for (_, ob, src) in carry],
-            )
-            # the distinct both dedups the per-key-duplicated pair
-            # multiset and (deliberately) re-shuffles the slim pair rows
-            # to full parallelism for the downstream verify stage
-            .distinct()
-        )
-
-    # The hot list is provably <= corpus/cap rows; cache_materialized
-    # lets the broadcast gate see its real size — past the gate it
-    # degrades to a shuffled lookup join.
     frag = (
         blocked.join(maybe_broadcast(hot, broadcast_gate_bytes), key_cols, "left")
         .select("*", F.coalesce(F.col("__s"), F.lit(1)).alias("s"))
@@ -388,9 +375,9 @@ def minhash_lsh_pairs(
     # collisions at threshold 0.9 on the sf0.1 corpus.
     size_compatible = minhash_size_pred(threshold)
 
-    # SKEW PROBE + HOT-BAND FRAGMENT SPLIT (shared helper). The probe's
-    # count also front-loads the signature materialization that every
-    # later stage reuses from cache.
+    # HOT-BAND FRAGMENT SPLIT (shared helper): the skew decision is part
+    # of the plan (no driver-side probe job), so the whole pair search is
+    # one job and the persisted signatures materialize within it.
     cand = _blocked_self_join_pairs(
         bands,
         ["band", "band_key"],

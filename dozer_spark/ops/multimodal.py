@@ -112,29 +112,41 @@ PROBE_SCHEMA = T.StructType(
 
 
 def probe_metadata(df: DataFrame, id_col: str = "media_id",
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   payload_builder=None) -> DataFrame:
     """REAL metadata extraction from raw media bytes (no media library):
     sniffs the container by magic bytes and parses PNG/JPEG/GIF
     dimensions and WAV channels/sample-rate/duration with stdlib struct
     (ops/media_codecs.py). Runs as Arrow-batched mapInPandas over the
     two needed columns only — payloads never widen the shuffle, and at
-    scale the probe parallelizes with the scan."""
+    scale the probe parallelizes with the scan.
+
+    payload_builder: optional callable (pd.Series of ids -> iterable of
+    payload bytes). When given, payloads are SYNTHESIZED inside the
+    probe's own batch loop instead of being read from payload_col, so
+    generated bytes never cross the JVM<->Python boundary at all — a
+    builder UDF feeding a probe UDF would otherwise ship every payload
+    Python -> JVM -> Python (two Arrow passes over the heaviest column
+    for one Python stage's worth of work)."""
     from dozer_spark.ops.media_codecs import probe_bytes
 
     cols = [f.name for f in PROBE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = (payload_builder(pdf[id_col])
+                        if payload_builder is not None else pdf[payload_col])
             out = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf[id_col], payloads):
                 d = probe_bytes(bytes(payload) if payload is not None else None)
                 d["media_id"] = mid
                 out.append(d)
             yield pd.DataFrame(out, columns=cols)
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, PROBE_SCHEMA)
+    in_cols = [F.col(id_col).cast("long").alias(id_col)]
+    if payload_builder is None:
+        in_cols.append(F.col(payload_col))
+    return df.select(*in_cols).mapInPandas(run, PROBE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -875,13 +875,10 @@ def multimodal_metadata_probe(spark, sf):
     recomputes the expected metadata from the same formulas in SQL — any
     builder or parser bug breaks the hash."""
     import pandas as pd
-    from pyspark.sql import types as T
 
     from dozer_spark.ops.media_codecs import make_jpeg, make_png, make_wav
     from dozer_spark.ops.multimodal import probe_metadata
 
-    # no type annotations: `from __future__ import annotations` turns them
-    # into strings pandas_udf cannot resolve at decoration time
     def build(col):
         out = []
         for doc_id in col:
@@ -896,10 +893,12 @@ def multimodal_metadata_probe(spark, sf):
                 out.append(make_wav(rate, n, channels=1 + doc_id % 2))
         return pd.Series(out)
 
-    build_udf = F.pandas_udf(build, T.BinaryType())
+    # payload_builder runs INSIDE the probe's batch loop: one Python
+    # stage, and the synthesized bytes never ride an Arrow transfer
+    # (the old builder-UDF -> probe-UDF chain shipped every payload
+    # Python -> JVM -> Python; guide §4.1)
     d = _cat(spark, sf).df("documents").select("doc_id")
-    media = d.withColumn("payload", build_udf(F.col("doc_id")))
-    return probe_metadata(media, id_col="doc_id", payload_col="payload").select(
+    return probe_metadata(d, id_col="doc_id", payload_builder=build).select(
         F.col("media_id").alias("doc_id"), "mime", "width", "height",
         "duration_ms", "sample_rate", "channels",
     )
