@@ -94,16 +94,21 @@ def minhash_signatures(
     """
     toks = _token_set(text_col)
 
+    # Every per-hash column is built as ONE F.expr() SQL string: the
+    # equivalent Column-operator chain (array_min(transform(lambda)))
+    # costs ~8 py4j round-trips per hash — at the 52-hash geometry that
+    # was measured as seconds of single-threaded DRIVER time per build
+    # (guide §7.3), while one JVM-side parse per column is ~1 ms. The
+    # parsed expression tree is identical, so plans and results are
+    # bit-for-bit unchanged.
     def mh(i: int):
         # h1/h2 are hoisted into __h12: the hex parse (conv) is the
         # per-token cost, and computing it once per token instead of
         # once per (token, i) keeps wide geometries (52 hashes at
         # threshold 0.9) nearly as cheap as narrow ones
-        return F.array_min(
-            F.transform(
-                F.col("__h12"),
-                lambda s: (s["h1"] + F.lit(i) * s["h2"]) % F.lit(MINHASH_PRIME),
-            )
+        return F.expr(
+            f"array_min(transform(__h12, s -> (s.h1 + {i} * s.h2) % "
+            f"{MINHASH_PRIME}))"
         ).alias(f"mh{i}")
 
     # hashing is CPU-bound: spread a small (few-split) input over the
@@ -112,15 +117,13 @@ def minhash_signatures(
         F.col(id_col),
         toks.alias("toks"),
     ).withColumn(
-        "__digests", F.transform("toks", lambda t: F.md5(t))
+        "__digests", F.expr("transform(toks, t -> md5(t))")
     ).withColumn(
         "__h12",
-        F.transform(
-            "__digests",
-            lambda d: F.struct(
-                F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
-                F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
-            ),
+        F.expr(
+            "transform(__digests, d -> struct("
+            "CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT) AS h1, "
+            "CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT) AS h2))"
         ),
     )
     # toksh: 60-bit md5-prefix token hashes. Verification intersects
@@ -130,8 +133,9 @@ def minhash_signatures(
     # hash sets, so results stay exactly comparable (a within-pair
     # 60-bit collision would change jaccard identically on both
     # engines; probability is ~1e-15 per pair).
-    toksh = F.array_distinct(
-        F.transform("__digests", lambda d: F.conv(F.substring(d, 1, 15), 16, 10).cast("long"))
+    toksh = F.expr(
+        "array_distinct(transform(__digests, "
+        "d -> CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT)))"
     )
     return base.select(
         F.col(id_col), F.col("toks"), toksh.alias("toksh"),
@@ -260,11 +264,12 @@ def minhash_band_table(sigs: DataFrame, id_col: str,
     rows_per_band = n_hashes // n_bands
 
     def band_key(b: int) -> Column:
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
+        # one F.expr per band (vs ~3 py4j calls per minhash column)
+        cols = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)"
             for r in range(rows_per_band)
-        ]
-        return F.substring(F.md5(F.concat_ws(":", *cols)), 1, 16)
+        )
+        return F.expr(f"substring(md5(concat_ws(':', {cols})), 1, 16)")
 
     # ONE scan + explode (not n_bands union branches): a union re-reads
     # the signature source per branch and multiplies the partition count
@@ -453,17 +458,24 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> Data
     )
     h = _md5_bits(F.col("tok"), n_bits).alias("h")
     tok = tok.select(F.col(id_col), h)
+    # one F.expr per vote column and ONE for the whole signature chain:
+    # the Column-operator equivalents (60x sum(when(...)) plus a 60-term
+    # sum built by repeated `+`) cost ~8 py4j round-trips per term —
+    # measured ~6 s of single-threaded driver time PER BUILD at the
+    # 60-bit geometry (guide §7.3). Parsed trees are identical
+    # (CASE WHEN == F.when), so plans and results are unchanged.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(n_bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    sig = None
-    for b in range(n_bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
+    sig = F.expr(" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    ))
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
