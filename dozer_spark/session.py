@@ -23,10 +23,24 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Sized so a shuffle partition of sf0.1 fits comfortably in an executor
-# thread; on a real cluster these are overridden per-deploy (or left to AQE
-# coalescing, which is why initialPartitionNum is set high).
-_LOCAL_SHUFFLE_PARTITIONS = "32"
+def _shuffle_partitions(cpus: str) -> str:
+    """Scale-adaptive shuffle partitioning (guide §2.2): the initial
+    partition count tracks the session's actual slot count instead of a
+    constant tuned for one machine shape — one task per slot locally,
+    floored at 16 so AQE's coalescing (enabled below) still has room to
+    merge when inputs are tiny. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
+    for deployments: on a cluster, size it so post-shuffle partitions
+    land in the 100 MB–1 GB range for the expected input (e.g. ~2–4x
+    total cores as a starting point, then let AQE coalesce), rather
+    than inheriting a local-mode default."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return env
+    try:
+        n_slots = int(cpus)
+    except ValueError:
+        n_slots = os.cpu_count() or 8
+    return str(max(n_slots, 16))
 
 
 def get_spark(app_name: str = "dozer_spark", *, extra_conf: dict | None = None) -> SparkSession:
@@ -44,7 +58,7 @@ def get_spark(app_name: str = "dozer_spark", *, extra_conf: dict | None = None) 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", _shuffle_partitions(cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Arrow for any pandas-UDF path (10-100x over row-at-a-time python)
