@@ -79,6 +79,12 @@ def _token_set(text_col: str) -> Column:
     return F.array_distinct(tokens(F.col(text_col)))
 
 
+def _token_set_sql(text_col: str) -> str:
+    """SQL-string form of `_token_set` (same parsed tree): whitespace
+    split, empty strings dropped, distinct."""
+    return f"array_distinct(filter(split(`{text_col}`, ' '), x -> x != ''))"
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = MINHASH_HASHES
 ) -> DataFrame:
@@ -92,40 +98,17 @@ def minhash_signatures(
     arithmetic is integer-exact and engine-portable (the DuckDB oracle
     replays it digit for digit).
     """
-    toks = _token_set(text_col)
-
-    # Every per-hash column is built as ONE F.expr() SQL string: the
-    # equivalent Column-operator chain (array_min(transform(lambda)))
-    # costs ~8 py4j round-trips per hash — at the 52-hash geometry that
-    # was measured as seconds of single-threaded DRIVER time per build
-    # (guide §7.3), while one JVM-side parse per column is ~1 ms. The
-    # parsed expression tree is identical, so plans and results are
-    # bit-for-bit unchanged.
-    def mh(i: int):
-        # h1/h2 are hoisted into __h12: the hex parse (conv) is the
-        # per-token cost, and computing it once per token instead of
-        # once per (token, i) keeps wide geometries (52 hashes at
-        # threshold 0.9) nearly as cheap as narrow ones
-        return F.expr(
-            f"array_min(transform(__h12, s -> (s.h1 + {i} * s.h2) % "
-            f"{MINHASH_PRIME}))"
-        ).alias(f"mh{i}")
-
-    # hashing is CPU-bound: spread a small (few-split) input over the
-    # cluster first; no-op when the corpus already has enough splits
-    base = ensure_min_partitions(df).select(
-        F.col(id_col),
-        toks.alias("toks"),
-    ).withColumn(
-        "__digests", F.expr("transform(toks, t -> md5(t))")
-    ).withColumn(
-        "__h12",
-        F.expr(
-            "transform(__digests, d -> struct("
-            "CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT) AS h1, "
-            "CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT) AS h2))"
-        ),
-    )
+    # The WHOLE signature projection is ONE spark.sql template (the
+    # previous form — one F.expr per hash column — still paid ~800 py4j
+    # round-trips of single-threaded driver time per build across the
+    # chained select/withColumn stages; guide §7.3). The parsed plan is
+    # identical: same nested Projects, same expressions.
+    #
+    # mh{i}: h1/h2 are hoisted into __h12 — the hex parse (conv) is the
+    # per-token cost, and computing it once per token instead of once
+    # per (token, i) keeps wide geometries (52 hashes at threshold 0.9)
+    # nearly as cheap as narrow ones.
+    #
     # toksh: 60-bit md5-prefix token hashes. Verification intersects
     # THESE instead of the token strings — long-array array_intersect
     # measured ~1.6x the string version over ~1M candidate pairs.
@@ -133,14 +116,36 @@ def minhash_signatures(
     # hash sets, so results stay exactly comparable (a within-pair
     # 60-bit collision would change jaccard identically on both
     # engines; probability is ~1e-15 per pair).
-    toksh = F.expr(
-        "array_distinct(transform(__digests, "
-        "d -> CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT)))"
+    #
+    # hashing is CPU-bound: spread a small (few-split) input over the
+    # cluster first; no-op when the corpus already has enough splits.
+    # The select("*") guard keeps a persisted input safe as a template
+    # arg (see _blocked_self_join_pairs).
+    base = ensure_min_partitions(df).select("*")
+    mh_cols = ", ".join(
+        f"array_min(transform(__h12, s -> (s.h1 + {i} * s.h2) % "
+        f"{MINHASH_PRIME})) AS mh{i}"
+        for i in range(n_hashes)
     )
-    return base.select(
-        F.col(id_col), F.col("toks"), toksh.alias("toksh"),
-        *[mh(i) for i in range(n_hashes)]
+    sql = f"""
+    SELECT `{id_col}`, toks,
+           array_distinct(transform(__digests,
+             d -> CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT))) AS toksh,
+           {mh_cols}
+    FROM (
+      SELECT `{id_col}`, toks, __digests,
+             transform(__digests, d -> struct(
+               CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT) AS h1,
+               CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT) AS h2)) AS __h12
+      FROM (
+        SELECT `{id_col}`, toks, transform(toks, t -> md5(t)) AS __digests
+        FROM (
+          SELECT `{id_col}`, {_token_set_sql(text_col)} AS toks FROM {{base}}
+        )
+      )
     )
+    """
+    return base.sparkSession.sql(sql, base=base)
 
 
 def prefilter_min_matches(threshold: float, n_hashes: int) -> int:
@@ -157,7 +162,7 @@ def _blocked_self_join_pairs(
     id_col: str,
     hot_cap: int,
     broadcast_gate_bytes: int | None = None,
-    extra_pred: Column | None = None,
+    extra_pred: str | None = None,
     carry: tuple[tuple[str, str, str], ...] = (),
 ) -> DataFrame:
     """Self-join `blocked` on key_cols -> unordered candidate pairs
@@ -180,17 +185,31 @@ def _blocked_self_join_pairs(
     the dedup/fuzzy probe paths) just to pick between two plans with
     identical output. Folding the branch into the plan keeps one job
     end-to-end; the hot list is computed inside it and joined back
-    (provably <= corpus/cap rows — AQE broadcast-converts it from
-    runtime sizes; the explicit hint only fires when Catalyst can bound
-    the estimate, which an aggregate output cannot).
+    (provably <= corpus/cap rows).
 
-    extra_pred: extra join predicate over aliases "a"/"b" (e.g. the
-    MinHash size-ratio prefilter). carry: (out_a, out_b, src) triples —
-    src is carried from the smaller-id side into out_a and the larger-id
-    side into out_b.
+    The whole pair construction past the slim `hot` aggregate is ONE
+    spark.sql template: the Column-operator chain it replaced cost
+    ~700 py4j round-trips of single-threaded driver time per build (and
+    per streaming epoch) — guide §7.3 — while the parsed plan, and
+    therefore every result, is identical. `hot` stays a DataFrame so
+    `maybe_broadcast`'s estimate gate keeps its exact semantics.
+
+    extra_pred: extra join predicate (SQL string) over aliases "a"/"b"
+    (e.g. the MinHash size-ratio prefilter). carry: (out_a, out_b, src)
+    triples — src is carried from the smaller-id side into out_a and the
+    larger-id side into out_b.
+
+    Template-arg discipline (load-bearing): a PERSISTED DataFrame passed
+    directly as a {arg} is silently UNPERSISTED when spark.sql drops the
+    arg's temp view (dropTempView uncaches the view's plan, which IS the
+    cached plan) — and the View wrapper also defeats CacheManager
+    substitution. A derived frame (the trivial select("*") below) keeps
+    the cache intact AND picks it up in-plan; streaming callers pass
+    persisted band/chunk/key frames here every epoch.
     """
+    b = blocked.select("*")
     hot = (
-        blocked.groupBy(*key_cols)
+        b.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > hot_cap)
         .select(
@@ -198,60 +217,48 @@ def _blocked_self_join_pairs(
             F.ceil(F.col("__n") / hot_cap).cast("int").alias("__s"),
         )
     )
-    key_eq = None
-    for k in key_cols:
-        e = F.col(f"a.{k}") == F.col(f"b.{k}")
-        key_eq = e if key_eq is None else key_eq & e
+    hot = maybe_broadcast(hot, broadcast_gate_bytes)
 
-    frag = (
-        blocked.join(maybe_broadcast(hot, broadcast_gate_bytes), key_cols, "left")
-        .select("*", F.coalesce(F.col("__s"), F.lit(1)).alias("s"))
-        .withColumn(
-            "f", F.pmod(F.crc32(F.col(id_col).cast("string")), F.col("s")).cast("int")
-        )
+    keys_on = " AND ".join(f"t.`{k}` = h.`{k}`" for k in key_cols)
+    keys_ab = " AND ".join(f"a.`{k}` = b.`{k}`" for k in key_cols)
+    carry_sql = "".join(
+        f", CASE WHEN a.`{id_col}` < b.`{id_col}` "
+        f"THEN a.`{src}` ELSE b.`{src}` END AS {oa}"
+        for (oa, _, src) in carry
+    ) + "".join(
+        f", CASE WHEN a.`{id_col}` < b.`{id_col}` "
+        f"THEN b.`{src}` ELSE a.`{src}` END AS {ob}"
+        for (_, ob, src) in carry
     )
-    side_l = frag.withColumn(
-        "cj", F.explode(F.sequence(F.col("f"), F.col("s") - 1))
-    ).withColumnRenamed("f", "ci")
-    side_r = frag.withColumn(
-        "ci", F.explode(F.sequence(F.lit(0), F.col("f")))
-    ).withColumnRenamed("f", "cj")
-
+    pred_sql = f" AND ({extra_pred})" if extra_pred is not None else ""
     # orientation: a row with fragment fx can meet a row with fragment
     # fy >= fx at cell (fx, fy) — left role for the smaller fragment,
-    # right role for the larger. Same-fragment cells (ci == cj) would
-    # match both orientations, so the id order tie-breaks there; for
-    # ci < cj the single orientation already yields each pair once, and
+    # right role for the larger. The left side keeps its own fragment in
+    # __ff and explodes the cell column __cj in [f, s); the right side
+    # keeps __ff and explodes __ci in [0, f] — so the cell equality is
+    # a.__ff = b.__ci AND a.__cj = b.__ff. Same-fragment cells would
+    # match both orientations, so the id order tie-breaks there;
     # least/greatest canonicalizes the id order afterward.
-    a, b_ = side_l.alias("a"), side_r.alias("b")
-    cond = (
-        key_eq
-        & (F.col("a.ci") == F.col("b.ci"))
-        & (F.col("a.cj") == F.col("b.cj"))
-        & (
-            (F.col("a.ci") < F.col("a.cj"))
-            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        )
-    )
-    if extra_pred is not None:
-        cond = cond & extra_pred
-    a_first = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    return (
-        a.join(b_, cond)
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-            *[
-                F.when(a_first, F.col(f"a.{src}")).otherwise(F.col(f"b.{src}")).alias(oa)
-                for (oa, _, src) in carry
-            ],
-            *[
-                F.when(a_first, F.col(f"b.{src}")).otherwise(F.col(f"a.{src}")).alias(ob)
-                for (_, ob, src) in carry
-            ],
-        )
-        .distinct()
-    )
+    sql = f"""
+    WITH __frag AS (
+      SELECT t.*, coalesce(h.__s, 1) AS __fs,
+             CAST(pmod(crc32(CAST(t.`{id_col}` AS STRING)),
+                       coalesce(h.__s, 1)) AS INT) AS __ff
+      FROM {{blocked}} t LEFT JOIN {{hot}} h ON {keys_on}
+    ),
+    __L AS (SELECT t.*, explode(sequence(t.__ff, t.__fs - 1)) AS __cj
+            FROM __frag t),
+    __R AS (SELECT t.*, explode(sequence(0, t.__ff)) AS __ci
+            FROM __frag t)
+    SELECT DISTINCT
+      least(a.`{id_col}`, b.`{id_col}`) AS id_a,
+      greatest(a.`{id_col}`, b.`{id_col}`) AS id_b
+      {carry_sql}
+    FROM __L a JOIN __R b
+      ON {keys_ab} AND a.__ff = b.__ci AND a.__cj = b.__ff
+      AND (a.__ff < a.__cj OR a.`{id_col}` < b.`{id_col}`){pred_sql}
+    """
+    return b.sparkSession.sql(sql, blocked=b, hot=hot)
 
 
 def minhash_band_table(sigs: DataFrame, id_col: str,
@@ -263,40 +270,41 @@ def minhash_band_table(sigs: DataFrame, id_col: str,
     the streaming state so the two can never drift apart."""
     rows_per_band = n_hashes // n_bands
 
-    def band_key(b: int) -> Column:
-        # one F.expr per band (vs ~3 py4j calls per minhash column)
+    def band_key(b: int) -> str:
         cols = ", ".join(
             f"CAST(mh{b * rows_per_band + r} AS STRING)"
             for r in range(rows_per_band)
         )
-        return F.expr(f"substring(md5(concat_ws(':', {cols})), 1, 16)")
+        return f"substring(md5(concat_ws(':', {cols})), 1, 16)"
 
     # ONE scan + explode (not n_bands union branches): a union re-reads
     # the signature source per branch and multiplies the partition count
-    # by n_bands, widening every downstream stage for no parallelism gain
-    structs = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
+    # by n_bands, widening every downstream stage for no parallelism
+    # gain. Built as ONE selectExpr (a DataFrame method, so a PERSISTED
+    # sigs keeps and reuses its cache — a spark.sql template arg would
+    # drop it, see _blocked_self_join_pairs): inline() explodes the
+    # struct array straight into (band, band_key) columns, replacing the
+    # old explode + unpack-Project pair and its ~60 py4j round-trips.
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'band_key', {band_key(b)})"
         for b in range(n_bands)
-    ]
-    return sigs.select(
-        F.col(id_col),
-        F.size("toksh").alias("sz"),
-        F.explode(F.array(*structs)).alias("__bb"),
-    ).select(
-        F.col(id_col), F.col("sz"),
-        F.col("__bb.band").alias("band"),
-        F.col("__bb.band_key").alias("band_key"),
+    )
+    return sigs.selectExpr(
+        f"`{id_col}`", "size(toksh) AS sz", f"inline(array({structs}))"
     )
 
 
-def minhash_size_pred(threshold: float) -> Column:
-    """The size-ratio prefilter over join aliases a/b: jaccard <=
-    min(|A|,|B|)/max(|A|,|B|), so size-incompatible pairs can never
-    verify. Shared by batch and streaming joins."""
+def minhash_size_pred(threshold: float) -> str:
+    """The size-ratio prefilter (SQL string) over join aliases a/b:
+    jaccard <= min(|A|,|B|)/max(|A|,|B|), so size-incompatible pairs can
+    never verify. Shared by batch and streaming joins (usable both as
+    `_blocked_self_join_pairs` extra_pred and in `.filter(...)`). The
+    `D` suffix keeps the threshold a DOUBLE literal — bare `0.9` parses
+    as DECIMAL in Spark SQL, which would change the comparison's type
+    lattice vs the old F.lit(threshold) Column form."""
     return (
-        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
-        >= F.lit(threshold)
-        * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+        "CAST(least(a.sz, b.sz) AS DOUBLE) >= "
+        f"{threshold!r}D * CAST(greatest(a.sz, b.sz) AS DOUBLE)"
     )
 
 
@@ -306,23 +314,16 @@ def simhash_chunk_table(sigs: DataFrame, id_col: str, n_bits: int = 60,
     single source of the chunk geometry, shared batch/streaming."""
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
-    # one scan + explode, same rationale as minhash_band_table
-    structs = [
-        F.struct(
-            F.lit(ci).alias("chunk"),
-            F.shiftright(F.col("simhash"), ci * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("chunk_val"),
-        )
+    # one scan + inline-explode via a single selectExpr, same rationale
+    # (and the same cache-safety constraint) as minhash_band_table
+    mask = (1 << chunk_bits) - 1
+    structs = ", ".join(
+        f"named_struct('chunk', {ci}, 'chunk_val', "
+        f"shiftright(`simhash`, {ci * chunk_bits}) & {mask})"
         for ci in range(n_chunks)
-    ]
-    return sigs.select(
-        F.col(id_col), F.col("simhash"),
-        F.explode(F.array(*structs)).alias("__cc"),
-    ).select(
-        F.col(id_col), F.col("simhash"),
-        F.col("__cc.chunk").alias("chunk"),
-        F.col("__cc.chunk_val").alias("chunk_val"),
+    )
+    return sigs.selectExpr(
+        f"`{id_col}`", "simhash", f"inline(array({structs}))"
     )
 
 
