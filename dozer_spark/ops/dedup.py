@@ -164,6 +164,8 @@ def _blocked_self_join_pairs(
     broadcast_gate_bytes: int | None = None,
     extra_pred: str | None = None,
     carry: tuple[tuple[str, str, str], ...] = (),
+    distinct: bool = True,
+    keep_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Self-join `blocked` on key_cols -> unordered candidate pairs
     (id_a < id_b), with HOT-BUCKET TRIANGLE-FRAGMENT SPLITTING shared by
@@ -191,13 +193,26 @@ def _blocked_self_join_pairs(
     spark.sql template: the Column-operator chain it replaced cost
     ~700 py4j round-trips of single-threaded driver time per build (and
     per streaming epoch) — guide §7.3 — while the parsed plan, and
-    therefore every result, is identical. `hot` stays a DataFrame so
-    `maybe_broadcast`'s estimate gate keeps its exact semantics.
+    therefore every result, is identical. `hot` stays a DataFrame for
+    `maybe_broadcast`, but note the gate now sees Catalyst's STATIC
+    estimate of the unexecuted aggregate (often the child's size), not
+    a materialized cache size — when the hint is not applied, AQE's
+    runtime-sized decision still picks the join strategy (hint-only
+    either way; correctness unaffected).
 
     extra_pred: extra join predicate (SQL string) over aliases "a"/"b"
     (e.g. the MinHash size-ratio prefilter). carry: (out_a, out_b, src)
     triples — src is carried from the smaller-id side into out_a and the
     larger-id side into out_b.
+
+    distinct=False skips the pair-level DISTINCT: one row per (pair,
+    colliding block key) comes out, and keep_keys appends the named key
+    columns (equal on both sides, taken from a) so the caller can dedup
+    in-stage with a first-matching-key filter instead of paying the
+    DISTINCT's exchange (guide §2.4 — the batch minhash/simhash paths
+    do exactly that; streaming callers keep the default because they
+    union these pairs with the new-vs-old join before their own
+    distinct).
 
     Template-arg discipline (load-bearing): a PERSISTED DataFrame passed
     directly as a {arg} is silently UNPERSISTED when spark.sql drops the
@@ -231,6 +246,8 @@ def _blocked_self_join_pairs(
         for (_, ob, src) in carry
     )
     pred_sql = f" AND ({extra_pred})" if extra_pred is not None else ""
+    keep_sql = "".join(f", a.`{k}` AS `{k}`" for k in keep_keys)
+    head = "SELECT DISTINCT" if distinct else "SELECT"
     # orientation: a row with fragment fx can meet a row with fragment
     # fy >= fx at cell (fx, fy) — left role for the smaller fragment,
     # right role for the larger. The left side keeps its own fragment in
@@ -250,10 +267,10 @@ def _blocked_self_join_pairs(
             FROM __frag t),
     __R AS (SELECT t.*, explode(sequence(0, t.__ff)) AS __ci
             FROM __frag t)
-    SELECT DISTINCT
+    {head}
       least(a.`{id_col}`, b.`{id_col}`) AS id_a,
       greatest(a.`{id_col}`, b.`{id_col}`) AS id_b
-      {carry_sql}
+      {carry_sql}{keep_sql}
     FROM __L a JOIN __R b
       ON {keys_ab} AND a.__ff = b.__ci AND a.__cj = b.__ff
       AND (a.__ff < a.__cj OR a.`{id_col}` < b.`{id_col}`){pred_sql}
@@ -261,21 +278,28 @@ def _blocked_self_join_pairs(
     return b.sparkSession.sql(sql, blocked=b, hot=hot)
 
 
+def _band_key_sql(b: int, rows_per_band: int) -> str:
+    """SQL for ONE band's LSH key (md5 of the band's minhashes,
+    truncated to 64 bits) — the single source of the band-key geometry,
+    shared by `minhash_band_table` (batch join + streaming state) and
+    the precomputed-key projection in `minhash_lsh_pairs`."""
+    cols = ", ".join(
+        f"CAST(mh{b * rows_per_band + r} AS STRING)"
+        for r in range(rows_per_band)
+    )
+    return f"substring(md5(concat_ws(':', {cols})), 1, 16)"
+
+
 def minhash_band_table(sigs: DataFrame, id_col: str,
                        n_hashes: int = MINHASH_HASHES,
                        n_bands: int = MINHASH_BANDS) -> DataFrame:
     """Per-doc LSH band rows (id, sz, band, band_key) from a signature
-    table — SINGLE source of the band-key geometry (md5 of the band's
-    minhashes, truncated to 64 bits), shared by the batch pair join and
-    the streaming state so the two can never drift apart."""
+    table — geometry from `_band_key_sql`, shared by the batch pair join
+    and the streaming state so the two can never drift apart."""
     rows_per_band = n_hashes // n_bands
 
     def band_key(b: int) -> str:
-        cols = ", ".join(
-            f"CAST(mh{b * rows_per_band + r} AS STRING)"
-            for r in range(rows_per_band)
-        )
-        return f"substring(md5(concat_ws(':', {cols})), 1, 16)"
+        return _band_key_sql(b, rows_per_band)
 
     # ONE scan + explode (not n_bands union branches): a union re-reads
     # the signature source per branch and multiplies the partition count
@@ -301,10 +325,12 @@ def minhash_size_pred(threshold: float) -> str:
     `_blocked_self_join_pairs` extra_pred and in `.filter(...)`). The
     `D` suffix keeps the threshold a DOUBLE literal — bare `0.9` parses
     as DECIMAL in Spark SQL, which would change the comparison's type
-    lattice vs the old F.lit(threshold) Column form."""
+    lattice vs the old F.lit(threshold) Column form. float() first so a
+    numpy.float64 (repr 'np.float64(0.9)' under numpy>=2) can't produce
+    unparseable SQL — the old Column form accepted any numeric."""
     return (
         "CAST(least(a.sz, b.sz) AS DOUBLE) >= "
-        f"{threshold!r}D * CAST(greatest(a.sz, b.sz) AS DOUBLE)"
+        f"{float(threshold)!r}D * CAST(greatest(a.sz, b.sz) AS DOUBLE)"
     )
 
 
@@ -359,31 +385,56 @@ def minhash_lsh_pairs(
     than the parallelism returns (measured 2.5x slower at sf0.1 with
     cap=512, where the hottest bucket is 2.3k rows ~ 0.5s of work).
     """
-    # persist: the signature scan (16 md5 transforms per token) feeds both
-    # the band branch and the verification branch — without this Catalyst
-    # recomputes it twice. The string token arrays are dropped BEFORE the
-    # persist: banding and verification both run on the hashed arrays, so
-    # caching the strings would only inflate the cache (they are the bulk
-    # of each row).
+    # persist: the signature scan (md5 per token + the minhash folds)
+    # feeds both the band branch and the verification branch — without
+    # this Catalyst recomputes it twice. What is CACHED is the slim
+    # per-doc replay table (id, toksh, sz, bk0..bk{B-1} [, mh* only when
+    # the prefilter needs them]): the band keys are md5'd ONCE here
+    # instead of once per join side / hot aggregate (4x at the default
+    # geometry), and the band branches scan rows without the token-hash
+    # arrays — the bulk of each cached row (guide §2.3 project early).
+    # The string token arrays are dropped for the same reason.
     n_hashes, n_bands = minhash_geometry(threshold, n_hashes, n_bands)
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes).drop("toks").persist()
+    rows_per_band = n_hashes // n_bands
+    min_matches = prefilter_min_matches(threshold, n_hashes) if prefilter else 0
+    keep_mh = [f"mh{i}" for i in range(n_hashes)] if min_matches > 0 else []
+    sigs = (
+        minhash_signatures(df, text_col, id_col, n_hashes)
+        .selectExpr(
+            f"`{id_col}`",
+            "toksh",
+            "size(toksh) AS sz",
+            *[f"{_band_key_sql(b, rows_per_band)} AS bk{b}"
+              for b in range(n_bands)],
+            *keep_mh,
+        )
+        .persist()
+    )
 
-    # per-doc band keys, truncated to 16 hex chars (64 bits — collision
-    # probability negligible at any corpus size, half the shuffle width);
-    # geometry shared with the streaming operator (minhash_band_table)
-    bands = minhash_band_table(sigs, id_col, n_hashes, n_bands)
+    # per-doc band rows from the precomputed keys (one scan + inline
+    # explode — geometry is _band_key_sql, shared with the streaming
+    # operator via minhash_band_table)
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'band_key', bk{b})" for b in range(n_bands)
+    )
+    bands = sigs.selectExpr(f"`{id_col}`", "sz", f"inline(array({structs}))")
 
     # SIZE-RATIO prefilter inside the join: jaccard <= min(|A|,|B|) /
     # max(|A|,|B|), so pairs whose token-set sizes differ by more than
-    # the threshold can never verify — they are dropped BEFORE the
-    # distinct and before their token arrays enter the verify join.
-    # Sound (upper bound), no false negatives; prunes ~45% of raw band
-    # collisions at threshold 0.9 on the sf0.1 corpus.
+    # the threshold can never verify — they are dropped BEFORE their
+    # token arrays enter the verify join. Sound (upper bound), no false
+    # negatives; prunes ~45% of raw band collisions at threshold 0.9 on
+    # the sf0.1 corpus.
     size_compatible = minhash_size_pred(threshold)
 
     # HOT-BAND FRAGMENT SPLIT (shared helper): the skew decision is part
     # of the plan (no driver-side probe job), so the whole pair search is
     # one job and the persisted signatures materialize within it.
+    # distinct=False: multi-band collisions are deduped by the
+    # first-matching-band filter in the verify stage below instead of a
+    # pair-level DISTINCT — that removes the DISTINCT's exchange and its
+    # post-shuffle stage outright (guide §2.4), so verification runs at
+    # the probe join's full parallelism.
     cand = _blocked_self_join_pairs(
         bands,
         ["band", "band_key"],
@@ -391,47 +442,82 @@ def minhash_lsh_pairs(
         hot_cap=hot_band_cap,
         broadcast_gate_bytes=broadcast_gate_bytes,
         extra_pred=size_compatible,
+        distinct=False,
+        keep_keys=("band",),
     )
 
-    # verification: re-attach token sets to the (much larger) candidate
-    # pair table. The doc->tokens side is one row per document — when its
-    # size ESTIMATE clears the gate, broadcast it so the 10^6-10^7-row
-    # candidate table never shuffles (measured 1.6x on sf0.1); past the
-    # gate (real corpora) the hint is dropped and AQE picks a shuffled
-    # join keyed on doc id — valid at any scale.
-    mh_cols = [f"mh{i}" for i in range(n_hashes)] if prefilter else []
-    side_a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        F.col("toksh").alias("toks_a"),
-        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
-    )
-    side_b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        F.col("toksh").alias("toks_b"),
-        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
-    )
-    # size-gated broadcast: one row per doc vs 10^6+ candidate pairs
-    j = cand.join(maybe_broadcast(side_a, broadcast_gate_bytes), "id_a").join(
-        maybe_broadcast(side_b, broadcast_gate_bytes), "id_b"
-    )
-
-    min_matches = prefilter_min_matches(threshold, n_hashes) if prefilter else 0
+    # verification: re-attach the slim per-doc rows to the candidate
+    # table. One row per document — when the size ESTIMATE clears the
+    # gate, broadcast it so the 10^6-10^7-row candidate table never
+    # shuffles (measured 1.6x on sf0.1); past the gate (real corpora)
+    # the hint is dropped and AQE picks a shuffled join keyed on doc id
+    # — valid at any scale. Built as ONE sql template: the equivalent
+    # join/withColumn/filter chain re-analyzed the whole wide signature
+    # tree at every step (~0.5 s of single-threaded driver time per
+    # build, guide §7.3). The side frames REORDER the columns they
+    # rename: neither a select("*") wrapper NOR a full-width same-order
+    # rename protects the cache here — canonicalization strips aliases,
+    # so both plans are sameResult to the cached plan and the template
+    # formatter's dropTempView cleanup silently UNPERSISTS sigs
+    # (measured as a 7x cold blowup: every branch recomputed the
+    # signature pipeline from parquet). The reordered projection is
+    # structurally different, so the cache survives and is substituted
+    # in-plan (pinned by test_optimization_r13.py).
+    #
+    # FIRST-MATCHING-BAND filter == the old DISTINCT, row for row: a
+    # candidate row exists for exactly the bands whose keys collide
+    # (one row per matching band — the triangle fragmentation meets
+    # each unordered pair in exactly one cell per band), so keeping the
+    # row whose band IS the minimal matching band keeps exactly one row
+    # per pair. jaccard uses |A u B| = |A| + |B| - |A n B| (toksh is
+    # array_distinct'ed, so exact) — the array_union pass is dropped;
+    # row-identity of both rewrites is pinned in
+    # tests/test_optimization_r13.py.
+    first_band = "CASE " + " ".join(
+        f"WHEN ka.a_bk{b} = kb.b_bk{b} THEN {b}" for b in range(n_bands)
+    ) + " END"
+    pre_sql = ""
     if min_matches > 0:
-        match_count = None
-        for c in mh_cols:
-            m = (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
-            match_count = m if match_count is None else match_count + m
-        j = j.filter(match_count >= min_matches)
-
-    return (
-        j.withColumn(
-            "jaccard",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-            / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+        match_sum = " + ".join(
+            f"(CASE WHEN ka.a_mh{i} = kb.b_mh{i} THEN 1 ELSE 0 END)"
+            for i in range(n_hashes)
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        pre_sql = f" AND ({match_sum}) >= {min_matches}"
+    ka = maybe_broadcast(
+        sigs.selectExpr(
+            "toksh AS __ta", "sz AS __sa", f"`{id_col}` AS __ida",
+            *[f"bk{b} AS a_bk{b}" for b in range(n_bands)],
+            *[f"{c} AS a_{c}" for c in keep_mh],
+        ),
+        broadcast_gate_bytes,
     )
+    kb = maybe_broadcast(
+        sigs.selectExpr(
+            "toksh AS __tb", "sz AS __sb", f"`{id_col}` AS __idb",
+            *[f"bk{b} AS b_bk{b}" for b in range(n_bands)],
+            *[f"{c} AS b_{c}" for c in keep_mh],
+        ),
+        broadcast_gate_bytes,
+    )
+    sql = f"""
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+    FROM (
+      SELECT id_a, id_b,
+             CAST(__i AS DOUBLE) / CAST(__sza + __szb - __i AS DOUBLE)
+               AS jaccard
+      FROM (
+        SELECT c.id_a, c.id_b,
+               size(array_intersect(ka.__ta, kb.__tb)) AS __i,
+               ka.__sa AS __sza, kb.__sb AS __szb
+        FROM {{cand}} c
+        JOIN {{ka}} ka ON ka.__ida = c.id_a
+        JOIN {{kb}} kb ON kb.__idb = c.id_b
+        WHERE ({first_band}) = c.band{pre_sql}
+      )
+    )
+    WHERE jaccard >= {float(threshold)!r}D
+    """
+    return cand.sparkSession.sql(sql, cand=cand, ka=ka, kb=kb)
 
 
 def _md5_bits(c: Column, n_bits: int) -> Column:
@@ -454,30 +540,44 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> Data
     past the cheap-rebalance byte bound where real inputs carry enough
     splits.
     """
-    tok = ensure_min_partitions(df).select(
-        F.col(id_col), F.explode(_token_set(text_col)).alias("tok")
-    )
-    h = _md5_bits(F.col("tok"), n_bits).alias("h")
-    tok = tok.select(F.col(id_col), h)
-    # one F.expr per vote column and ONE for the whole signature chain:
-    # the Column-operator equivalents (60x sum(when(...)) plus a 60-term
-    # sum built by repeated `+`) cost ~8 py4j round-trips per term —
-    # measured ~6 s of single-threaded driver time PER BUILD at the
-    # 60-bit geometry (guide §7.3). Parsed trees are identical
-    # (CASE WHEN == F.when), so plans and results are unchanged.
-    votes = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"v{b}")
+    # the WHOLE pipeline (tokenize -> per-token md5 bits -> 60 vote sums
+    # -> signature) is ONE spark.sql template: the previous form (60
+    # F.expr vote columns + groupBy/agg/select Column ops) still paid
+    # ~130 py4j round-trips and re-analysis of the exploded-token tree
+    # per build (guide §7.3). The parsed tree — explode, conv(md5),
+    # sum(CASE...), signature chain — is identical, so plans and results
+    # are unchanged (pinned by test_simhash_expr_equals_column_operator_
+    # form).
+    base = ensure_min_partitions(df).select("*")
+    n_hex = (n_bits + 3) // 4
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS v{b}"
         for b in range(n_bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    sig = F.expr(" + ".join(
+    )
+    sig = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
         "ELSE CAST(0 AS BIGINT) END)"
         for b in range(n_bits)
-    ))
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    )
+    sql = f"""
+    SELECT `{id_col}`, {sig} AS simhash
+    FROM (
+      SELECT `{id_col}`,
+               {votes}
+      FROM (
+        SELECT `{id_col}`,
+               CAST(conv(substring(md5(tok), 1, {n_hex}), 16, 10) AS BIGINT)
+                 AS h
+        FROM (
+          SELECT `{id_col}`, explode({_token_set_sql(text_col)}) AS tok
+          FROM {{base}}
+        )
+      )
+      GROUP BY `{id_col}`
+    )
+    """
+    return base.sparkSession.sql(sql, base=base)
 
 
 def simhash_pairs(
@@ -514,6 +614,13 @@ def simhash_pairs(
     sigs = simhash(df, text_col, id_col, n_bits).persist()
     # chunk geometry shared with the streaming operator
     chunks = simhash_chunk_table(sigs, id_col, n_bits, max_hamming)
+    # distinct=False: multi-chunk collisions are deduped by the
+    # first-matching-chunk filter below — the carried signatures hold
+    # everything the filter needs (chunk equality IS a bit-slice
+    # comparison of the sigs), so unlike minhash no re-attach join is
+    # required and the pair-level DISTINCT's exchange disappears
+    # outright (guide §2.4). Row-identity with the DISTINCT form is
+    # pinned in tests/test_optimization_r13.py.
     cand = _blocked_self_join_pairs(
         chunks,
         ["chunk", "chunk_val"],
@@ -521,9 +628,20 @@ def simhash_pairs(
         hot_cap=hot_chunk_cap,
         broadcast_gate_bytes=broadcast_gate_bytes,
         carry=(("sig_a", "sig_b", "simhash"),),
+        distinct=False,
+        keep_keys=("chunk",),
     )
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    first_chunk = "CASE " + " ".join(
+        f"WHEN (shiftright(sig_a, {ci * chunk_bits}) & {mask}) = "
+        f"(shiftright(sig_b, {ci * chunk_bits}) & {mask}) THEN {ci}"
+        for ci in range(n_chunks)
+    ) + " END"
     return (
-        cand.withColumn(
+        cand.where(F.expr(f"({first_chunk}) = chunk"))
+        .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,139 @@
+"""Focused guards for the round-13 optimization internals changes.
+
+1. The batch minhash/simhash pair searches dropped the pair-level
+   DISTINCT (distinct=False + first-matching-band/chunk filter): their
+   outputs must stay row-identical to the DISTINCT forms they replaced.
+2. The slim persisted signature table must SURVIVE being referenced by
+   the spark.sql templates (the dropTempView-uncache landmine): the
+   final pair plan must still contain the InMemoryRelation, i.e. the
+   cache was neither dropped nor bypassed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from dozer_spark.registry import Catalog
+
+    d = Catalog.from_testdata(
+        spark, "/root/testdata/sf0.001", lazy=True
+    ).df("documents")
+    d = d.persist()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_minhash_pairs_first_band_filter_equals_distinct_form(spark, docs):
+    """minhash_lsh_pairs (distinct=False + first-matching-band filter +
+    |AuB| = |A|+|B|-|AnB|) must equal the r12 form: pair-level DISTINCT
+    then an array_union-based verify. Same threshold/geometry as the
+    declared dedup_minhash_lsh query."""
+    from dozer_spark.ops.dedup import (
+        _blocked_self_join_pairs,
+        minhash_band_table,
+        minhash_geometry,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        minhash_size_pred,
+    )
+
+    threshold = 0.9
+    got = minhash_lsh_pairs(docs, "text", "doc_id", threshold=threshold)
+
+    n_hashes, n_bands = minhash_geometry(threshold, None, None)
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes).drop("toks")
+    bands = minhash_band_table(sigs, "doc_id", n_hashes, n_bands)
+    cand = _blocked_self_join_pairs(
+        bands,
+        ["band", "band_key"],
+        "doc_id",
+        hot_cap=4096,
+        extra_pred=minhash_size_pred(threshold),
+    )  # distinct=True default: the r12 shape
+    side_a = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("toksh").alias("toks_a")
+    )
+    side_b = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("toksh").alias("toks_b")
+    )
+    ref = (
+        cand.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # one row per pair — the first-band filter really is a dedup
+    n = got.count()
+    assert got.select("id_a", "id_b").distinct().count() == n
+
+
+def test_simhash_pairs_first_chunk_filter_equals_distinct_form(spark, docs):
+    """simhash_pairs (distinct=False + first-matching-chunk filter) must
+    equal the r12 form (pair-level DISTINCT), row for row."""
+    from dozer_spark.ops.dedup import (
+        _blocked_self_join_pairs,
+        simhash,
+        simhash_chunk_table,
+        simhash_pairs,
+    )
+
+    max_hamming, n_bits = 3, 60
+    got = simhash_pairs(docs, "text", "doc_id", max_hamming, n_bits)
+
+    sigs = simhash(docs, "text", "doc_id", n_bits)
+    chunks = simhash_chunk_table(sigs, "doc_id", n_bits, max_hamming)
+    ref = (
+        _blocked_self_join_pairs(
+            chunks,
+            ["chunk", "chunk_val"],
+            "doc_id",
+            hot_cap=4096,
+            carry=(("sig_a", "sig_b", "simhash"),),
+        )  # distinct=True default: the r12 shape
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    n = got.count()
+    assert got.select("id_a", "id_b").distinct().count() == n
+
+
+def test_minhash_sigs_cache_survives_sql_templates(spark, docs):
+    """The persisted slim signature table must still be IN the final
+    pair plan as an InMemoryRelation: a template arg whose plan
+    canonicalizes to the cached plan gets silently UNPERSISTED by the
+    formatter's dropTempView cleanup (measured as a 7x cold blowup).
+    The ka/kb side frames defend by reordering columns — this pins it."""
+    from dozer_spark.ops.dedup import minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    try:
+        pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.9)
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, (
+            "the persisted signature table was dropped or bypassed by a "
+            "spark.sql template (dropTempView-uncache landmine)"
+        )
+    finally:
+        spark.catalog.clearCache()
+        docs.persist()
+        docs.count()

@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for headline (or named) queries into
-plans/r12/<query>_<tag>.txt — the judge checks plan claims against
+plans/$PLANS_ROUND (default r13)/<query>_<tag>.txt — the judge checks plan claims against
 these files (guide §7.2).
 
 Usage: python tools/capture_plans.py <tag> [sf_dir] [query ...]
@@ -15,7 +15,7 @@ from dozer_spark import get_spark  # noqa: E402
 from dozer_spark.queries import registry  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+                       "plans", os.environ.get("PLANS_ROUND", "r13"))
 
 
 def main():
