@@ -45,6 +45,7 @@ class TestNullGroupKeys:
             aggs=[F.sum("amount").alias("s"), F.count(F.lit(1)).cast("long").alias("n")],
         )
 
+    @pytest.mark.slow
     def test_null_group_appears_and_updates(self, spark):
         ragg = self._ragg(spark)
         out1 = ragg.process_batch(_cl(spark, [("I", 1, 1, 1, None, 10.0)]))
@@ -74,6 +75,7 @@ class TestNullGroupKeys:
 
 
 class TestNullUnionValues:
+    @pytest.mark.slow
     def test_null_value_rows_flow_through(self, spark):
         u = RetractingUnion(spark, pks=[["id"], ["id"]], value_cols=["val"])
         schema = T.StructType(
@@ -185,6 +187,7 @@ class TestAggregationNullVectors:
             ],
         )
 
+    @pytest.mark.slow
     def test_null_values_skipped_by_sum_and_count_col(self, spark):
         ragg = self._ragg(spark)
         out = ragg.process_batch(
@@ -201,6 +204,7 @@ class TestAggregationNullVectors:
             ("U", 100.0, 1, 1)
         ]
 
+    @pytest.mark.slow
     def test_delete_to_empty_then_reinsert(self, spark):
         """aggregation_null.rs test_sum_aggregation_del_and_insert: the
         group vanishes (D) on its last delete and returns (I) on

@@ -135,6 +135,7 @@ def test_app_ops_name_collision_and_unknown_input(spark, tmp_path):
             "args": {"text_col": "text", "id_col": "doc_id"}}}))
 
 
+@pytest.mark.slow
 def test_ephemeral_dedup_incremental_checkpoint_equivalence(spark):
     """The lazy-union ephemeral state must produce the same pairs as
     reprocessing everything in one batch."""

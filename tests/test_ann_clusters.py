@@ -3,6 +3,7 @@ old-image helpers."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from dozer_spark.ops.similarity import ivf_ann_topk, brute_force_topk
@@ -297,6 +298,7 @@ def test_dedup_clusters_mixed_id_types(spark):
         assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+@pytest.mark.slow
 def test_dedup_clusters_probe_overflow_single_evaluation(spark):
     """When the limit-probe overflows driver_max_edges, the pairs
     pipeline must NOT be recomputed for the distributed path: edges are
@@ -388,6 +390,7 @@ def test_ivf_index_matches_one_shot_batch(catalog):
     assert len(go & wa) >= len(wa) - 1
 
 
+@pytest.mark.slow
 def test_ivf_index_incremental_frozen_quantizer_and_resume(spark, tmp_path):
     """The quantizer fits on the FIRST batch and freezes; a crashed
     instance resumes the identical centroids and corpus from the
@@ -519,6 +522,7 @@ def test_ivf_frozen_deterministic_across_partitionings(catalog):
     assert a == b
 
 
+@pytest.mark.slow
 def test_ivf_pq_frozen_recall_and_determinism(catalog):
     """Frozen-geometry IVF-PQ: valid output shape, no self matches,
     decent recall vs brute force (4-bit PQ over 4/16 probed cells), and

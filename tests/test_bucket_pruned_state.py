@@ -93,6 +93,7 @@ def _mk_state(spark, path, compact_every=2):
         bucket_cols=["k"], n_buckets=8, compact_every=compact_every)
 
 
+@pytest.mark.slow
 def test_diffstate_pruned_equals_full_filtered(spark, tmp_path):
     st = _mk_state(spark, str(tmp_path / "ds"))
     # 5 epochs spanning a compaction (compact_every=2), incl. a delete
@@ -132,6 +133,7 @@ def test_diffstate_touched_bucket_ids(spark, tmp_path):
     assert st.bucket_ids_for_values([["a"], ["b"]]) == ids
 
 
+@pytest.mark.slow
 def test_bm25_serving_avgdl_matches_batch_avg(spark, tmp_path):
     """The maintained integer scalars reproduce F.avg bit-for-bit —
     the precondition for the serving path's exact-oracle claim."""
@@ -155,6 +157,7 @@ def test_bm25_serving_avgdl_matches_batch_avg(spark, tmp_path):
     assert sc["n_docs"] == 39
 
 
+@pytest.mark.slow
 def test_diffstate_fresh_keys_union_path(spark, tmp_path):
     """fresh_keys deltas read identically to anti-join deltas for an
     append-only workload, compose with a non-fresh (delete-carrying)
@@ -225,6 +228,7 @@ def test_pruned_read_touches_only_matched_bucket_files(spark, tmp_path):
         assert m and int(m.group(1)) in bids
 
 
+@pytest.mark.slow
 def test_diffstate_bucket_move_survives_compaction(spark, tmp_path):
     """Review finding (round 11): a bucket-moving re-send — tombstone
     (old bucket) + insert (new bucket) for the SAME key in one delta —

@@ -8,6 +8,7 @@ and the commit point must roll back to the previous epoch.
 
 from __future__ import annotations
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -88,6 +89,7 @@ class TestAggregationResume:
     B2 = [("U", 2, 1, 1, "a", 20.0), ("I", 2, 2, 3, "a", 5.0)]
     B3 = [("D", 3, 1, 2, "b", 7.0), ("U", 3, 2, 3, "c", 5.0)]
 
+    @pytest.mark.slow
     def test_restart_mid_stream_matches_uninterrupted(self, spark, tmp_path):
         # uninterrupted run (ephemeral state)
         ref = _ragg(spark, None)
@@ -322,6 +324,7 @@ class TestDiffStateRewind:
         # and the live state still reflects ALL groups
         assert agg.current().count() == 8
 
+    @pytest.mark.slow
     def test_compaction_folds_deltas_and_preserves_state(self, spark, tmp_path):
         """After compact_every epochs the pending deltas fold into the
         bucketed base (latest image per digest wins, deletes drop out)
@@ -439,6 +442,7 @@ class TestDurableTtlJoin:
             rows, ["__op", "__txid", "__seq", "uid", "name", "country_id"]
         )
 
+    @pytest.mark.slow
     def test_ttl_eviction_survives_restart(self, spark, tmp_path):
         """Durable TTL side = delta-log with eviction tombstones: the
         eviction and the retract-on-next-touch semantics must match the
@@ -487,6 +491,7 @@ class TestDurableTtlJoin:
 
 
 class TestSnapshotRewindOnResume:
+    @pytest.mark.slow
     def test_group_key_change_in_crashed_batch_retracts_old_group(
         self, spark, tmp_path
     ):
@@ -580,6 +585,7 @@ class TestTimeTravel:
         with pytest.raises(ValueError, match="out of range"):
             tx.read_as_of(4)
 
+    @pytest.mark.slow
     def test_read_as_of_fails_loudly_past_retention(self, spark, tmp_path):
         import pytest
 

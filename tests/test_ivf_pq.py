@@ -33,6 +33,7 @@ def test_pq_codebook_shapes_and_determinism():
     assert b3.shape == (4, 10, 4)
 
 
+@pytest.mark.slow
 def test_ivf_pq_recall_vs_brute_force(catalog):
     e = catalog.df("embeddings")
     q = e.filter(F.col("vec_id") < 20)
@@ -49,6 +50,7 @@ def test_ivf_pq_recall_vs_brute_force(catalog):
         assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
 
 
+@pytest.mark.slow
 def test_ivf_pq_rerank_cosines_are_exact(catalog):
     """The refine stage must report TRUE cosines: every returned
     (query, neighbor, cosine) must equal the brute-force cosine of that
@@ -65,6 +67,7 @@ def test_ivf_pq_rerank_cosines_are_exact(catalog):
             r.cosine, abs=2e-6)
 
 
+@pytest.mark.slow
 def test_ivf_pq_deterministic(catalog):
     e = catalog.df("embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -75,6 +78,7 @@ def test_ivf_pq_deterministic(catalog):
     assert a == b
 
 
+@pytest.mark.slow
 def test_ivf_pq_split_equals_unsplit(catalog):
     e = catalog.df("embeddings")
     q = e.filter(F.col("vec_id") < 10)

@@ -14,6 +14,7 @@ op sequence.
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -154,6 +155,7 @@ def _replay_side(all_batches, idx):
 
 @settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
 @given(batches=two_sided_ops())
+@pytest.mark.slow
 def test_retracting_join_equals_snapshot_join(spark, batches):
     """After any batching of any op sequences, the incremental join's
     materialized output must equal the plain join of the final snapshots."""
@@ -202,6 +204,7 @@ merge_batches = st.lists(
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(batches=merge_batches)
+@pytest.mark.slow
 def test_txtable_merge_matches_dict_model(spark, tmp_path_factory, batches):
     """Random merge sequences vs a plain dict model: the snapshot after
     every merge and the full CDF replay must both match last-op-wins
@@ -251,6 +254,7 @@ def test_txtable_merge_matches_dict_model(spark, tmp_path_factory, batches):
     crashes=st.lists(st.booleans(), min_size=3, max_size=3),
     compact_every=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_durable_agg_crash_replay_property(spark, ops, n_batches, crashes,
                                            compact_every):
     """Fuzz the durable delta-log core: any op sequence, any batching,

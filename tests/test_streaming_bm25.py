@@ -70,6 +70,7 @@ def test_within_batch_duplicate_ids_reduce(spark):
     assert len(rows) <= 1
 
 
+@pytest.mark.slow
 def test_durable_resume(spark, tmp_path):
     sd = str(tmp_path / "bm25_state")
     d = spark.createDataFrame(DOCS, ["doc_id", "text"])
@@ -93,6 +94,7 @@ def test_no_batches_raises(spark):
         idx.topn(_qdf(spark), "qtext", "query_id")
 
 
+@pytest.mark.slow
 def test_durable_resent_doc_replaces_postings(spark, tmp_path):
     """The durable stale-postings branch: a re-sent id must tombstone
     its vanished terms in the delta-log state (the append-only fast

@@ -40,6 +40,7 @@ def test_streaming_equals_batch_three_epochs(spark):
     assert total == len(expected)
 
 
+@pytest.mark.slow
 def test_streaming_durable_resume_and_redelivery(spark, tmp_path):
     sd = str(tmp_path / "fzstate")
     df = spark.createDataFrame(ROWS, ["id", "name"])
@@ -58,6 +59,7 @@ def test_streaming_durable_resume_and_redelivery(spark, tmp_path):
     assert _pairs(fz3.process_batch(b1)) == {}
 
 
+@pytest.mark.slow
 def test_streaming_ttl_window_and_prune(spark, tmp_path):
     from pyspark.sql import functions as F
 

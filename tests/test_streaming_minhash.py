@@ -3,6 +3,7 @@ emission, equality with the one-shot batch pair set, durable resume."""
 
 from __future__ import annotations
 
+import pytest
 from dozer_spark.ops.dedup import minhash_lsh_pairs
 from dozer_spark.streaming.dedup import StreamingMinHashDedup
 
@@ -37,6 +38,7 @@ def test_streamed_pairs_equal_batch_pairs(spark):
     assert len(got) == len({(a, b) for a, b, _ in got})
 
 
+@pytest.mark.slow
 def test_cross_batch_pair_found_on_later_arrival(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     smh = StreamingMinHashDedup(spark, "text", "doc_id", threshold=0.9)
@@ -47,6 +49,7 @@ def test_cross_batch_pair_found_on_later_arrival(spark):
     assert p and p[0][:2] == (1, 4) and p[0][2] == 1.0
 
 
+@pytest.mark.slow
 def test_durable_resume_continues_dedup(spark, tmp_path):
     sd = str(tmp_path / "smh")
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
@@ -81,6 +84,7 @@ def test_streamed_simhash_equals_batch(spark):
     assert len(got) == len({(a, b) for a, b, _ in got})
 
 
+@pytest.mark.slow
 def test_simhash_durable_resume(spark, tmp_path):
     from dozer_spark.streaming.dedup import StreamingSimHashDedup
 
@@ -94,6 +98,7 @@ def test_simhash_durable_resume(spark, tmp_path):
     assert out and out[0][:2] == (1, 4) and out[0][2] == 0
 
 
+@pytest.mark.slow
 def test_streaming_ann_index_equals_batch_and_resumes(spark, tmp_path):
     import random
 
@@ -155,6 +160,7 @@ def test_streaming_clusters_merge_and_resume(spark, tmp_path):
     assert got[1] == 0 and got[100] == 100 and got[101] == 100
 
 
+@pytest.mark.slow
 def test_redelivered_docs_do_not_duplicate_pairs(spark):
     from dozer_spark.streaming.dedup import (
         StreamingMinHashDedup,
@@ -259,6 +265,7 @@ def _ttl_docs(spark):
     ).drop("minute")
 
 
+@pytest.mark.slow
 def test_bounded_recall_window_semantics(spark):
     """Docs 1,2 (min 0,5) leave the 30-min window once 3,4 (min 50,55)
     arrive: (1,2) and (3,4) pair, cross-window pairs do not; doc 5
@@ -279,6 +286,7 @@ def test_bounded_recall_window_semantics(spark):
     assert live == {3, 4, 5}
 
 
+@pytest.mark.slow
 def test_bounded_recall_durable_crash_resume_evicts(spark, tmp_path):
     """Durable TTL state: crash between batches, resume, window
     semantics and physical eviction survive the restart."""
@@ -312,6 +320,7 @@ def test_bounded_recall_durable_crash_resume_evicts(spark, tmp_path):
     assert band_live == {3, 4, 5}
 
 
+@pytest.mark.slow
 def test_simhash_bounded_recall_window_and_durable_eviction(spark, tmp_path):
     """SimHash TTL mode shares the window/eviction contract: same
     fixture as the MinHash TTL tests, crash-resume between batches."""

@@ -44,6 +44,7 @@ def _driver_canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
+@pytest.mark.slow
 def test_window_schemas_are_atomic(spark):
     """No query in the driver's sampled window may emit an
     array/map/struct column — the canonicalizer cannot factorize it."""
@@ -59,6 +60,7 @@ def test_window_schemas_are_atomic(spark):
     )
 
 
+@pytest.mark.slow
 def test_window_flagged_results_survive_driver_canon(spark):
     """Every window=True entry, executed at sf0.001 and converted to
     pandas, must factorize under sort_values — the literal driver
