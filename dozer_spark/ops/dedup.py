@@ -166,6 +166,8 @@ def _blocked_self_join_pairs(
     carry: tuple[tuple[str, str, str], ...] = (),
     distinct: bool = True,
     keep_keys: tuple[str, ...] = (),
+    final_sql: str | None = None,
+    extra_args: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Self-join `blocked` on key_cols -> unordered candidate pairs
     (id_a < id_b), with HOT-BUCKET TRIANGLE-FRAGMENT SPLITTING shared by
@@ -213,6 +215,14 @@ def _blocked_self_join_pairs(
     do exactly that; streaming callers keep the default because they
     union these pairs with the new-vs-old join before their own
     distinct).
+
+    final_sql: optional outer SELECT over the `__pairs` CTE, spliced
+    into the SAME template. Each eager DataFrame op downstream would
+    re-analyze the whole (wide) pair tree (~60 ms per op at the simhash
+    geometry, guide §7.3); a caller that already knows its
+    filter/projection folds it into the one analysis pass instead.
+    extra_args: additional {name} template args final_sql references
+    (e.g. the minhash verify join's per-doc side frames).
 
     Template-arg discipline (load-bearing): a PERSISTED DataFrame passed
     directly as a {arg} is silently UNPERSISTED when spark.sql drops the
@@ -266,7 +276,8 @@ def _blocked_self_join_pairs(
     __L AS (SELECT t.*, explode(sequence(t.__ff, t.__fs - 1)) AS __cj
             FROM __frag t),
     __R AS (SELECT t.*, explode(sequence(0, t.__ff)) AS __ci
-            FROM __frag t)
+            FROM __frag t),
+    __pairs AS (
     {head}
       least(a.`{id_col}`, b.`{id_col}`) AS id_a,
       greatest(a.`{id_col}`, b.`{id_col}`) AS id_b
@@ -274,8 +285,10 @@ def _blocked_self_join_pairs(
     FROM __L a JOIN __R b
       ON {keys_ab} AND a.__ff = b.__ci AND a.__cj = b.__ff
       AND (a.__ff < a.__cj OR a.`{id_col}` < b.`{id_col}`){pred_sql}
+    )
+    {final_sql or "SELECT * FROM __pairs"}
     """
-    return b.sparkSession.sql(sql, blocked=b, hot=hot)
+    return b.sparkSession.sql(sql, blocked=b, hot=hot, **(extra_args or {}))
 
 
 def _band_key_sql(b: int, rows_per_band: int) -> str:
@@ -427,42 +440,30 @@ def minhash_lsh_pairs(
     # the sf0.1 corpus.
     size_compatible = minhash_size_pred(threshold)
 
-    # HOT-BAND FRAGMENT SPLIT (shared helper): the skew decision is part
-    # of the plan (no driver-side probe job), so the whole pair search is
-    # one job and the persisted signatures materialize within it.
-    # distinct=False: multi-band collisions are deduped by the
-    # first-matching-band filter in the verify stage below instead of a
-    # pair-level DISTINCT — that removes the DISTINCT's exchange and its
-    # post-shuffle stage outright (guide §2.4), so verification runs at
-    # the probe join's full parallelism.
-    cand = _blocked_self_join_pairs(
-        bands,
-        ["band", "band_key"],
-        id_col,
-        hot_cap=hot_band_cap,
-        broadcast_gate_bytes=broadcast_gate_bytes,
-        extra_pred=size_compatible,
-        distinct=False,
-        keep_keys=("band",),
-    )
-
     # verification: re-attach the slim per-doc rows to the candidate
     # table. One row per document — when the size ESTIMATE clears the
     # gate, broadcast it so the 10^6-10^7-row candidate table never
     # shuffles (measured 1.6x on sf0.1); past the gate (real corpora)
     # the hint is dropped and AQE picks a shuffled join keyed on doc id
-    # — valid at any scale. Built as ONE sql template: the equivalent
-    # join/withColumn/filter chain re-analyzed the whole wide signature
-    # tree at every step (~0.5 s of single-threaded driver time per
-    # build, guide §7.3). The side frames REORDER the columns they
-    # rename: neither a select("*") wrapper NOR a full-width same-order
-    # rename protects the cache here — canonicalization strips aliases,
-    # so both plans are sameResult to the cached plan and the template
-    # formatter's dropTempView cleanup silently UNPERSISTS sigs
-    # (measured as a 7x cold blowup: every branch recomputed the
-    # signature pipeline from parquet). The reordered projection is
-    # structurally different, so the cache survives and is substituted
-    # in-plan (pinned by test_optimization_r13.py).
+    # — valid at any scale. The pair search AND the verify are ONE sql
+    # template (final_sql): the equivalent join/withColumn/filter chain
+    # re-analyzed the whole wide signature tree at every step (~0.5 s
+    # of single-threaded driver time per build, guide §7.3). The side
+    # frames REORDER the columns they rename: neither a select("*")
+    # wrapper NOR a full-width same-order rename protects the cache
+    # here — canonicalization strips aliases, so both plans are
+    # sameResult to the cached plan and the template formatter's
+    # dropTempView cleanup silently UNPERSISTS sigs (measured as a 7x
+    # cold blowup: every branch recomputed the signature pipeline from
+    # parquet). The reordered projection is structurally different, so
+    # the cache survives and is substituted in-plan (pinned by
+    # test_optimization_r13.py).
+    #
+    # distinct=False: multi-band collisions are deduped by the
+    # first-matching-band filter in the verify instead of a pair-level
+    # DISTINCT — that removes the DISTINCT's exchange and its
+    # post-shuffle stage outright (guide §2.4), so verification runs at
+    # the probe join's full parallelism.
     #
     # FIRST-MATCHING-BAND filter == the old DISTINCT, row for row: a
     # candidate row exists for exactly the bands whose keys collide
@@ -499,7 +500,7 @@ def minhash_lsh_pairs(
         ),
         broadcast_gate_bytes,
     )
-    sql = f"""
+    final_sql = f"""
     SELECT id_a, id_b, round(jaccard, 4) AS jaccard
     FROM (
       SELECT id_a, id_b,
@@ -509,7 +510,7 @@ def minhash_lsh_pairs(
         SELECT c.id_a, c.id_b,
                size(array_intersect(ka.__ta, kb.__tb)) AS __i,
                ka.__sa AS __sza, kb.__sb AS __szb
-        FROM {{cand}} c
+        FROM __pairs c
         JOIN {{ka}} ka ON ka.__ida = c.id_a
         JOIN {{kb}} kb ON kb.__idb = c.id_b
         WHERE ({first_band}) = c.band{pre_sql}
@@ -517,7 +518,18 @@ def minhash_lsh_pairs(
     )
     WHERE jaccard >= {float(threshold)!r}D
     """
-    return cand.sparkSession.sql(sql, cand=cand, ka=ka, kb=kb)
+    return _blocked_self_join_pairs(
+        bands,
+        ["band", "band_key"],
+        id_col,
+        hot_cap=hot_band_cap,
+        broadcast_gate_bytes=broadcast_gate_bytes,
+        extra_pred=size_compatible,
+        distinct=False,
+        keep_keys=("band",),
+        final_sql=final_sql,
+        extra_args={"ka": ka, "kb": kb},
+    )
 
 
 def _md5_bits(c: Column, n_bits: int) -> Column:
@@ -615,22 +627,15 @@ def simhash_pairs(
     # chunk geometry shared with the streaming operator
     chunks = simhash_chunk_table(sigs, id_col, n_bits, max_hamming)
     # distinct=False: multi-chunk collisions are deduped by the
-    # first-matching-chunk filter below — the carried signatures hold
+    # first-matching-chunk filter — the carried signatures hold
     # everything the filter needs (chunk equality IS a bit-slice
     # comparison of the sigs), so unlike minhash no re-attach join is
     # required and the pair-level DISTINCT's exchange disappears
     # outright (guide §2.4). Row-identity with the DISTINCT form is
-    # pinned in tests/test_optimization_r13.py.
-    cand = _blocked_self_join_pairs(
-        chunks,
-        ["chunk", "chunk_val"],
-        id_col,
-        hot_cap=hot_chunk_cap,
-        broadcast_gate_bytes=broadcast_gate_bytes,
-        carry=(("sig_a", "sig_b", "simhash"),),
-        distinct=False,
-        keep_keys=("chunk",),
-    )
+    # pinned in tests/test_optimization_r13.py. The filter + hamming
+    # verify ride the SAME template as final_sql: the old
+    # where/withColumn/filter/select tail re-analyzed the wide pair
+    # tree four times (~240 ms of driver time per build, guide §7.3).
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -639,13 +644,26 @@ def simhash_pairs(
         f"(shiftright(sig_b, {ci * chunk_bits}) & {mask}) THEN {ci}"
         for ci in range(n_chunks)
     ) + " END"
-    return (
-        cand.where(F.expr(f"({first_chunk}) = chunk"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    final_sql = f"""
+    SELECT id_a, id_b, hamming
+    FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming
+      FROM __pairs
+      WHERE ({first_chunk}) = chunk
+    )
+    WHERE hamming <= {max_hamming}
+    """
+    return _blocked_self_join_pairs(
+        chunks,
+        ["chunk", "chunk_val"],
+        id_col,
+        hot_cap=hot_chunk_cap,
+        broadcast_gate_bytes=broadcast_gate_bytes,
+        carry=(("sig_a", "sig_b", "simhash"),),
+        distinct=False,
+        keep_keys=("chunk",),
+        final_sql=final_sql,
     )
 
 
