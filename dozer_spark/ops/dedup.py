@@ -935,7 +935,7 @@ def embedding_neardup_pairs_lsh(
     """
     import math
 
-    from dozer_spark.ops.similarity import _dot, _hyperplanes, cosine_sim
+    from dozer_spark.ops.similarity import _bucket_sql, _hyperplanes, cosine_sim
 
     if band_bits is None:
         n = df.count()
@@ -945,25 +945,24 @@ def embedding_neardup_pairs_lsh(
         F.col(id_col), F.col(vec_col).alias("__v")
     )
     # all n_bands*band_bits sign bits in ONE projection (one scan, one
-    # explode) — no per-band union branches recomputing the dot folds
-    band_structs = []
-    for b in range(n_bands):
-        acc = F.lit(0).cast("long")
-        for i in range(band_bits):
-            w = F.array(*[F.lit(float(x)) for x in planes[b * band_bits + i]])
-            acc = acc + F.when(
-                _dot(F.col("__v"), w) >= 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), acc.alias("bucket"))
+    # inline-explode) — no per-band union branches recomputing the dot
+    # folds. The projection is ONE parsed SQL expression: the per-plane
+    # Column loop it replaces issued n_bands*band_bits*(dim+4) py4j
+    # round-trips (~2,600 at the dedup_embedding_cosine geometry —
+    # measured 6.1 s of single-threaded driver time PER BUILD, guide
+    # §7.3); trees and bucket ids are identical (sign bits pinned by
+    # test_optimization_r13.py, end-to-end by the DuckDB oracle).
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', {bucket})".format(
+            b=b,
+            bucket=_bucket_sql(
+                "__v", planes[b * band_bits:(b + 1) * band_bits]
+            ),
         )
+        for b in range(n_bands)
+    )
     rows = cache_materialized(
-        v.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
-        .select(
-            F.col(id_col),
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
+        v.selectExpr(f"`{id_col}`", f"inline(array({band_structs}))")
     )
     # BLAS PRE-VERIFY, fold CONFIRM. The native cosine fold (zip_with +
     # aggregate) runs INTERPRETED per array element — at 10M in-bucket

@@ -162,12 +162,10 @@ def pca_project_frozen(
     """
     from pyspark.sql import functions as F
 
-    from dozer_spark.ops.similarity import _guard_dim
+    from dozer_spark.ops.similarity import _arr2_sql, _arr_sql, _guard_dim
 
-    mean_arr = F.array(*[F.lit(float(x)) for x in mean])
-    comp_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in components]
-    )
+    mean_arr = F.expr(_arr_sql(mean))
+    comp_arr = F.expr(_arr2_sql(components))
     centered = F.zip_with(
         _guard_dim(F.col(vec_col), len(mean), "pca_project_frozen"),
         mean_arr,

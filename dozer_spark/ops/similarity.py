@@ -354,16 +354,55 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign bit per plane -> integer."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        w = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(vec, w) >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + bit
-    return bucket
+def _arr_sql(xs: list[float]) -> str:
+    """SQL array literal of DOUBLEs. repr() emits the shortest string
+    that round-trips to the same IEEE-754 double, and the SQL parser's
+    decimal-to-double conversion is correctly rounded — so the parsed
+    values are bit-identical to the F.lit(x) Columns this replaces."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in xs) + ")"
+
+
+def _arr2_sql(rows: list[list[float]]) -> str:
+    """Nested SQL array literal (array of DOUBLE arrays) — same parsed
+    tree as F.array(*[F.array(*[F.lit(x) ...]) ...]), built with ONE
+    py4j call instead of one per element (guide §7.3: the frozen-IVF
+    centroid/codebook literals cost 2,000+ F.lit round-trips per
+    build)."""
+    return "array(" + ", ".join(_arr_sql(r) for r in rows) + ")"
+
+
+def _dot_sql(vec_sql: str, xs: list[float]) -> str:
+    """SQL-string form of `_dot(vec, <literal plane>)` — same parsed
+    tree (zip_with multiply, left-fold add), so identical floats."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(xs)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL for the sign-bit bucket id over `planes` (bit i set when
+    dot(vec, plane_i) >= 0) — single source for lsh_bucket and the
+    banded variants."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_sql, plane)} >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"CAST(0 AS BIGINT) + {bits}"
+
+
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane -> integer.
+
+    vec_col is a COLUMN NAME: the whole expression is ONE parsed SQL
+    string (one py4j round-trip). The per-plane Column loop it replaces
+    issued ~n_planes * (dim + 4) py4j calls of single-threaded driver
+    time per build (guide §7.3) — measured as multi-second build times
+    on the 24-plane ANN paths; the parsed tree, and therefore every
+    bucket id, is identical (pinned by test_optimization_r13.py)."""
+    return F.expr(_bucket_sql(f"`{vec_col}`", planes))
 
 
 def _probed_queries(queries: DataFrame, qid: str, vec_col: str,
@@ -382,20 +421,22 @@ def _probed_queries(queries: DataFrame, qid: str, vec_col: str,
     Deterministic: margins derive from the same dyadic-rational md5
     planes as the sign bits and ties break on the plane index, so the
     probe set replays exactly in the SQL oracle."""
-    dots = [_dot(F.col("qv"), F.array(*[F.lit(x) for x in p]))
-            for p in planes]
-    base = F.lit(0).cast("long")
-    for i, d in enumerate(dots):
-        base = base + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long"))
+    # one parsed SQL expression per derived column (not one Column op
+    # per plane element): same trees, ~10^3 fewer py4j calls (guide §7.3)
+    dots = [_dot_sql("`qv`", p) for p in planes]
+    base = F.expr("CAST(0 AS BIGINT) + " + " + ".join(
+        f"(CASE WHEN {d} >= 0 THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i, d in enumerate(dots)
+    ))
     q = queries.select(F.col(qid).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     if n_probes <= 1:
         return q.withColumn("bucket", base)
-    pairs = F.array(*[
-        F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+    pairs = F.expr("array(" + ", ".join(
+        f"named_struct('m', abs({d}), 'i', {i})"
         for i, d in enumerate(dots)
-    ])
+    ) + ")")
     n_flips = min(n_probes - 1, len(planes))
     q = (
         q.withColumn("__base", base)
@@ -505,7 +546,7 @@ def ivf_ann_topk(
 
     # query -> its n_probe nearest centroids (centroids are tiny: driver math)
     centroids = [list(map(float, v)) for v in model.clusterCenters()]
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
+    cent_arr = F.expr(_arr2_sql(centroids))
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
     # distance query->each centroid, take n_probe smallest (native exprs)
     dists = F.transform(
@@ -545,9 +586,7 @@ def _frozen_cell_pairs(vcol: Column, centroids: list[list[float]]) -> Column:
     centroid literals — d2 as the same left-fold the frozen-IVF oracle
     replays with list_sum(list_transform(...)), so array_min / sorted
     slices over the pairs give bit-identical cells on both engines."""
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-    )
+    cent_arr = F.expr(_arr2_sql(centroids))
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     d2 = F.transform(
         cent_arr,
@@ -704,16 +743,9 @@ def ivf_pq_ann_topk_frozen(
     n_codes = len(books[0])
     dsub = len(books[0][0])
     ncent = len(coarse)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in coarse]
-    )
-    books_arr = F.array(
-        *[
-            F.array(
-                *[F.array(*[F.lit(float(x)) for x in code]) for code in book]
-            )
-            for book in books
-        ]
+    cent_arr = F.expr(_arr2_sql(coarse))
+    books_arr = F.expr(
+        "array(" + ", ".join(_arr2_sql(book) for book in books) + ")"
     )
     idx_cent = F.sequence(F.lit(0), F.lit(ncent - 1))
     idx_code = F.sequence(F.lit(0), F.lit(n_codes - 1))
@@ -875,7 +907,7 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -1201,7 +1233,7 @@ def lsh_ann_topk_fast(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     return _bucketed_blas_topk(
         c, q, ["bucket"], k,
@@ -1595,7 +1627,7 @@ class StreamingAnnIndex:
             .select(
                 F.col(self.id_col).alias("neighbor_id"),
                 F.col(self.vec_col).alias("cv"),
-                lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+                lsh_bucket(self.vec_col, planes).alias("bucket"),
             )
         )
         if self._store is not None:
@@ -1667,7 +1699,7 @@ class StreamingAnnIndex:
         q = queries.select(
             F.col(qid).alias("query_id"),
             F.col(self.vec_col).alias("qv"),
-            lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+            lsh_bucket(self.vec_col, planes).alias("bucket"),
         )
         corpus = self._live_corpus(q.select("bucket"))
         scored = (
@@ -1706,7 +1738,7 @@ class StreamingAnnIndex:
         q = queries.select(
             F.col(qid).alias("query_id"),
             F.col(self.vec_col).alias("qv"),
-            lsh_bucket(F.col(self.vec_col), planes).alias("bucket"),
+            lsh_bucket(self.vec_col, planes).alias("bucket"),
         )
         corpus = self._live_corpus(q.select("bucket"))
         return _bucketed_blas_topk(

@@ -117,6 +117,82 @@ def test_simhash_pairs_first_chunk_filter_equals_distinct_form(spark, docs):
     assert got.select("id_a", "id_b").distinct().count() == n
 
 
+def test_lsh_bucket_sql_equals_column_operator_form(spark):
+    """The single-SQL-string lsh_bucket (and the banded variant the
+    embedding near-dup path builds from _bucket_sql) must match the
+    per-plane Column-operator construction it replaced, row for row."""
+    from dozer_spark.ops.similarity import _dot, _hyperplanes, lsh_bucket
+    from dozer_spark.registry import Catalog
+
+    e = Catalog.from_testdata(
+        spark, "/root/testdata/sf0.001", lazy=True
+    ).df("embeddings")
+    planes = _hyperplanes(24, 64)
+
+    got = e.select(
+        F.col("vec_id"), lsh_bucket("embedding", planes).alias("bucket")
+    )
+
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in plane])
+        bit = (
+            F.when(_dot(F.col("embedding"), w) >= 0,
+                   F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        bucket = bucket + bit
+    ref = e.select(F.col("vec_id"), bucket.alias("bucket"))
+
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_embedding_band_projection_equals_column_operator_form(spark):
+    """The one-SQL-expression banded bucket projection inside
+    embedding_neardup_pairs_lsh must emit the same (id, band, bucket)
+    rows as the old per-plane Column loop."""
+    from dozer_spark.ops.similarity import _bucket_sql, _dot, _hyperplanes
+    from dozer_spark.registry import Catalog
+
+    e = Catalog.from_testdata(
+        spark, "/root/testdata/sf0.001", lazy=True
+    ).df("embeddings")
+    n_bands, band_bits = 8, 5
+    planes = _hyperplanes(n_bands * band_bits, 64)
+    v = e.select(F.col("vec_id"), F.col("embedding").alias("__v"))
+
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', {bucket})".format(
+            b=b,
+            bucket=_bucket_sql("__v", planes[b * band_bits:(b + 1) * band_bits]),
+        )
+        for b in range(n_bands)
+    )
+    got = v.selectExpr("`vec_id`", f"inline(array({structs}))")
+
+    band_structs = []
+    for b in range(n_bands):
+        acc = F.lit(0).cast("long")
+        for i in range(band_bits):
+            w = F.array(*[F.lit(float(x)) for x in planes[b * band_bits + i]])
+            acc = acc + F.when(
+                _dot(F.col("__v"), w) >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_structs.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    ref = (
+        v.select(F.col("vec_id"), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            F.col("vec_id"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
 def test_minhash_sigs_cache_survives_sql_templates(spark, docs):
     """The persisted slim signature table must still be IN the final
     pair plan as an InMemoryRelation: a template arg whose plan

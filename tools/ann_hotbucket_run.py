@@ -44,12 +44,12 @@ def run(spark, sf_dir: str) -> dict:
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        lsh_bucket("embedding", planes).alias("bucket"),
     )
     q = e.filter(F.col("vec_id") % 1000 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        lsh_bucket("embedding", planes).alias("bucket"),
     )
     # (a) what one task USED to get: the hottest bucket
     hot = (c.groupBy("bucket").count()
