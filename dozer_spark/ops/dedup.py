@@ -872,7 +872,7 @@ def embedding_neardup_pairs(
     past the bound the call fails fast pointing at the LSH pipeline
     instead of launching a 10^18-pair cartesian.
     """
-    from dozer_spark.ops.similarity import cosine_sim
+    from dozer_spark.ops.similarity import _dot, _norm
 
     probed = df.limit(max_rows + 1).count()
     if probed > max_rows:
@@ -883,11 +883,20 @@ def embedding_neardup_pairs(
             "cosine verify) at corpus scale, or raise max_rows "
             "deliberately"
         )
-    v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    # per-side norms below the join: same bits as the per-pair
+    # cosine_sim, 2/3 less interpreted fold work (guide §2.3)
+    v = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("cosine", cosine_sim(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.n") * F.col("b.n")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

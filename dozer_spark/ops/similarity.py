@@ -57,12 +57,26 @@ def brute_force_topk(
     the corpus is scanned once, no shuffle of the corpus side.
     """
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are computed ONCE PER SIDE below the join (guide §2.3):
+    # cosine_sim's per-pair form folds both norms for every pair —
+    # 2/3 of the interpreted-HOF work for the same bits (same ops over
+    # the same doubles, so cosine is bit-identical; projections under
+    # a join are never inlined upward, so the norms stay per-row).
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -102,16 +116,23 @@ def hard_negative_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(label_col).alias("q_label"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("neighbor_label"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
+    # per-side norms below the join: same bits, 2/3 less per-pair fold
+    # work (see brute_force_topk)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_label") != F.col("q_label"))
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -563,10 +584,17 @@ def ivf_ann_topk(
     probed = F.slice(F.array_sort(pairs), 1, n_probe)
     q = q.withColumn("cell", F.explode(F.transform(probed, lambda s: s["i"]))).drop("__d")
 
+    # per-side norms below the join: same bits, 2/3 less per-pair fold
+    # work (see brute_force_topk)
+    q = q.withColumn("__qn", _norm(F.col("qv")))
+    c_cells = c_cells.withColumn("__cn", _norm(F.col("cv")))
     scored = (
         c_cells.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -653,10 +681,17 @@ def ivf_ann_topk_frozen(
         _guard_dim(F.col(vec_col), dim, "ivf_ann_topk_frozen").alias("cv"),
     ).withColumn("cell", F.array_min(cell_pairs(F.col("cv")))["i"])
 
+    # per-side norms below the join: same bits, 2/3 less per-pair fold
+    # work (see brute_force_topk)
+    q = q.withColumn("__qn", _norm(F.col("qv")))
+    c = c.withColumn("__cn", _norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -908,11 +943,18 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
+    # per-side norms below the join: same bits, 2/3 less per-pair fold
+    # work (see brute_force_topk)
+    q = q.withColumn("__qn", _norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1702,10 +1744,18 @@ class StreamingAnnIndex:
             lsh_bucket(self.vec_col, planes).alias("bucket"),
         )
         corpus = self._live_corpus(q.select("bucket"))
+        # per-side norms below the join: same bits, 2/3 less per-pair
+        # fold work (see brute_force_topk)
+        q = q.withColumn("__qn", _norm(F.col("qv")))
+        corpus = corpus.withColumn("__cn", _norm(F.col("cv")))
         scored = (
             corpus.join(F.broadcast(q), "bucket")
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+            .withColumn(
+                "cosine",
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id")
