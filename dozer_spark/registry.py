@@ -53,16 +53,25 @@ _SCHEMA_CACHE: dict[tuple, tuple] = {}
 
 
 def _path_sig(path: str) -> tuple | None:
-    """Stat-based cache key; None (uncacheable) when stat fails."""
+    """Stat-based cache key; None (uncacheable) when stat fails.
+
+    Directories are walked RECURSIVELY (one stat per entry): a parquet
+    file overwritten in place inside a nested partition subdirectory
+    (key=v/part-*.parquet) changes neither the top-level entry names
+    nor the subdir mtime, so a one-level signature would serve a stale
+    schema for partitioned layouts."""
     try:
         if os.path.isdir(path):
-            parts = tuple(
-                sorted(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in os.scandir(path)
-                )
-            )
-            return (path, parts)
+            parts = []
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                for name in files:
+                    st = os.stat(os.path.join(root, name))
+                    parts.append(
+                        (os.path.join(root, name), st.st_mtime_ns,
+                         st.st_size)
+                    )
+            return (path, tuple(sorted(parts)))
         st = os.stat(path)
         return (path, st.st_mtime_ns, st.st_size)
     except OSError:
