@@ -1107,11 +1107,15 @@ def drop_duplicated_segments(
     clean_digest = md5 of the document rebuilt from its surviving
     segments in original order.
 
-    100 TB design: ONE text scan, two shuffles, both honest. The census
-    runs over a cached slim projection (doc id + 32B segment digest —
-    no text) of the exploded base, so the regex split and per-segment
-    md5 are paid once; count_distinct(doc) dedupes intra-doc repeats
-    with partial aggregation, so the shuffle never amplifies repeated
+    100 TB design: ONE text scan, two shuffles, both honest. The
+    exploded base (doc id, position, segment, 32B digest) is CACHED and
+    feeds both the census and the removal join, so the text scan, the
+    regex split, and the per-segment md5 are genuinely paid once (the
+    previous slim-digest-only cache recomputed all three for the join
+    side — a second full-corpus scan, the wrong trade at any scale;
+    MEMORY_AND_DESERIALIZED spills to disk past executor memory).
+    count_distinct(doc) dedupes intra-doc repeats with partial
+    aggregation, so the census shuffle never amplifies repeated
     segments within one doc. The rebuild regroups (doc, pos, segment)
     — the same volume as the input scan, no amplification. The
     common-segment set (boilerplate is rare relative to the corpus) is
@@ -1121,13 +1125,14 @@ def drop_duplicated_segments(
     """
     segs = F.split(F.col(text_col), sep, -1)
     src = ensure_min_partitions(df)
-    base = src.select(
-        F.col(id_col), F.posexplode(segs).alias("__pos", "__seg")
-    ).withColumn("__h", F.md5(F.col("__seg")))
+    base = cache_materialized(
+        src.select(
+            F.col(id_col), F.posexplode(segs).alias("__pos", "__seg")
+        ).withColumn("__h", F.md5(F.col("__seg")))
+    )
 
-    slim = cache_materialized(base.select(id_col, "__h"))
     common = (
-        slim.groupBy("__h")
+        base.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__h")
