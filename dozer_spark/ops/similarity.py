@@ -18,6 +18,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dozer_spark.operators.hints import ensure_min_partitions
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -66,7 +68,11 @@ def brute_force_topk(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    # the corpus side of the broadcast join runs at the SCAN's split
+    # count (a broadcast join shuffles nothing): a single-row-group
+    # parquet corpus pins every interpreted fold on one task (guide §2
+    # stragglers; measured flat 8-vs-32-core scaling on the 10x corpus)
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("__cn"),
     )
@@ -118,12 +124,12 @@ def hard_negative_topk(
         F.col(label_col).alias("q_label"),
         _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("neighbor_label"),
         _norm(F.col(vec_col)).alias("__cn"),
-    )
+    )  # scan-split rebalance: see brute_force_topk
     # per-side norms below the join: same bits, 2/3 less per-pair fold
     # work (see brute_force_topk)
     scored = (
@@ -676,10 +682,11 @@ def ivf_ann_topk_frozen(
             )
         ),
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _guard_dim(F.col(vec_col), dim, "ivf_ann_topk_frozen").alias("cv"),
     ).withColumn("cell", F.array_min(cell_pairs(F.col("cv")))["i"])
+    # scan-split rebalance: see brute_force_topk
 
     # per-side norms below the join: same bits, 2/3 less per-pair fold
     # work (see brute_force_topk)
@@ -939,12 +946,12 @@ def lsh_ann_topk(
     planes = _hyperplanes(n_planes, dim)
     qid = query_id_col or id_col
     q = _probed_queries(queries, qid, vec_col, planes, n_probes)
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(vec_col, planes).alias("bucket"),
         _norm(F.col(vec_col)).alias("__cn"),
-    )
+    )  # scan-split rebalance: see brute_force_topk
     # per-side norms below the join: same bits, 2/3 less per-pair fold
     # work (see brute_force_topk)
     q = q.withColumn("__qn", _norm(F.col("qv")))
