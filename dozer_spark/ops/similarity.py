@@ -565,7 +565,9 @@ def ivf_ann_topk(
     from pyspark.ml.functions import array_to_vector
 
     qid = query_id_col or id_col
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # scan-split rebalance: see brute_force_topk
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     n = c.count()
     ml = c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("feat"))
     model = _fit_quantizer(ml, n, n_centroids, seed)
@@ -829,8 +831,10 @@ def ivf_pq_ann_topk_frozen(
                - F.element_at(code, i)),
         )
 
-    # corpus: normalize -> cell -> residual -> m_sub PQ codes
-    c = corpus.select(
+    # corpus: normalize -> cell -> residual -> m_sub PQ codes — all
+    # computed BEFORE the cogroup's shuffle, i.e. at the scan's split
+    # count: rebalance first (see brute_force_topk)
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         unit_vector(
             _guard_dim(F.col(vec_col), m_sub * dsub, "ivf_pq_ann_topk_frozen")
@@ -1191,7 +1195,9 @@ def ivf_ann_topk_fast(
             hot_cell_cap,
         )
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # scan-split rebalance: see brute_force_topk
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     n = c.count()
     if n_centroids is None:
         n_centroids = min(4096, max(16, int(math.sqrt(n))))
@@ -1279,7 +1285,9 @@ def lsh_ann_topk_fast(
     planes = _hyperplanes(n_planes, dim)
     qid = query_id_col or id_col
     q = _probed_queries(queries, qid, vec_col, planes, n_probes)
-    c = corpus.select(
+    # the per-row bucket dot folds run before the cogroup shuffle, at
+    # the scan's split count: rebalance first (see brute_force_topk)
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(vec_col, planes).alias("bucket"),
