@@ -565,9 +565,12 @@ def ivf_ann_topk(
     from pyspark.ml.functions import array_to_vector
 
     qid = query_id_col or id_col
-    # scan-split rebalance: see brute_force_topk
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # NO scan rebalance here: the corpus feeds the live k-means FIT,
+    # and Spark ML KMeans is partition-sensitive (k-means|| init and
+    # fp aggregation order) — repartitioning would silently change the
+    # trained centroids and every downstream cell. Only the FROZEN
+    # paths (partition-independent literal math) rebalance.
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     n = c.count()
     ml = c.select("neighbor_id", "cv", array_to_vector(F.col("cv").cast("array<double>")).alias("feat"))
     model = _fit_quantizer(ml, n, n_centroids, seed)
@@ -1195,9 +1198,9 @@ def ivf_ann_topk_fast(
             hot_cell_cap,
         )
 
-    # scan-split rebalance: see brute_force_topk
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # NO scan rebalance: the corpus feeds the live k-means FIT (see
+    # ivf_ann_topk — KMeans is partition-sensitive)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     n = c.count()
     if n_centroids is None:
         n_centroids = min(4096, max(16, int(math.sqrt(n))))
