@@ -50,6 +50,17 @@ TESTDATA_PKS: dict[str, list[str]] = {
 # every query still computes from the parquet bytes; this is the same
 # class of caching as Spark's own session file-listing cache (guide §6).
 _SCHEMA_CACHE: dict[tuple, tuple] = {}
+# (applicationId, path, sig) -> (DataFrame, ns_cols): the fully-built
+# reader frame. METADATA ONLY — a DataFrame is an immutable logical
+# plan, never data or results; every action over it still scans the
+# parquet. Keyed on the file signature (stale mtime -> rebuild) and the
+# Spark application (a restarted session never sees another session's
+# JVM handles). Saves the ~35 ms reader construction + ns-normalization
+# py4j round-trips PER TABLE PER BUILD (guide §7.3) on top of the
+# schema memo; the returned plan is bit-identical to a fresh build, so
+# CacheManager plan-equality (persisted intermediates across bench
+# passes) is unaffected.
+_READER_CACHE: dict[tuple, tuple] = {}
 
 
 def _path_sig(path: str) -> tuple | None:
@@ -218,6 +229,17 @@ def load_parquet(spark: SparkSession, path: str, name: str | None = None) -> Dat
     (`spark.read.schema(...)` instead of `spark.read.parquet`'s
     inference pass — ~3x less driver time per open)."""
     sig = _path_sig(path)
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None
+    rkey = (app, path, sig) if (app is not None and sig is not None) else None
+    if rkey is not None and rkey in _READER_CACHE:
+        df, ns_cols = _READER_CACHE[rkey]
+        if ns_cols:
+            # the legacy conf must hold at SCAN time on every build
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return df
     hit = _SCHEMA_CACHE.get(sig) if sig is not None else None
     if hit is None:
         ns_cols = tuple(_nanos_ts_cols(path))
@@ -247,6 +269,8 @@ def load_parquet(spark: SparkSession, path: str, name: str | None = None) -> Dat
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
+    if rkey is not None:
+        _READER_CACHE[rkey] = (df, ns_cols)
     return df
 
 

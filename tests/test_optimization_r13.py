@@ -193,6 +193,29 @@ def test_embedding_band_projection_equals_column_operator_form(spark):
     assert ref.exceptAll(got).count() == 0
 
 
+def test_reader_memo_invalidates_on_rewrite(spark, tmp_path):
+    """load_parquet memoizes the reader FRAME (metadata only) keyed on
+    the file signature: a hit must return the same plan, and an
+    in-place rewrite must invalidate — serving stale data would be
+    silent wrong results for every consumer."""
+    import os
+    import time
+
+    from dozer_spark.registry import load_parquet
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).toDF("x").write.mode("overwrite").parquet(p)
+    df1 = load_parquet(spark, p)
+    assert df1.count() == 5
+    assert load_parquet(spark, p) is df1  # memo hit: same plan object
+
+    time.sleep(0.01)
+    spark.range(9).toDF("x").write.mode("overwrite").parquet(p)
+    # parquet dir rewrite changes file names/mtimes -> new signature
+    df2 = load_parquet(spark, p)
+    assert df2.count() == 9, "reader memo served a stale frame"
+
+
 def test_minhash_sigs_cache_survives_sql_templates(spark, docs):
     """The persisted slim signature table must still be IN the final
     pair plan as an InMemoryRelation: a template arg whose plan
